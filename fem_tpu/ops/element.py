@@ -1,0 +1,168 @@
+# coding=utf-8
+"""Batched Neo-Hookean element kernels (the compute core).
+
+Every function here is a *batched* pure function over all elements at once —
+the TPU-native replacement for the reference's Taichi kernels that parallelize
+an outer per-element loop with atomic scatter-adds:
+
+  * deformation gradient + analytic Piola gradient: solver/explicit.py:8-49
+  * elastic energy density (autodiff path):          solver/explicit_auto_diff.py:8-31
+  * implicit RHS elastic force:                      solver/implicit.py:72-107
+  * implicit Hessian block:                          solver/implicit.py:114-181
+
+A key structural fact of the reference's implicit assembly (exploited here for
+the matrix-free solver): in ``compute_linear_system_matrix_a`` the per-pair
+block uses ``dF = (i==j ? I : 0) @ R_inv`` (solver/implicit.py:141-144), so all
+``i != j`` blocks are exactly zero and the ``i == j`` block is the *same*
+matrix for every local vertex.  Each element therefore contributes one d×d
+block ``K_e`` scattered in a graph-Laplacian pattern:
+
+    A[v_i, v_i] += K_e            (i = 1..d)
+    A[v_i, v_0] -= K_e,  A[v_0, v_i] -= K_e
+    A[v_0, v_0] += d * K_e
+
+which admits an O(E) matrix-free product (see solvers/implicit.py) instead of
+the reference's dense O(N^2) storage and O(N^2)-per-iteration products.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fem_tpu.ops import smallmat as sm
+from fem_tpu.ops.assembly import gather_edge_diffs
+
+
+def deformation_gradients(
+    pos: jnp.ndarray, element_indices: jnp.ndarray, ref_inv: jnp.ndarray
+) -> jnp.ndarray:
+    """F = X @ R_inv for all elements: ``(E, d, d)``.
+
+    Reference: solver/explicit.py:12-19 (same construction in all four
+    reference kernels).
+    """
+    x_mat = gather_edge_diffs(pos, element_indices)
+    return sm.matmul(x_mat, ref_inv)
+
+
+def energy_density(F: jnp.ndarray, mu: float, s_lambda: float) -> jnp.ndarray:
+    """Neo-Hookean φ(F) = μ/2 (tr(FᵀF) − d) − μ logJ + λ/2 logJ².
+
+    Reference: solver/explicit_auto_diff.py:24-28.  ``logJ = log(det F)`` is
+    deliberately *unclamped* — an inverted element yields NaN exactly as the
+    reference does.
+    """
+    d = F.shape[-1]
+    log_j = jnp.log(sm.det(F))
+    i_c = jnp.einsum(
+        "...ij,...ij->...", F, F, precision=jax.lax.Precision.HIGHEST
+    )  # tr(FᵀF)
+    return (
+        mu / 2.0 * (i_c - d) - mu * log_j + s_lambda / 2.0 * log_j * log_j
+    )
+
+
+def total_energy(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """U = Σ_e V_e φ(F_e) — the autodiff loss (reference: U accumulation at
+    solver/explicit_auto_diff.py:30; tape at main.py:107)."""
+    F = deformation_gradients(pos, element_indices, ref_inv)
+    return jnp.sum(volume * energy_density(F, mu, s_lambda))
+
+
+def element_energies(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """Per-element V·φ used for render coloring (reference: ``obj.phi`` write
+    at solver/explicit_auto_diff.py:29).  Sized ``(E,)`` — fixing the
+    reference's out-of-bounds sizing by surface-face count (object.py:68)."""
+    F = deformation_gradients(pos, element_indices, ref_inv)
+    return volume * energy_density(F, mu, s_lambda)
+
+
+def explicit_grad_columns(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """Analytic energy-gradient columns for the explicit path: ``(E, d, d)``.
+
+    ``H = V · (μF − μF⁻ᵀ + λ·log(det F)·F⁻ᵀ) @ R_invᵀ`` with column j going to
+    local vertex j+1 and −Σ columns to vertex 0 (reference:
+    solver/explicit.py:23-49).  Note the reference *accumulates the gradient of
+    the energy* into ``particles.force`` (it is subtracted in kinematic:
+    solver/kinematic.py:19), so these are +∂U/∂x contributions.
+    """
+    F = deformation_gradients(pos, element_indices, ref_inv)
+    f_inv_t = sm.mT(sm.inv(F))
+    log_j = jnp.log(sm.det(F))[..., None, None]
+    P = mu * F - mu * f_inv_t + s_lambda * log_j * f_inv_t
+    return volume[..., None, None] * sm.matmul(P, sm.mT(ref_inv))
+
+
+def implicit_force_columns(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """Elastic force columns for the implicit RHS b: ``(E, d, d)``.
+
+    Reference (solver/implicit.py:87-88) uses ``λ/2·log(det(FᵀF))`` — equal to
+    ``λ·log|det F|``, i.e. finite even for inverted elements, unlike the
+    explicit path — and multiplies by ``−V`` (force, not gradient).
+    """
+    F = deformation_gradients(pos, element_indices, ref_inv)
+    f_inv_t = sm.mT(sm.inv(F))
+    log_term = jnp.log(sm.det(sm.matmul(sm.mT(F), F)))[..., None, None]
+    P = mu * F - mu * f_inv_t + (s_lambda / 2.0) * log_term * f_inv_t
+    return -volume[..., None, None] * sm.matmul(P, sm.mT(ref_inv))
+
+
+def hessian_blocks(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """The single per-element implicit system block ``K_e``: ``(E, d, d)``.
+
+    Exactly the reference's ``dF_dxij`` for ``i == j`` (solver/implicit.py:
+    131-147): with ``dF = R_inv``,
+
+        K = −V · (μ·dF + (μ − λ·logJ)·F⁻ᵀ dFᵀ F⁻ᵀ + λ·tr(F⁻¹dF)·F⁻ᵀ) @ R_invᵀ
+
+    where ``logJ = log(max(det F, 1e-4))`` (the reference's inversion clamp,
+    solver/implicit.py:131).
+    """
+    F = deformation_gradients(pos, element_indices, ref_inv)
+    f_inv = sm.inv(F)
+    f_inv_t = sm.mT(f_inv)
+    log_j = jnp.log(jnp.maximum(sm.det(F), 1e-4))[..., None, None]
+    dF = ref_inv
+    term1 = mu * dF
+    term2 = (mu - s_lambda * log_j) * sm.matmul(
+        sm.matmul(f_inv_t, sm.mT(dF)), f_inv_t
+    )
+    term3 = s_lambda * sm.trace(sm.matmul(f_inv, dF))[..., None, None] * f_inv_t
+    K = term1 + term2 + term3
+    return -volume[..., None, None] * sm.matmul(K, sm.mT(ref_inv))

@@ -1,0 +1,127 @@
+# coding=utf-8
+"""Multi-chip scaling: element-sharded simulation over a device mesh.
+
+The reference is a single-process single-GPU program whose only parallelism is
+Taichi's auto-parallelized outer kernel loop with atomic adds (SURVEY §2).
+The honest TPU analogue is *data parallelism over elements*: element arrays
+(indices, ref_inv, volume) are sharded along a 1-D ``jax.sharding.Mesh`` axis,
+each shard computes its local per-element math and local segment-sum, and one
+``psum`` over ICI produces the fully assembled per-particle quantities,
+replicated on every shard.  Particle-space solver iterations (CG/Jacobi) then
+run replicated — identical arithmetic on every chip — so only one small (N·d)
+collective per operator application crosses the interconnect per iteration.
+
+Padding: element counts rarely divide the mesh size, so shards are padded by
+*repeating element 0 with volume 0* — a geometrically valid element whose
+force, energy, and Hessian contributions are exactly zero (every contribution
+is scaled by V), keeping all math finite without masking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fem_tpu.models.state import FemObject, Obstacles, SimState
+from fem_tpu.sim import StepAux, substep
+from fem_tpu.utils.config import SimConfig
+
+AXIS = "elem"
+
+
+def pad_elements(obj: FemObject, multiple: int) -> FemObject:
+    """Pad element arrays so the element count divides ``multiple``; padding
+    repeats element 0 with volume 0 (zero contribution, finite math)."""
+    e = obj.element_cnt
+    target = ((e + multiple - 1) // multiple) * multiple
+    pad = target - e
+    if pad == 0:
+        return obj
+    idx = jnp.concatenate(
+        [obj.element_indices, jnp.tile(obj.element_indices[:1], (pad, 1))]
+    )
+    ref_inv = jnp.concatenate(
+        [obj.ref_inv, jnp.tile(obj.ref_inv[:1], (pad, 1, 1))]
+    )
+    volume = jnp.concatenate([obj.volume, jnp.zeros((pad,), obj.volume.dtype)])
+    return obj.replace(
+        element_indices=idx, ref_inv=ref_inv, volume=volume, element_cnt=target
+    )
+
+
+def make_element_mesh(
+    n_devices: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D device mesh over the ``elem`` axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[: n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
+    """Shared builder for the sharded substep / frame functions."""
+    n_shards = mesh.devices.size
+    padded = pad_elements(obj, n_shards)
+    local_cnt = padded.element_cnt // n_shards
+
+    state_spec = SimState(pos=P(), vel=P(), vel_g=P(), force=P(),
+                          jacobi_past_x=P())
+    obs_spec = Obstacles(centers=P(), radii=P())
+    aux_spec = StepAux(P(), P())
+
+    kwargs = dict(
+        dt=cfg.delta_time,
+        g_dir=cfg.g_dir,
+        use_explicit_method=cfg.use_explicit_method,
+        auto_diff=cfg.auto_diff,
+        implicit_method=cfg.implicit_method,
+        preconditioned=cfg.preconditioned,
+        axis_name=AXIS,
+    )
+
+    def local_fn(idx_l, ref_inv_l, vol_l, state, obstacles):
+        # Element arrays arrive as this shard's local slices; particle arrays
+        # (mass, positions) are replicated via the closed-over `padded`.
+        local = padded.replace(
+            element_indices=idx_l, ref_inv=ref_inv_l, volume=vol_l,
+            element_cnt=local_cnt,
+        )
+        if scan_frame:
+            def body(s, _):
+                return substep(local, s, obstacles, **kwargs)
+
+            return jax.lax.scan(body, state, None, length=cfg.sim_count)
+        return substep(local, state, obstacles, **kwargs)
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), state_spec, obs_spec),
+        out_specs=(state_spec, aux_spec),
+    )
+
+    @jax.jit
+    def run(state: SimState, obstacles: Obstacles):
+        return sharded(
+            padded.element_indices, padded.ref_inv, padded.volume,
+            state, obstacles,
+        )
+
+    return run
+
+
+def make_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
+    """Compiled frame function (``sim_count`` substeps) with elements sharded
+    over ``mesh``; drop-in replacement for :func:`fem_tpu.sim.make_frame_fn`."""
+    return _build(obj, cfg, mesh, scan_frame=True)
+
+
+def make_sharded_substep_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
+    """Single sharded substep (tests / multichip dry run)."""
+    return _build(obj, cfg, mesh, scan_frame=False)

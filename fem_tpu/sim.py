@@ -1,0 +1,123 @@
+# coding=utf-8
+"""Simulation driver: jitted substeps under ``lax.scan``.
+
+The reference's hot loop (main.py:101-113) dispatches one of three methods per
+substep and advects.  Here the method is a trace-time constant, the substep is
+one pure function ``state -> state`` and a rendered frame's ``sim_count``
+substeps run as a single compiled ``lax.scan`` — one device dispatch per frame
+instead of the reference's 2 kernel launches per substep.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fem_tpu.models.state import FemObject, Obstacles, SimState
+from fem_tpu.ops.element import element_energies
+from fem_tpu.solvers.advect import advect_implicit_step, kinematic_step
+from fem_tpu.solvers.explicit import (
+    analytic_energy_gradient,
+    autodiff_energy_gradient,
+)
+from fem_tpu.solvers.implicit import implicit_velocity_solve
+from fem_tpu.utils.config import SimConfig
+
+
+class StepAux(NamedTuple):
+    """Per-substep observability (SURVEY §5: structured metrics in place of
+    the reference's commented-out profiler prints)."""
+
+    solver_iterations: jnp.ndarray
+    solver_residual: jnp.ndarray
+
+
+def substep(
+    obj: FemObject,
+    state: SimState,
+    obstacles: Obstacles,
+    *,
+    dt: float,
+    g_dir: Tuple[float, ...],
+    use_explicit_method: bool,
+    auto_diff: bool,
+    implicit_method: int,
+    preconditioned: int,
+    axis_name: str | None = None,
+) -> Tuple[SimState, StepAux]:
+    """One simulation substep.  Method dispatch mirrors main.py:101-112:
+    ``auto_diff`` wins over everything (even over use_explicit_method=False),
+    otherwise explicit-analytic or implicit.  ``axis_name`` enables
+    element-sharded execution under shard_map (fem_tpu.parallel)."""
+    zero_aux = StepAux(jnp.int32(0), jnp.float32(0.0))
+    if auto_diff:
+        grad = autodiff_energy_gradient(obj, state.pos, axis_name)
+        state = kinematic_step(
+            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir
+        )
+        return state, zero_aux
+    if use_explicit_method:
+        grad = analytic_energy_gradient(obj, state.pos, axis_name)
+        state = kinematic_step(
+            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir
+        )
+        return state, zero_aux
+    state, solve_aux = implicit_velocity_solve(
+        obj, state, dt, implicit_method, preconditioned, axis_name
+    )
+    state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
+    return state, StepAux(solve_aux.iterations, solve_aux.residual)
+
+
+def make_frame_fn(obj: FemObject, cfg: SimConfig):
+    """Compiled function advancing one rendered frame (= ``sim_count``
+    substeps under lax.scan).  Returns (state, StepAux stacked over substeps).
+    """
+    kwargs = dict(
+        dt=cfg.delta_time,
+        g_dir=cfg.g_dir,
+        use_explicit_method=cfg.use_explicit_method,
+        auto_diff=cfg.auto_diff,
+        implicit_method=cfg.implicit_method,
+        preconditioned=cfg.preconditioned,
+    )
+
+    @jax.jit
+    def frame(state: SimState, obstacles: Obstacles):
+        def body(s, _):
+            s, aux = substep(obj, s, obstacles, **kwargs)
+            return s, aux
+
+        return jax.lax.scan(body, state, None, length=cfg.sim_count)
+
+    return frame
+
+
+def make_substep_fn(obj: FemObject, cfg: SimConfig):
+    """Compiled single-substep function (for tests / fine-grained stepping)."""
+    kwargs = dict(
+        dt=cfg.delta_time,
+        g_dir=cfg.g_dir,
+        use_explicit_method=cfg.use_explicit_method,
+        auto_diff=cfg.auto_diff,
+        implicit_method=cfg.implicit_method,
+        preconditioned=cfg.preconditioned,
+    )
+
+    @jax.jit
+    def step(state: SimState, obstacles: Obstacles):
+        return substep(obj, state, obstacles, **kwargs)
+
+    return step
+
+
+def element_phi(obj: FemObject, state: SimState) -> jnp.ndarray:
+    """Per-element energy V·φ for render coloring (reference ``obj.phi``,
+    explicit_auto_diff.py:29 — sized (E,), fixing the reference's
+    surface-count sizing bug at object.py:68)."""
+    return element_energies(
+        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda,
+    )

@@ -1,0 +1,123 @@
+# coding=utf-8
+"""Advection + collision handling (explicit and implicit variants).
+
+Vectorized, fused equivalents of the reference's per-particle kernels:
+
+  * ``kinematic`` / ``kinematic_particle``: solver/kinematic.py:8-45
+  * ``advect_implicit``:                    solver/implicit.py:407-438
+
+Quirks reproduced exactly:
+  * the box walls are *sticky* per-component velocity zeroing, applied in the
+    order lower-wall then upper-wall (kinematic.py:25-30);
+  * the implicit upper-wall case zeroes ``vel`` but **not** ``vel_g``
+    (commented out in the reference at implicit.py:422);
+  * circle obstacles are processed sequentially, each seeing the velocity
+    already modified by the previous one (kinematic.py:32-41);
+  * gravity is 9.8·g_dir with g_dir straight from config;
+  * damping is the exponential factor exp(−dt·damping).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from fem_tpu.models.state import Obstacles, SimState
+
+
+def _sticky_walls(pos: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Zero velocity components pushing through the unit box walls
+    (kinematic.py:25-30)."""
+    v = jnp.where((pos < 0.0) & (v < 0.0), 0.0, v)
+    v = jnp.where((pos > 1.0) & (v > 0.0), 0.0, v)
+    return v
+
+
+def _circle_projection(
+    pos: jnp.ndarray, v: jnp.ndarray, center: jnp.ndarray, radius: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hit mask and the tangential-projection delta for one circular block
+    (kinematic.py:36-41): inside the circle and moving toward its center →
+    remove the radial velocity component."""
+    disp = pos - center[None, :]  # (N, d)
+    dist_sq = jnp.sum(disp * disp, axis=-1, keepdims=True)
+    inside = dist_sq < radius * radius
+    toward = jnp.sum(v * (-disp), axis=-1, keepdims=True) > 0.0
+    hit = inside & toward & (radius > 0.0)
+    coeff = jnp.sum(v * disp, axis=-1, keepdims=True) / jnp.maximum(
+        dist_sq, 1e-30
+    )
+    return hit, coeff * disp
+
+
+def kinematic_step(
+    state: SimState,
+    grad: jnp.ndarray,
+    mass: jnp.ndarray,
+    obstacles: Obstacles,
+    dt: float,
+    damping: float,
+    g_dir: Tuple[float, ...],
+) -> SimState:
+    """Explicit-path advection (kinematic.py:14-45).
+
+    ``grad`` is the assembled energy gradient (the reference's
+    ``particles.force`` / ``pos.grad``), subtracted as −grad/m.
+    """
+    g = 9.8 * jnp.asarray(g_dir, jnp.float32)
+    vel = state.vel + (g[None, :] - grad / mass[:, None]) * dt
+    vel = vel * jnp.exp(-dt * damping)
+    vel = _sticky_walls(state.pos, vel)
+    n_blocks = int(obstacles.radii.shape[0])
+    for b in range(n_blocks):  # static unroll; blocks are few and sequential
+        hit, delta = _circle_projection(
+            state.pos, vel, obstacles.centers[b], obstacles.radii[b]
+        )
+        vel = jnp.where(hit, vel - delta, vel)
+    pos = state.pos + vel * dt
+    return state.replace(pos=pos, vel=vel, force=jnp.zeros_like(grad))
+
+
+def advect_implicit_step(
+    state: SimState,
+    obstacles: Obstacles,
+    dt: float,
+    damping: float,
+    g_dir: Tuple[float, ...],
+) -> SimState:
+    """Implicit-path advection (implicit.py:407-438): gravity lives in the
+    separate ``vel_g`` channel outside the linear solve."""
+    g = 9.8 * jnp.asarray(g_dir, jnp.float32)
+    vel_g = state.vel_g + g[None, :] * dt
+    decay = jnp.exp(-dt * damping)
+    vel = state.vel * decay
+    vel_g = vel_g * decay
+    v = vel + vel_g
+
+    lower = (state.pos < 0.0) & (v < 0.0)
+    vel = jnp.where(lower, 0.0, vel)
+    vel_g = jnp.where(lower, 0.0, vel_g)
+    v = jnp.where(lower, 0.0, v)
+
+    upper = (state.pos > 1.0) & (v > 0.0)
+    vel = jnp.where(upper, 0.0, vel)
+    # Reference deliberately does NOT zero vel_g here (implicit.py:422).
+    v = jnp.where(upper, 0.0, v)
+
+    n_blocks = int(obstacles.radii.shape[0])
+    for b in range(n_blocks):
+        center, radius = obstacles.centers[b], obstacles.radii[b]
+        hit, delta_v = _circle_projection(state.pos, v, center, radius)
+        disp = state.pos - center[None, :]
+        dist_sq = jnp.sum(disp * disp, axis=-1, keepdims=True)
+        proj = lambda u: (
+            jnp.sum(u * disp, axis=-1, keepdims=True)
+            / jnp.maximum(dist_sq, 1e-30)
+        ) * disp
+        v = jnp.where(hit, v - delta_v, v)
+        vel = jnp.where(hit, vel - proj(vel), vel)
+        vel_g = jnp.where(hit, vel_g - proj(vel_g), vel_g)
+
+    pos = state.pos + v * dt
+    return state.replace(pos=pos, vel=vel, vel_g=vel_g)

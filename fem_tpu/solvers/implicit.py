@@ -1,0 +1,292 @@
+# coding=utf-8
+"""Implicit (backward-Euler-style) integration, matrix-free on TPU.
+
+The reference materializes a dense (N,N) grid of dim×dim blocks
+A = I − dt²M⁻¹K (object.py:82-92, assembled at solver/implicit.py:114-194) and
+runs weighted-Jacobi / CG with O(N²) products per iteration — its scaling
+wall.  Because the reference's Hessian blocks vanish for i≠j and coincide for
+i==j (``dF = (i==j ? I : 0) @ R_inv``, implicit.py:141-144), each element
+contributes a *single* block K_e in a graph-Laplacian pattern, so the exact
+same operator is applied here matrix-free in O(E) per iteration:
+
+    (K·x)|_e :  s_j = x_{v_{j+1}} − x_{v_0};  t_j = K_e s_j
+                v_{j+1} += t_j,   v_0 −= Σ_j t_j
+    A·x = x − dt² · (K·x) / m
+
+Solver semantics match the reference exactly:
+  * CG: x₀ = b (implicit.py:314), absolute tolerance ``delta_new > 1e-5``
+    (implicit.py:341), ≤500 iterations, optional normal-equations mode
+    AᵀAx = Aᵀb when ``preconditioned == 1`` (implicit.py:289-299) — realized
+    matrix-free by a double apply with Aᵀ from ``jax.linear_transpose``;
+  * weighted Jacobi: x₀ = 0.5·b (implicit.py:232), ω = 0.75 relaxation against
+    the previously *cached* iterate (implicit.py:392-404), monotone-error
+    check with rollback-and-stop (implicit.py:252-261), tol 1e-5, ≤20000
+    iterations.  The relaxation anchor ``past_vec_x`` is carried across steps
+    (the reference never clears that field), via ``SimState.jacobi_past_x``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fem_tpu.models.state import FemObject, SimState
+from fem_tpu.ops import smallmat as sm
+from fem_tpu.ops.assembly import (
+    element_contrib_full,
+    gather_edge_diffs,
+    segment_assemble,
+)
+from fem_tpu.ops.element import hessian_blocks, implicit_force_columns
+from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD, JACOBI_METHOD
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free operator
+# ---------------------------------------------------------------------------
+
+def graph_block_apply(
+    K: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    num_particles: int,
+    x: jnp.ndarray,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """K·x with the element-Laplacian scatter pattern; O(E)."""
+    s = gather_edge_diffs(x, element_indices)  # (E, d, d) columns = diffs
+    t = sm.matmul(K, s)  # columns t_j = K_e @ s_j
+    return segment_assemble(
+        element_contrib_full(t), element_indices, num_particles, axis_name
+    )
+
+
+def make_system_apply(
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """A·x = x − dt²·M⁻¹·(K·x)  (scaling semantics of implicit.py:183-194)."""
+
+    def apply_a(x: jnp.ndarray) -> jnp.ndarray:
+        kx = graph_block_apply(
+            K, obj.element_indices, obj.particle_cnt, x, axis_name
+        )
+        return x - (dt * dt) * kx / obj.mass[:, None]
+
+    return apply_a
+
+
+def make_system_apply_t(
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Aᵀ·y, exact transpose of :func:`make_system_apply` in closed form
+    (replaces the reference's explicit Aᵀ formation, implicit.py:289-292).
+
+    A = I − dt²·M⁻¹·G(K) ⇒ Aᵀ = I − dt²·G(K)ᵀ·M⁻¹, and the transpose of the
+    graph scatter is the *same* scatter pattern with each block transposed
+    ((Gᵀ)[i,j] = G[j,i]ᵀ, symmetric sparsity).
+    """
+
+    def apply_at(y: jnp.ndarray) -> jnp.ndarray:
+        z = y / obj.mass[:, None]
+        gz = graph_block_apply(
+            sm.mT(K), obj.element_indices, obj.particle_cnt, z, axis_name
+        )
+        return y - (dt * dt) * gz
+
+    return apply_at
+
+
+def diagonal_blocks(
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+) -> jnp.ndarray:
+    """Per-particle diagonal dim×dim blocks of A (needed only by Jacobi).
+
+    Diagonal of the assembled K: local vertex 0 of element e receives
+    ``d·K_e`` (accumulated once per local i at implicit.py:168), local
+    vertices 1..d receive ``K_e`` each.
+    """
+    d = obj.dim
+    w = jnp.concatenate(
+        [jnp.full((K.shape[0], 1), float(d)), jnp.ones((K.shape[0], d))], axis=1
+    )  # (E, d+1)
+    contrib = w[..., None] * K.reshape(K.shape[0], 1, d * d)  # (E, d+1, d*d)
+    diag_k = segment_assemble(
+        contrib, obj.element_indices, obj.particle_cnt, axis_name
+    ).reshape(obj.particle_cnt, d, d)
+    eye = jnp.eye(d, dtype=K.dtype)[None]
+    return eye - (dt * dt) * diag_k / obj.mass[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Right-hand side
+# ---------------------------------------------------------------------------
+
+def implicit_rhs(
+    obj: FemObject, state: SimState, dt: float, axis_name: str | None = None
+) -> jnp.ndarray:
+    """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107)."""
+    cols = implicit_force_columns(
+        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda,
+    )
+    f = segment_assemble(
+        element_contrib_full(cols), obj.element_indices, obj.particle_cnt,
+        axis_name,
+    )
+    return state.vel + dt * f / obj.mass[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Conjugate gradient (reference loop semantics, implicit.py:311-386)
+# ---------------------------------------------------------------------------
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    residual: jnp.ndarray  # final delta_new = rᵀr
+
+
+def _vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b)
+
+
+def conjugate_gradient(
+    operator: Callable[[jnp.ndarray], jnp.ndarray],
+    rhs: jnp.ndarray,
+    x0: jnp.ndarray,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+) -> CGResult:
+    """Reference-parity CG under ``lax.while_loop``: absolute tolerance on
+    ``delta_new`` and no restart recomputation (the i%50 branch is commented
+    out in the reference, implicit.py:360-369)."""
+    r0 = rhs - operator(x0)
+    carry0 = (x0, r0, r0, _vdot(r0, r0), jnp.int32(0))
+
+    def cond(c):
+        _, _, _, delta_new, it = c
+        return (it < max_iter) & (delta_new > tol)
+
+    def body(c):
+        x, r, d, delta_new, it = c
+        q = operator(d)
+        alpha = delta_new / _vdot(d, q)
+        x = x + alpha * d
+        r = r - alpha * q
+        delta_next = _vdot(r, r)
+        beta = delta_next / delta_new
+        d = r + beta * d
+        return (x, r, d, delta_next, it + 1)
+
+    x, _, _, delta, it = jax.lax.while_loop(cond, body, carry0)
+    return CGResult(x=x, iterations=it, residual=delta)
+
+
+# ---------------------------------------------------------------------------
+# Weighted Jacobi with rollback (implicit.py:226-261, 390-404)
+# ---------------------------------------------------------------------------
+
+class JacobiResult(NamedTuple):
+    x: jnp.ndarray
+    past_x: jnp.ndarray  # cached iterate to persist across steps
+    iterations: jnp.ndarray
+    error: jnp.ndarray
+
+
+def jacobi_solve(
+    operator: Callable[[jnp.ndarray], jnp.ndarray],
+    diag: jnp.ndarray,  # (N, d, d) diagonal blocks of A
+    b: jnp.ndarray,
+    past_x: jnp.ndarray,
+    omega: float = 0.75,
+    tol: float = 1e-5,
+    max_iter: int = 20000,
+) -> JacobiResult:
+    diag_kk = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (N, d) entries A_ii[k,k]
+
+    def once(x, past):
+        """One damped-Jacobi sweep (implicit.py:391-404), deterministic
+        snapshot semantics in place of Taichi's racy in-place parallel loop."""
+        resid = b - operator(x)  # b − A·x, full rows
+        num = resid + diag_kk * x
+        safe = jnp.abs(diag_kk) >= 1e-6
+        upd = omega * num / jnp.where(safe, diag_kk, 1.0) + (1.0 - omega) * past
+        return jnp.where(safe, upd, 0.0)
+
+    def error(x):
+        r = b - operator(x)
+        return jnp.sqrt(jnp.sum(r * r))
+
+    x0 = 0.5 * b
+    err0 = error(x0)
+    carry0 = (x0, past_x, err0, err0, jnp.int32(0), jnp.bool_(False))
+
+    def cond(c):
+        _, _, err, _, it, done = c
+        return (~done) & (err > tol) & (it < max_iter)
+
+    def body(c):
+        x, past, err, p_err, it, done = c
+        x1 = once(x, past)
+        e1 = error(x1)
+        rollback = e1 >= p_err
+        x_out = jnp.where(rollback, past, x1)
+        past_out = jnp.where(rollback, past, x1)
+        p_err_out = jnp.where(rollback, p_err, e1)
+        return (x_out, past_out, e1, p_err_out, it + 1, rollback)
+
+    x, past, err, _, it, _ = jax.lax.while_loop(cond, body, carry0)
+    return JacobiResult(x=x, past_x=past, iterations=it, error=err)
+
+
+# ---------------------------------------------------------------------------
+# Top-level implicit solve (implicit_solver_neo_hookean, implicit.py:201-223)
+# ---------------------------------------------------------------------------
+
+class ImplicitAux(NamedTuple):
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+
+
+def implicit_velocity_solve(
+    obj: FemObject,
+    state: SimState,
+    dt: float,
+    method: int,
+    preconditioned: int,
+    axis_name: str | None = None,
+) -> Tuple[SimState, ImplicitAux]:
+    """Assemble (matrix-free) and solve for the new velocity; returns the
+    updated state (vel ← x, implicit.py:222-223) plus solver metrics.
+
+    With ``axis_name`` the element arrays in ``obj`` are per-shard slices and
+    every assembly psum-reduces over the mesh axis; the particle-space CG /
+    Jacobi iterations run replicated on every shard (identical arithmetic →
+    identical iterates, no divergence).
+    """
+    K = hessian_blocks(
+        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda,
+    )
+    apply_a = make_system_apply(obj, K, dt, axis_name)
+    b = implicit_rhs(obj, state, dt, axis_name)
+
+    if method == JACOBI_METHOD:
+        diag = diagonal_blocks(obj, K, dt, axis_name)
+        res = jacobi_solve(apply_a, diag, b, state.jacobi_past_x)
+        new_state = state.replace(vel=res.x, jacobi_past_x=res.past_x)
+        return new_state, ImplicitAux(res.iterations, res.error)
+
+    if method == CONJUGATE_GRADIENT_METHOD:
+        if preconditioned == 1:
+            apply_at = make_system_apply_t(obj, K, dt, axis_name)
+            operator = lambda v: apply_at(apply_a(v))
+            rhs = apply_at(b)
+        else:
+            operator = apply_a
+            rhs = b
+        res = conjugate_gradient(operator, rhs, x0=b)
+        return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
+
+    raise ValueError(f"unknown implicit method {method}")

@@ -1,0 +1,140 @@
+# coding=utf-8
+"""Immutable configuration for the TPU-native FEM framework.
+
+JSON schema parity with the reference (Jukgei/Finite-Element-Method:
+``README.md:73-110``, parsed at ``utils.py:9-32``).  The reference copies config
+values into a *mutable module* (``constants.py``) that every other module reads
+at import time; here the same schema is parsed once into frozen dataclasses and
+threaded explicitly, with ``dim`` acting as a static (trace-time) argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+JACOBI_METHOD = 0  # reference: constants.py:14 (JACOBIN_METHOD)
+CONJUGATE_GRADIENT_METHOD = 1  # reference: constants.py:15
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectConfig:
+    """One soft body (reference: per-object dict, ``object.py:44-93``)."""
+
+    id: int = 0
+    rho: float = 500.0
+    center: Tuple[float, ...] = (0.5, 0.8)
+    E: float = 4e4
+    nu: float = 0.2
+    damping: float = 14.5
+    # 2D procedural grid (reference: object.py:95-126)
+    side_length: float = 0.2
+    subdivisions: int = 10
+    # 3D mesh file (reference: object.py:128-161)
+    obj: Optional[str] = None
+
+    @property
+    def mu(self) -> float:
+        """First Lamé parameter from (E, nu) — reference object.py:48."""
+        return self.E / 2.0 / (1.0 + self.nu)
+
+    @property
+    def s_lambda(self) -> float:
+        """Second Lamé parameter from (E, nu) — reference object.py:48."""
+        return self.E * self.nu / (1.0 + self.nu) / (1.0 - 2.0 * self.nu)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    """Circular obstacle (reference: circle_blocks.py:6-25)."""
+
+    id: int = 0
+    block_center: Tuple[float, ...] = (0.5, 0.5)
+    block_radius: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Top-level simulation config (reference: default.json schema)."""
+
+    dim: int = 2
+    delta_time: float = 5e-4
+    sim_count: int = 10
+    auto_diff: bool = True
+    use_explicit_method: bool = True
+    implicit_method: int = JACOBI_METHOD
+    preconditioned: int = 1
+    g_dir: Tuple[float, ...] = (0.0, -1.0)
+    is_output_gif: bool = True
+    is_output_obj: bool = False
+    output_fps: int = 60
+    objects: Tuple[ObjectConfig, ...] = (ObjectConfig(),)
+    blocks: Tuple[BlockConfig, ...] = ()
+
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError(f"dim must be 2 or 3, got {self.dim}")
+        if len(self.g_dir) != self.dim:
+            raise ValueError(
+                f"g_dir has {len(self.g_dir)} components for dim={self.dim}"
+            )
+
+    @property
+    def frame_time(self) -> float:
+        return 1.0 / self.output_fps
+
+
+def _tupled(seq: Sequence[float]) -> Tuple[float, ...]:
+    return tuple(float(x) for x in seq)
+
+
+def parse_config(data: dict) -> SimConfig:
+    """Build a :class:`SimConfig` from the reference JSON schema dict."""
+    objects = tuple(
+        ObjectConfig(
+            id=int(o.get("id", 0)),
+            rho=float(o.get("rho", 500.0)),
+            center=_tupled(o.get("center", (0.5, 0.8))),
+            E=float(o.get("E", 4e4)),
+            nu=float(o.get("nu", 0.2)),
+            damping=float(o.get("damping", 14.5)),
+            side_length=float(o.get("side_length", 0.2)),
+            subdivisions=int(o.get("subdivisions", 10)),
+            obj=o.get("obj"),
+        )
+        for o in data.get("objects", [{}])
+    )
+    blocks = tuple(
+        BlockConfig(
+            id=int(b.get("id", 0)),
+            block_center=_tupled(b.get("block_center", (0.5, 0.5))),
+            block_radius=float(b.get("block_radius", 0.0)),
+        )
+        for b in data.get("blocks", [])
+    )
+    return SimConfig(
+        dim=int(data.get("dim", 2)),
+        delta_time=float(data.get("delta_time", 5e-4)),
+        sim_count=int(data.get("sim_count", 10)),
+        auto_diff=bool(data.get("auto_diff", False)),
+        use_explicit_method=bool(data.get("use_explicit_method", True)),
+        implicit_method=int(data.get("implicit_method", JACOBI_METHOD)),
+        preconditioned=int(data.get("preconditioned", 1)),
+        g_dir=_tupled(data.get("g_dir", (0.0, -1.0))),
+        is_output_gif=bool(data.get("is_output_gif", False)),
+        is_output_obj=bool(data.get("is_output_obj", False)),
+        output_fps=int(data.get("output_fps", 60)),
+        objects=objects,
+        blocks=blocks,
+    )
+
+
+def read_config(file_name: str) -> SimConfig:
+    """Load + parse a JSON config file (reference: utils.py:24-32).
+
+    Unlike the reference (which ``exit(3)``-s on any error), this raises so
+    callers/tests can handle it; the CLI converts it back to exit code 3.
+    """
+    with open(file_name, "r") as f:
+        return parse_config(json.load(f))

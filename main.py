@@ -1,0 +1,152 @@
+# coding=utf-8
+"""CLI driver for the TPU-native FEM framework.
+
+Headless equivalent of the reference's interactive loop (main.py:32-133):
+``python main.py --config default.json --seconds 5`` advances the simulation,
+captures frames at the configured fps, exports per-frame OBJs when enabled,
+and builds gif/mp4 at the end.  Interactive pause/resume/camera keys have no
+meaning on a display-less TPU host; ``--seconds``/``--frames`` bound the run
+instead, and ``--checkpoint-every`` / ``--resume`` add restartable state
+(capability the reference lacks, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def run(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="FEM on TPU (JAX/Pallas)")
+    parser.add_argument(
+        "--config", type=str, default="configs/default.json",
+        help="Please input a config json file.",
+    )
+    parser.add_argument("--seconds", type=float, default=3.0,
+                        help="virtual seconds to simulate")
+    parser.add_argument("--frames", type=int, default=None,
+                        help="explicit frame count (overrides --seconds)")
+    parser.add_argument("--output", type=str, default="./output")
+    parser.add_argument("--no-render", action="store_true")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save a checkpoint every N frames (0 = off)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint .npz to resume from")
+    parser.add_argument("--interior-spacing", type=float, default=None,
+                        help="Steiner-point spacing for the native tet mesher")
+    parser.add_argument("--print-every", type=int, default=60)
+    args = parser.parse_args(argv)
+
+    from fem_tpu.render.raster import HeadlessRenderer
+    from fem_tpu.scene import load_scene, method_banner
+    from fem_tpu.sim import element_phi, make_frame_fn
+    from fem_tpu.utils import io as fio
+    from fem_tpu.utils.config import read_config
+
+    try:
+        cfg = read_config(args.config)
+    except Exception as e:  # reference exits with code 3 (utils.py:29-32)
+        print(e)
+        print("Parsing config file error")
+        return 3
+
+    scene, obstacles = load_scene(cfg, args.interior_spacing)
+    print(method_banner(cfg))
+
+    frame_fns = [make_frame_fn(s.obj, cfg) for s in scene]
+
+    frame_time = cfg.frame_time
+    n_frames = args.frames
+    if n_frames is None:
+        n_frames = int(args.seconds / (cfg.sim_count * cfg.delta_time))
+
+    virtual_time = 0.0
+    start_frame = 0
+    if args.resume:
+        state, start_frame, virtual_time = fio.load_checkpoint(args.resume)
+        scene[0].state = state
+        print(f"Resumed from {args.resume} at frame {start_frame}")
+
+    renderer = None
+    if not args.no_render:
+        renderer = HeadlessRenderer(
+            cfg.dim, args.output, cfg.output_fps, cfg.is_output_gif
+        )
+    os.makedirs(args.output, exist_ok=True)
+
+    centers = np.asarray(obstacles.centers)
+    radii = np.asarray(obstacles.radii)
+    ply_cnt = 0
+    t0 = time.perf_counter()
+    for frame in range(start_frame, n_frames):
+        for s, frame_fn in zip(scene, frame_fns):
+            s.state, aux = frame_fn(s.state, obstacles)
+        virtual_time += cfg.sim_count * cfg.delta_time
+
+        if (
+            cfg.is_output_obj
+            and (virtual_time / frame_time) > ply_cnt
+            and cfg.dim == 3
+        ):  # reference main.py:117-122
+            for s in scene:
+                if "map_index" in s.aux:
+                    fio.export_deformed_obj(
+                        os.path.join(args.output, f"obj_{ply_cnt:06}.obj"),
+                        np.asarray(s.state.pos),
+                        s.aux["obj_vertices"],
+                        s.aux["obj_faces"],
+                        s.aux["map_index"],
+                    )
+            ply_cnt += 1
+
+        if renderer is not None:
+            msgs = []
+            if not cfg.is_output_gif:  # overlay parity, main.py:124-127
+                msgs = [f"frame_cnt: {frame + 1}", f"time: {virtual_time:.4f}"]
+            s0 = scene[0]
+            phi = None
+            if cfg.dim == 2:
+                phi = np.asarray(element_phi(s0.obj, s0.state))
+            renderer.maybe_capture(
+                virtual_time,
+                np.asarray(s0.state.pos),
+                np.asarray(s0.obj.faces),
+                phi,
+                centers,
+                radii,
+                msgs,
+            )
+
+        if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
+            fio.save_checkpoint(
+                os.path.join(args.output, f"ckpt_{frame + 1:06}.npz"),
+                scene[0].state, frame + 1, virtual_time,
+            )
+
+        if args.print_every and (frame + 1) % args.print_every == 0:
+            elapsed = time.perf_counter() - t0
+            steps = (frame + 1 - start_frame) * cfg.sim_count
+            iters = int(np.asarray(aux.solver_iterations).sum())
+            msg = (
+                f"frame {frame + 1}/{n_frames}  t={virtual_time:.3f}s  "
+                f"{steps / elapsed:.1f} steps/s"
+            )
+            if iters:
+                msg += f"  solver iters/substep: {iters / cfg.sim_count:.1f}"
+            print(msg)
+
+    if renderer is not None and cfg.is_output_gif:
+        written = renderer.make_video(gif=True, mp4=True)
+        if written:
+            print("Make video success.")  # parity: main.py:133
+            for w in written:
+                print(" ", w)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -1,0 +1,139 @@
+# coding=utf-8
+"""Mesh construction + element init: volumes, masses, topology (SURVEY §4)."""
+
+import numpy as np
+
+from fem_tpu.models.mesh import (
+    construct_2d_mesh,
+    delaunay_tetrahedralize,
+    extract_surface,
+    load_stl_file,
+    remap_surface,
+    winding_number,
+)
+from fem_tpu.models.state import init_element_data
+from fem_tpu.utils.config import ObjectConfig
+from tests.utils import make_2d_object, single_tet_object
+
+
+def test_2d_grid_counts():
+    # Reference default: 10 subdivisions -> 121 vertices, 200 triangles
+    # (default.json:19-20, object.py:98-111; BASELINE.md).
+    cfg = ObjectConfig(subdivisions=10, side_length=0.2)
+    v, f, e = construct_2d_mesh(cfg)
+    assert v.shape == (121, 2)
+    assert f.shape == (200, 3)
+    np.testing.assert_array_equal(f, e)
+    assert v.min() == 0.0 and abs(v.max() - 0.2) < 1e-7
+
+
+def test_2d_grid_total_area_and_mass():
+    cfg, obj, state = make_2d_object(subdivisions=5, side_length=0.3)
+    vol = np.asarray(obj.volume)
+    np.testing.assert_allclose(vol.sum(), 0.3 * 0.3, rtol=1e-5)
+    # Lumped mass conserves total mass = rho * area (object.py:358-360).
+    np.testing.assert_allclose(
+        np.asarray(obj.mass).sum(), cfg.rho * 0.3 * 0.3, rtol=1e-5
+    )
+
+
+def test_single_tet_volume_mass_refinv():
+    cfg, obj, state = single_tet_object()
+    np.testing.assert_allclose(np.asarray(obj.volume), [1.0 / 6.0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(obj.mass), np.full(4, cfg.rho / 6.0 / 4.0), rtol=1e-6
+    )
+    # ref_inv is inverse of rest edge matrix (identity here).
+    np.testing.assert_allclose(
+        np.asarray(obj.ref_inv)[0], np.eye(3), atol=1e-6
+    )
+
+
+def test_element_init_matches_reference_semantics():
+    rng = np.random.default_rng(7)
+    verts = rng.normal(size=(4, 3))
+    elems = np.array([[0, 1, 2, 3]])
+    ref_inv, vol, mass = init_element_data(verts, elems, rho=2.0)
+    r = np.stack([verts[i] - verts[0] for i in (1, 2, 3)], axis=1)
+    np.testing.assert_allclose(vol[0], abs(np.linalg.det(r)) / 6, rtol=1e-5)
+    np.testing.assert_allclose(ref_inv[0], np.linalg.inv(r), rtol=1e-4, atol=1e-5)
+
+
+def _cube_surface():
+    """Unit cube surface (12 triangles) as numpy arrays."""
+    v = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ],
+        np.float64,
+    )
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2],  # bottom z=0 (outward -z)
+            [4, 5, 6], [4, 6, 7],  # top z=1
+            [0, 1, 5], [0, 5, 4],  # y=0
+            [2, 3, 7], [2, 7, 6],  # y=1
+            [0, 4, 7], [0, 7, 3],  # x=0
+            [1, 2, 6], [1, 6, 5],  # x=1
+        ],
+        np.int64,
+    )
+    return v, f
+
+
+def test_winding_number_cube():
+    v, f = _cube_surface()
+    inside = np.array([[0.5, 0.5, 0.5], [0.1, 0.9, 0.2]])
+    outside = np.array([[1.5, 0.5, 0.5], [-0.2, 0.0, 0.0]])
+    assert np.all(winding_number(inside, v, f) > 0.9)
+    assert np.all(np.abs(winding_number(outside, v, f)) < 0.1)
+
+
+def test_delaunay_tetrahedralize_cube():
+    v, f = _cube_surface()
+    nodes, tets = delaunay_tetrahedralize(v, f)
+    assert tets.shape[0] >= 5
+    p = nodes[tets]
+    vol = np.abs(
+        np.einsum(
+            "ei,ei->e",
+            p[:, 1] - p[:, 0],
+            np.cross(p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]),
+        )
+    ) / 6.0
+    # Tetrahedra tile the full cube volume.
+    np.testing.assert_allclose(vol.sum(), 1.0, rtol=1e-6)
+
+
+def test_extract_surface_cube():
+    v, f = _cube_surface()
+    nodes, tets = delaunay_tetrahedralize(v, f)
+    surface, surface_vertex = extract_surface(nodes, tets)
+    assert surface.shape[0] == 12  # cube boundary from 8 corner vertices
+    assert set(surface_vertex) == set(range(8))
+    # Outward orientation: signed volume of the surface is positive.
+    p0, p1, p2 = (
+        nodes[surface[:, 0]], nodes[surface[:, 1]], nodes[surface[:, 2]],
+    )
+    signed_vol = np.einsum("ij,ij->i", p0, np.cross(p1, p2)).sum() / 6.0
+    np.testing.assert_allclose(signed_vol, 1.0, rtol=1e-6)
+    remapped = remap_surface(surface, surface_vertex)
+    assert remapped.max() == len(surface_vertex) - 1
+
+
+def test_stl_roundtrip(tmp_path):
+    v, f = _cube_surface()
+    # Write a binary STL and read it back.
+    tris = v[f].astype(np.float32)
+    path = tmp_path / "cube.stl"
+    with open(path, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(np.uint32(len(f)).tobytes())
+        for t in tris:
+            fh.write(np.zeros(3, np.float32).tobytes())
+            fh.write(t.astype(np.float32).tobytes())
+            fh.write(b"\0\0")
+    rv, rf = load_stl_file(str(path))
+    assert rv.shape == (8, 3)
+    assert rf.shape == (12, 3)

@@ -1,0 +1,80 @@
+# coding=utf-8
+"""Element-sharded execution on a fake 8-device CPU mesh: results must match
+the single-device path for every solver method (SURVEY §4 multi-chip tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.parallel.sharding import (
+    make_element_mesh,
+    make_sharded_frame_fn,
+    make_sharded_substep_fn,
+    pad_elements,
+)
+from fem_tpu.sim import make_frame_fn, make_substep_fn
+from tests.utils import default_obstacles, default_sim_config, make_2d_object
+
+
+def test_eight_fake_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_elements_zero_contribution():
+    cfg, obj, state = make_2d_object(subdivisions=3)  # 18 elements
+    padded = pad_elements(obj, 8)
+    assert padded.element_cnt == 24
+    assert float(jnp.sum(padded.volume[18:])) == 0.0
+    # Padded elements repeat element 0's topology.
+    np.testing.assert_array_equal(
+        np.asarray(padded.element_indices[18:]),
+        np.tile(np.asarray(obj.element_indices[:1]), (6, 1)),
+    )
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(auto_diff=False, use_explicit_method=True),
+        dict(auto_diff=True, use_explicit_method=True),
+        dict(auto_diff=False, use_explicit_method=False, implicit_method=1,
+             preconditioned=1),
+        dict(auto_diff=False, use_explicit_method=False, implicit_method=1,
+             preconditioned=0),
+        dict(auto_diff=False, use_explicit_method=False, implicit_method=0),
+    ],
+    ids=["explicit", "autodiff", "cg-precond", "cg-plain", "jacobi"],
+)
+def test_sharded_substep_matches_single_device(overrides):
+    cfg_all = default_sim_config(sim_count=2, **overrides)
+    _, obj, state = make_2d_object(subdivisions=4)
+    obstacles = default_obstacles()
+    mesh = make_element_mesh(8)
+
+    single = make_substep_fn(obj, cfg_all)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+
+    s1, _ = single(state, obstacles)
+    s2, _ = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_sharded_frame_matches_single_device_explicit():
+    cfg_all = default_sim_config(
+        auto_diff=False, use_explicit_method=True, sim_count=5
+    )
+    _, obj, state = make_2d_object(subdivisions=4)
+    obstacles = default_obstacles()
+    mesh = make_element_mesh(8)
+
+    s1, _ = make_frame_fn(obj, cfg_all)(state, obstacles)
+    s2, _ = make_sharded_frame_fn(obj, cfg_all, mesh)(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
+    )
