@@ -49,14 +49,17 @@ def build_flagship():
     return cfg, obj, state, obstacles
 
 
-def bench_tpu(cfg, obj, state, obstacles, n_frames=30):
+def bench_tpu(cfg, obj, state, obstacles, n_frames=30, warm_frames=60):
     import jax
 
     from fem_tpu.sim import make_frame_fn
 
     frame_fn = make_frame_fn(obj, cfg)
-    # Warmup/compile.
+    # Compile, then advance past the initial free-fall so the measured regime
+    # includes real deformation (CG iteration counts at rest are ~0-2).
     s, aux = frame_fn(state, obstacles)
+    for _ in range(warm_frames):
+        s, aux = frame_fn(s, obstacles)
     jax.block_until_ready(s.pos)
     t0 = time.perf_counter()
     for _ in range(n_frames):

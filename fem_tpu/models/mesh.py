@@ -146,7 +146,13 @@ def winding_number(
     chunk: int = 256,
 ) -> np.ndarray:
     """Solid-angle winding number of each query point w.r.t. a closed surface
-    (Van Oosterom–Strackee).  ≈1 inside, ≈0 outside."""
+    (Van Oosterom–Strackee).  ≈1 inside, ≈0 outside.  Uses the native C++
+    kernel when available (fem_tpu/utils/native_ext.py), numpy otherwise."""
+    from fem_tpu.utils.native_ext import native_winding_number
+
+    native = native_winding_number(points, vertices, faces)
+    if native is not None:
+        return native
     tri = vertices[faces]  # (F, 3, 3)
     out = np.empty(points.shape[0])
     for s in range(0, points.shape[0], chunk):
@@ -261,7 +267,13 @@ def extract_surface(
     orientation test at object.py:294-297).
 
     Returns (surface (S,3) i64 global vertex ids, surface_vertex (V,) i64).
+    Uses the native C++ kernel when available, vectorized numpy otherwise.
     """
+    from fem_tpu.utils.native_ext import native_extract_surface
+
+    native = native_extract_surface(nodes, tets)
+    if native is not None:
+        return native
     # Four faces per tet in the reference's enumeration order
     # ([xyz], [xyw], [xzw], [yzw] — object.py:262-265) with the opposite
     # ("inner") vertex tracked per face.

@@ -48,7 +48,13 @@ class FemObject:
     mass: jnp.ndarray  # (N,)         lumped masses (object.py:358-360)
     rest_pos: jnp.ndarray  # (N, d)   ref_pos (object.py:342)
     faces: jnp.ndarray  # (M, 3) int32 render/surface faces
+    # Per-particle incidence plan (N, max_degree) for gather-based assembly
+    # (ops/assembly.py:build_gather_plan) — TPUs prefer gathers to scatters.
+    gather_idx: jnp.ndarray = None
     # --- static metadata ---
+    # "gather" (default, single-chip) or "segment" (used under shard_map
+    # where each shard owns an element slice and psum-reduces).
+    assembly_mode: str = struct.field(pytree_node=False, default="gather")
     dim: int = struct.field(pytree_node=False, default=2)
     particle_cnt: int = struct.field(pytree_node=False, default=0)
     element_cnt: int = struct.field(pytree_node=False, default=0)
@@ -118,6 +124,8 @@ def build_object(
     """Assemble a :class:`FemObject` + initial :class:`SimState` from mesh
     arrays (reference: Object.__init__ + particles_init, object.py:44-93,
     337-343: ``pos = vertices + center``)."""
+    from fem_tpu.ops.assembly import build_gather_plan
+
     d = vertices.shape[1]
     pos = vertices.astype(np.float32) + np.asarray(cfg.center, np.float32)
     ref_inv, volume, mass = init_element_data(pos, element_indices, cfg.rho)
@@ -129,6 +137,7 @@ def build_object(
         mass=jnp.asarray(mass),
         rest_pos=jnp.asarray(pos),
         faces=jnp.asarray(faces.astype(np.int32)),
+        gather_idx=jnp.asarray(build_gather_plan(element_indices, n)),
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

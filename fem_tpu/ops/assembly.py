@@ -63,6 +63,58 @@ def segment_assemble_scalar(
     )
 
 
+def build_gather_plan(element_indices, num_particles: int):
+    """Precompute the per-particle incidence plan for gather-based assembly.
+
+    TPU hardware favors gathers over scatters: instead of scatter-adding
+    ``E·(d+1)`` rows into N particles (a sort-based scatter in XLA), each
+    particle *gathers* its own incident contribution rows and sums them.
+    Returns ``(N, max_degree)`` int32 of flattened contribution-row ids
+    ``e·(d+1)+l``, padded with the sentinel row ``E·(d+1)`` (an all-zero row
+    appended at apply time).
+
+    Host-side (numpy), runs once at load.
+    """
+    import numpy as np
+
+    idx = np.asarray(element_indices)
+    e, dp1 = idx.shape
+    flat_particle = idx.reshape(-1)
+    order = np.argsort(flat_particle, kind="stable")
+    sorted_rows = order.astype(np.int64)
+    sorted_particles = flat_particle[order]
+    counts = np.bincount(sorted_particles, minlength=num_particles)
+    maxdeg = int(counts.max()) if counts.size else 0
+    sentinel = e * dp1
+    plan = np.full((num_particles, maxdeg), sentinel, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ranks = np.arange(sorted_rows.shape[0]) - starts[sorted_particles]
+    plan[sorted_particles, ranks] = sorted_rows
+    return plan.astype(np.int32)
+
+
+def gather_assemble(
+    contrib: jnp.ndarray, gather_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather-based assembly: ``(E, d+1, k) -> (N, k)`` using a precomputed
+    incidence plan (see :func:`build_gather_plan`)."""
+    k = contrib.shape[-1]
+    flat = contrib.reshape(-1, k)
+    flat = jnp.concatenate([flat, jnp.zeros((1, k), flat.dtype)], axis=0)
+    return jnp.sum(flat[gather_idx], axis=1)
+
+
+def assemble_for(obj, contrib: jnp.ndarray, axis_name: str | None = None):
+    """Dispatch assembly on the object's mode: gather-plan on a single chip,
+    psum-reduced segment-sum under shard_map (``obj`` is any object with
+    ``assembly_mode, gather_idx, element_indices, particle_cnt``)."""
+    if axis_name is None and obj.assembly_mode == "gather":
+        return gather_assemble(contrib, obj.gather_idx)
+    return segment_assemble(
+        contrib, obj.element_indices, obj.particle_cnt, axis_name
+    )
+
+
 def element_contrib_full(columns: jnp.ndarray) -> jnp.ndarray:
     """Expand d columns into the (d+1)-vertex contribution pattern.
 

@@ -48,8 +48,14 @@ def pad_elements(obj: FemObject, multiple: int) -> FemObject:
         [obj.ref_inv, jnp.tile(obj.ref_inv[:1], (pad, 1, 1))]
     )
     volume = jnp.concatenate([obj.volume, jnp.zeros((pad,), obj.volume.dtype)])
+    from fem_tpu.ops.assembly import build_gather_plan
+
     return obj.replace(
-        element_indices=idx, ref_inv=ref_inv, volume=volume, element_cnt=target
+        element_indices=idx, ref_inv=ref_inv, volume=volume,
+        element_cnt=target,
+        gather_idx=jnp.asarray(
+            build_gather_plan(np.asarray(idx), obj.particle_cnt)
+        ),
     )
 
 
@@ -83,6 +89,7 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
         axis_name=AXIS,
+        solver_backend="matrix_free",  # dense backend is single-chip only
     )
 
     def local_fn(idx_l, ref_inv_l, vol_l, state, obstacles):
@@ -90,7 +97,7 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         # (mass, positions) are replicated via the closed-over `padded`.
         local = padded.replace(
             element_indices=idx_l, ref_inv=ref_inv_l, volume=vol_l,
-            element_cnt=local_cnt,
+            element_cnt=local_cnt, assembly_mode="segment",
         )
         if scan_frame:
             def body(s, _):

@@ -25,6 +25,9 @@ from fem_tpu.solvers.explicit import (
 from fem_tpu.solvers.implicit import implicit_velocity_solve
 from fem_tpu.utils.config import SimConfig
 
+# Dense-MXU backend cutover (dofs = N·d); see solvers/dense.py.
+DENSE_MAX_DOF = 4096
+
 
 class StepAux(NamedTuple):
     """Per-substep observability (SURVEY §5: structured metrics in place of
@@ -46,6 +49,7 @@ def substep(
     implicit_method: int,
     preconditioned: int,
     axis_name: str | None = None,
+    solver_backend: str = "auto",
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -64,9 +68,22 @@ def substep(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir
         )
         return state, zero_aux
-    state, solve_aux = implicit_velocity_solve(
-        obj, state, dt, implicit_method, preconditioned, axis_name
-    )
+    # Measured on TPU v5e (tools/profile_parts.py): with the reference's
+    # absolute CG tolerance the solver converges in a handful of iterations,
+    # and the O(E) matrix-free operator beats dense materialization at every
+    # mesh size tried — so "auto" resolves to matrix-free and dense stays an
+    # explicit opt-in for high-iteration-count regimes.
+    use_dense = solver_backend == "dense" and axis_name is None
+    if use_dense:
+        from fem_tpu.solvers.dense import implicit_velocity_solve_dense
+
+        state, solve_aux = implicit_velocity_solve_dense(
+            obj, state, dt, implicit_method, preconditioned
+        )
+    else:
+        state, solve_aux = implicit_velocity_solve(
+            obj, state, dt, implicit_method, preconditioned, axis_name
+        )
     state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 
@@ -82,6 +99,7 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
         auto_diff=cfg.auto_diff,
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
+        solver_backend=cfg.solver_backend,
     )
 
     @jax.jit
@@ -104,6 +122,7 @@ def make_substep_fn(obj: FemObject, cfg: SimConfig):
         auto_diff=cfg.auto_diff,
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
+        solver_backend=cfg.solver_backend,
     )
 
     @jax.jit

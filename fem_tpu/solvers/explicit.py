@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from fem_tpu.models.state import FemObject, SimState
-from fem_tpu.ops.assembly import element_contrib_full, segment_assemble
+from fem_tpu.ops.assembly import assemble_for, element_contrib_full
 from fem_tpu.ops.element import explicit_grad_columns, total_energy
 
 
@@ -28,10 +28,7 @@ def analytic_energy_gradient(
     cols = explicit_grad_columns(
         pos, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda
     )
-    return segment_assemble(
-        element_contrib_full(cols), obj.element_indices, obj.particle_cnt,
-        axis_name,
-    )
+    return assemble_for(obj, element_contrib_full(cols), axis_name)
 
 
 def autodiff_energy_gradient(

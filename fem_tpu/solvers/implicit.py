@@ -35,9 +35,9 @@ import jax.numpy as jnp
 from fem_tpu.models.state import FemObject, SimState
 from fem_tpu.ops import smallmat as sm
 from fem_tpu.ops.assembly import (
+    assemble_for,
     element_contrib_full,
     gather_edge_diffs,
-    segment_assemble,
 )
 from fem_tpu.ops.element import hessian_blocks, implicit_force_columns
 from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD, JACOBI_METHOD
@@ -48,18 +48,15 @@ from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD, JACOBI_METHOD
 # ---------------------------------------------------------------------------
 
 def graph_block_apply(
+    obj: FemObject,
     K: jnp.ndarray,
-    element_indices: jnp.ndarray,
-    num_particles: int,
     x: jnp.ndarray,
     axis_name: str | None = None,
 ) -> jnp.ndarray:
     """K·x with the element-Laplacian scatter pattern; O(E)."""
-    s = gather_edge_diffs(x, element_indices)  # (E, d, d) columns = diffs
+    s = gather_edge_diffs(x, obj.element_indices)  # (E, d, d) columns = diffs
     t = sm.matmul(K, s)  # columns t_j = K_e @ s_j
-    return segment_assemble(
-        element_contrib_full(t), element_indices, num_particles, axis_name
-    )
+    return assemble_for(obj, element_contrib_full(t), axis_name)
 
 
 def make_system_apply(
@@ -68,9 +65,7 @@ def make_system_apply(
     """A·x = x − dt²·M⁻¹·(K·x)  (scaling semantics of implicit.py:183-194)."""
 
     def apply_a(x: jnp.ndarray) -> jnp.ndarray:
-        kx = graph_block_apply(
-            K, obj.element_indices, obj.particle_cnt, x, axis_name
-        )
+        kx = graph_block_apply(obj, K, x, axis_name)
         return x - (dt * dt) * kx / obj.mass[:, None]
 
     return apply_a
@@ -89,9 +84,7 @@ def make_system_apply_t(
 
     def apply_at(y: jnp.ndarray) -> jnp.ndarray:
         z = y / obj.mass[:, None]
-        gz = graph_block_apply(
-            sm.mT(K), obj.element_indices, obj.particle_cnt, z, axis_name
-        )
+        gz = graph_block_apply(obj, sm.mT(K), z, axis_name)
         return y - (dt * dt) * gz
 
     return apply_at
@@ -111,9 +104,9 @@ def diagonal_blocks(
         [jnp.full((K.shape[0], 1), float(d)), jnp.ones((K.shape[0], d))], axis=1
     )  # (E, d+1)
     contrib = w[..., None] * K.reshape(K.shape[0], 1, d * d)  # (E, d+1, d*d)
-    diag_k = segment_assemble(
-        contrib, obj.element_indices, obj.particle_cnt, axis_name
-    ).reshape(obj.particle_cnt, d, d)
+    diag_k = assemble_for(obj, contrib, axis_name).reshape(
+        obj.particle_cnt, d, d
+    )
     eye = jnp.eye(d, dtype=K.dtype)[None]
     return eye - (dt * dt) * diag_k / obj.mass[:, None, None]
 
@@ -130,10 +123,7 @@ def implicit_rhs(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
         obj.mu, obj.s_lambda,
     )
-    f = segment_assemble(
-        element_contrib_full(cols), obj.element_indices, obj.particle_cnt,
-        axis_name,
-    )
+    f = assemble_for(obj, element_contrib_full(cols), axis_name)
     return state.vel + dt * f / obj.mass[:, None]
 
 

@@ -71,6 +71,10 @@ class SimConfig:
     output_fps: int = 60
     objects: Tuple[ObjectConfig, ...] = (ObjectConfig(),)
     blocks: Tuple[BlockConfig, ...] = ()
+    # Extension beyond the reference schema: implicit solve execution strategy.
+    # "auto" picks the dense MXU backend for small systems (solvers/dense.py)
+    # and the matrix-free operator otherwise; "matrix_free"/"dense" force one.
+    solver_backend: str = "auto"
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -127,6 +131,7 @@ def parse_config(data: dict) -> SimConfig:
         output_fps=int(data.get("output_fps", 60)),
         objects=objects,
         blocks=blocks,
+        solver_backend=str(data.get("solver_backend", "auto")),
     )
 
 

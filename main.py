@@ -39,6 +39,10 @@ def run(argv=None) -> int:
     parser.add_argument("--interior-spacing", type=float, default=None,
                         help="Steiner-point spacing for the native tet mesher")
     parser.add_argument("--print-every", type=int, default=60)
+    parser.add_argument("--debug", action="store_true",
+                        help="NaN-guarded stepping + physics metrics per print")
+    parser.add_argument("--trace", type=str, default=None,
+                        help="capture a jax.profiler trace into this directory")
     args = parser.parse_args(argv)
 
     from fem_tpu.render.raster import HeadlessRenderer
@@ -82,6 +86,14 @@ def run(argv=None) -> int:
     radii = np.asarray(obstacles.radii)
     ply_cnt = 0
     t0 = time.perf_counter()
+
+    trace_ctx = None
+    if args.trace:
+        from fem_tpu.utils.profiling import trace as profiler_trace
+
+        trace_ctx = profiler_trace(args.trace)
+        trace_ctx.__enter__()
+
     for frame in range(start_frame, n_frames):
         for s, frame_fn in zip(scene, frame_fns):
             s.state, aux = frame_fn(s.state, obstacles)
@@ -127,6 +139,11 @@ def run(argv=None) -> int:
                 scene[0].state, frame + 1, virtual_time,
             )
 
+        if args.debug:
+            from fem_tpu.utils.profiling import check_state
+
+            check_state(scene[0].obj, scene[0].state, (frame + 1) * cfg.sim_count)
+
         if args.print_every and (frame + 1) % args.print_every == 0:
             elapsed = time.perf_counter() - t0
             steps = (frame + 1 - start_frame) * cfg.sim_count
@@ -137,7 +154,19 @@ def run(argv=None) -> int:
             )
             if iters:
                 msg += f"  solver iters/substep: {iters / cfg.sim_count:.1f}"
+            if args.debug:
+                from fem_tpu.utils.profiling import frame_metrics
+
+                m = frame_metrics(scene[0].obj, scene[0].state)
+                msg += (
+                    f"  U={m.elastic_energy:.4g} KE={m.kinetic_energy:.4g}"
+                    f" min|F|={m.min_det_f:.3f}"
+                )
             print(msg)
+
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
+        print(f"Profiler trace written to {args.trace}")
 
     if renderer is not None and cfg.is_output_gif:
         written = renderer.make_video(gif=True, mp4=True)

@@ -1,0 +1,216 @@
+// fem_native: host-side mesh kernels for the TPU FEM framework.
+//
+// Native counterpart of the geometry processing the reference delegates to
+// the tetgen/trimesh C++ wheels (reference object.py:134-156) plus its pure
+// Python surface-extraction hot loop (object.py:255-308).  Exposed via a
+// plain C ABI consumed with ctypes (fem_tpu/utils/native_ext.py); every entry
+// point has a numpy fallback so the framework works without the shared lib.
+//
+// Build:  g++ -O3 -march=native -fPIC -shared -o libfemnative.so fem_native.cpp
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct TriKey {
+    int64_t a, b, c;  // sorted ascending
+    bool operator==(const TriKey &o) const {
+        return a == o.a && b == o.b && c == o.c;
+    }
+};
+
+struct TriKeyHash {
+    size_t operator()(const TriKey &k) const {
+        // 64-bit mix of the three ids.
+        uint64_t h = 1469598103934665603ull;
+        for (uint64_t v : {(uint64_t)k.a, (uint64_t)k.b, (uint64_t)k.c}) {
+            h ^= v + 0x9e3779b97f4a7c15ull + (h << 6) + (h >> 2);
+        }
+        return (size_t)h;
+    }
+};
+
+inline TriKey make_key(int64_t x, int64_t y, int64_t z) {
+    if (x > y) std::swap(x, y);
+    if (y > z) std::swap(y, z);
+    if (x > y) std::swap(x, y);
+    return TriKey{x, y, z};
+}
+
+}  // namespace
+
+extern "C" {
+
+// Boundary-surface extraction from a tet mesh with outward orientation
+// (same orientation rule as reference object.py:294-297: flip so the normal
+// points away from the face's opposite tet vertex).
+//
+// tets: (num_tets, 4) int64; nodes: (num_nodes, 3) double.
+// out_faces: caller-allocated (4 * num_tets, 3) int64 (upper bound).
+// Returns the number of boundary faces written.
+int64_t extract_surface(const int64_t *tets, int64_t num_tets,
+                        const double *nodes, int64_t num_nodes,
+                        int64_t *out_faces) {
+    (void)num_nodes;
+    // Count occurrences of each face (local faces in the reference's
+    // enumeration order: [012],[013],[023],[123], object.py:262-265).
+    static const int LF[4][3] = {{0, 1, 2}, {0, 1, 3}, {0, 2, 3}, {1, 2, 3}};
+    static const int OPP[4] = {3, 2, 1, 0};
+
+    std::unordered_map<TriKey, int32_t, TriKeyHash> counts;
+    counts.reserve((size_t)num_tets * 4);
+    for (int64_t t = 0; t < num_tets; ++t) {
+        const int64_t *tet = tets + 4 * t;
+        for (int f = 0; f < 4; ++f) {
+            counts[make_key(tet[LF[f][0]], tet[LF[f][1]], tet[LF[f][2]])] += 1;
+        }
+    }
+
+    int64_t n_out = 0;
+    for (int64_t t = 0; t < num_tets; ++t) {
+        const int64_t *tet = tets + 4 * t;
+        for (int f = 0; f < 4; ++f) {
+            int64_t f0 = tet[LF[f][0]], f1 = tet[LF[f][1]], f2 = tet[LF[f][2]];
+            if (counts[make_key(f0, f1, f2)] != 1) continue;
+            const double *p0 = nodes + 3 * f0;
+            const double *p1 = nodes + 3 * f1;
+            const double *p2 = nodes + 3 * f2;
+            const double *pi = nodes + 3 * tet[OPP[f]];
+            double e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+            double e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+            double n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                           e1[2] * e2[0] - e1[0] * e2[2],
+                           e1[0] * e2[1] - e1[1] * e2[0]};
+            double d[3] = {pi[0] - p0[0], pi[1] - p0[1], pi[2] - p0[2]};
+            double dot = n[0] * d[0] + n[1] * d[1] + n[2] * d[2];
+            int64_t *out = out_faces + 3 * n_out;
+            out[0] = f0;
+            if (dot < 0) {  // already outward (reference keeps order)
+                out[1] = f1;
+                out[2] = f2;
+            } else {  // flip
+                out[1] = f2;
+                out[2] = f1;
+            }
+            ++n_out;
+        }
+    }
+    return n_out;
+}
+
+// Generalized winding number (Van Oosterom–Strackee solid angles) of each
+// query point w.r.t. a closed triangle surface; ≈1 inside, ≈0 outside.
+void winding_number(const double *points, int64_t num_points,
+                    const double *vertices, int64_t num_vertices,
+                    const int64_t *faces, int64_t num_faces,
+                    double *out) {
+    (void)num_vertices;
+    const double four_pi = 4.0 * M_PI;
+    for (int64_t p = 0; p < num_points; ++p) {
+        const double *q = points + 3 * p;
+        double total = 0.0;
+        for (int64_t f = 0; f < num_faces; ++f) {
+            const int64_t *tri = faces + 3 * f;
+            double a[3], b[3], c[3];
+            for (int k = 0; k < 3; ++k) {
+                a[k] = vertices[3 * tri[0] + k] - q[k];
+                b[k] = vertices[3 * tri[1] + k] - q[k];
+                c[k] = vertices[3 * tri[2] + k] - q[k];
+            }
+            double la = std::sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2]);
+            double lb = std::sqrt(b[0] * b[0] + b[1] * b[1] + b[2] * b[2]);
+            double lc = std::sqrt(c[0] * c[0] + c[1] * c[1] + c[2] * c[2]);
+            double det = a[0] * (b[1] * c[2] - b[2] * c[1]) -
+                         a[1] * (b[0] * c[2] - b[2] * c[0]) +
+                         a[2] * (b[0] * c[1] - b[1] * c[0]);
+            double ab = a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+            double bc = b[0] * c[0] + b[1] * c[1] + b[2] * c[2];
+            double ca = c[0] * a[0] + c[1] * a[1] + c[2] * a[2];
+            double denom = la * lb * lc + ab * lc + bc * la + ca * lb;
+            total += 2.0 * std::atan2(det, denom);
+        }
+        out[p] = total / four_pi;
+    }
+}
+
+// Brute-force nearest vertex: for each query point, the index of the closest
+// target point (reference link_mesh_vertex semantics, object.py:197-204).
+void nearest_vertex(const double *queries, int64_t num_queries,
+                    const double *targets, int64_t num_targets,
+                    int64_t *out) {
+    for (int64_t q = 0; q < num_queries; ++q) {
+        const double *p = queries + 3 * q;
+        double best = 1e300;
+        int64_t best_i = 0;
+        for (int64_t t = 0; t < num_targets; ++t) {
+            const double *r = targets + 3 * t;
+            double dx = p[0] - r[0], dy = p[1] - r[1], dz = p[2] - r[2];
+            double d = dx * dx + dy * dy + dz * dz;
+            if (d < best) {
+                best = d;
+                best_i = t;
+            }
+        }
+        out[q] = best_i;
+    }
+}
+
+// Lumped element data in one pass: rest-edge matrix inverses, volumes and
+// lumped vertex masses (reference elements_init, object.py:346-362).
+// vertices: (N, dim) double; elements: (E, dim+1) int64.
+// out_ref_inv: (E, dim, dim); out_volume: (E,); out_mass: (N,)  (all double).
+// Returns 0 on success, -1 on a singular edge matrix.
+int32_t element_init(const double *vertices, int64_t num_vertices,
+                     const int64_t *elements, int64_t num_elements,
+                     int32_t dim, double rho,
+                     double *out_ref_inv, double *out_volume,
+                     double *out_mass) {
+    std::memset(out_mass, 0, sizeof(double) * (size_t)num_vertices);
+    for (int64_t e = 0; e < num_elements; ++e) {
+        const int64_t *el = elements + (dim + 1) * e;
+        double r[9];  // column-major edge matrix r[i + dim*j] ... use row i col j
+        for (int j = 0; j < dim; ++j) {
+            const double *pj = vertices + dim * el[j + 1];
+            const double *p0 = vertices + dim * el[0];
+            for (int i = 0; i < dim; ++i) r[i * dim + j] = pj[i] - p0[i];
+        }
+        double vol, det;
+        double inv[9];
+        if (dim == 2) {
+            det = r[0] * r[3] - r[1] * r[2];
+            vol = std::fabs(det) / 2.0;
+            if (det == 0.0) return -1;
+            inv[0] = r[3] / det;
+            inv[1] = -r[1] / det;
+            inv[2] = -r[2] / det;
+            inv[3] = r[0] / det;
+        } else {
+            det = r[0] * (r[4] * r[8] - r[5] * r[7]) -
+                  r[1] * (r[3] * r[8] - r[5] * r[6]) +
+                  r[2] * (r[3] * r[7] - r[4] * r[6]);
+            vol = std::fabs(det) / 6.0;
+            if (det == 0.0) return -1;
+            inv[0] = (r[4] * r[8] - r[5] * r[7]) / det;
+            inv[1] = (r[2] * r[7] - r[1] * r[8]) / det;
+            inv[2] = (r[1] * r[5] - r[2] * r[4]) / det;
+            inv[3] = (r[5] * r[6] - r[3] * r[8]) / det;
+            inv[4] = (r[0] * r[8] - r[2] * r[6]) / det;
+            inv[5] = (r[2] * r[3] - r[0] * r[5]) / det;
+            inv[6] = (r[3] * r[7] - r[4] * r[6]) / det;
+            inv[7] = (r[1] * r[6] - r[0] * r[7]) / det;
+            inv[8] = (r[0] * r[4] - r[1] * r[3]) / det;
+        }
+        out_volume[e] = vol;
+        std::memcpy(out_ref_inv + (size_t)e * dim * dim, inv,
+                    sizeof(double) * (size_t)(dim * dim));
+        double m = vol * rho / (dim + 1);
+        for (int v = 0; v <= dim; ++v) out_mass[el[v]] += m;
+    }
+    return 0;
+}
+
+}  // extern "C"

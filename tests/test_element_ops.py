@@ -158,6 +158,28 @@ def test_segment_assembly_matches_loop():
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
 
 
+def test_gather_assembly_matches_segment_assembly():
+    """The gather-plan assembly (TPU-preferred) must equal segment-sum."""
+    from fem_tpu.ops.assembly import build_gather_plan, gather_assemble
+
+    rng = np.random.default_rng(4)
+    for maker in (make_2d_object, two_tet_object):
+        cfg, obj, state = maker()
+        e, d = obj.element_cnt, obj.dim
+        contrib = jnp.asarray(
+            rng.normal(size=(e, d + 1, d)).astype(np.float32)
+        )
+        seg = segment_assemble(contrib, obj.element_indices, obj.particle_cnt)
+        plan = build_gather_plan(
+            np.asarray(obj.element_indices), obj.particle_cnt
+        )
+        np.testing.assert_array_equal(plan, np.asarray(obj.gather_idx))
+        gat = gather_assemble(contrib, jnp.asarray(plan))
+        np.testing.assert_allclose(
+            np.asarray(gat), np.asarray(seg), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_hessian_blocks_match_direct_formula():
     cfg, obj, state = single_tet_object()
     state = _perturbed(state, scale=0.03)

@@ -1,0 +1,111 @@
+# coding=utf-8
+"""Microbenchmark of the compute-path pieces on the current backend.
+
+Usage: python tools/profile_parts.py [--mesh spot|grid64] [--iters 200]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=200, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e6  # us
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mesh", default="spot")
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--spacing", type=float, default=None,
+                   help="interior Steiner spacing for spot (denser mesh)")
+    args = p.parse_args()
+
+    from fem_tpu.models.mesh import construct_2d_mesh, load_object_mesh
+    from fem_tpu.models.state import Obstacles, build_object
+    from fem_tpu.ops.assembly import element_contrib_full, segment_assemble
+    from fem_tpu.ops.element import (
+        explicit_grad_columns, hessian_blocks,
+    )
+    from fem_tpu.solvers.implicit import (
+        implicit_velocity_solve, make_system_apply,
+    )
+    from fem_tpu.utils.config import ObjectConfig, read_config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.mesh == "spot":
+        cfg = read_config(os.path.join(here, "configs", "demo_spot.json"))
+        ocfg = type(cfg.objects[0])(
+            **{**cfg.objects[0].__dict__,
+               "obj": os.path.join(here, cfg.objects[0].obj)}
+        )
+        v, f, e, _ = load_object_mesh(ocfg, args.spacing)
+        obj, state = build_object(ocfg, v, f, e)
+        dt_s = cfg.delta_time
+    else:
+        sub = int(args.mesh[4:]) if args.mesh.startswith("grid") else 64
+        ocfg = ObjectConfig(subdivisions=sub, side_length=0.5, center=(0.25, 0.4))
+        v, f, e = construct_2d_mesh(ocfg)
+        obj, state = build_object(ocfg, v, f, e)
+        dt_s = 5e-4
+
+    print(f"backend={jax.default_backend()} particles={obj.particle_cnt} "
+          f"elements={obj.element_cnt}")
+
+    pos = state.pos
+    it = args.iters
+
+    cols_fn = jax.jit(lambda p: explicit_grad_columns(
+        p, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda))
+    t = timeit(cols_fn, pos, iters=it)
+    print(f"element grad columns        {t:9.1f} us")
+
+    cols = cols_fn(pos)
+    asm_fn = jax.jit(lambda c: segment_assemble(
+        element_contrib_full(c), obj.element_indices, obj.particle_cnt))
+    t = timeit(asm_fn, cols, iters=it)
+    print(f"segment assembly            {t:9.1f} us")
+
+    from fem_tpu.ops.assembly import gather_assemble
+
+    gasm_fn = jax.jit(lambda c: gather_assemble(
+        element_contrib_full(c), obj.gather_idx))
+    t = timeit(gasm_fn, cols, iters=it)
+    print(f"gather assembly             {t:9.1f} us  "
+          f"(maxdeg={obj.gather_idx.shape[1]})")
+
+    grad_fn = jax.jit(lambda p: asm_fn(cols_fn(p)))
+    t = timeit(grad_fn, pos, iters=it)
+    print(f"gradient (fused)            {t:9.1f} us")
+
+    hess_fn = jax.jit(lambda p: hessian_blocks(
+        p, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda))
+    t = timeit(hess_fn, pos, iters=it)
+    print(f"hessian blocks K            {t:9.1f} us")
+
+    K = hess_fn(pos)
+    apply_fn = jax.jit(lambda x: make_system_apply(obj, K, dt_s)(x))
+    t = timeit(apply_fn, state.vel, iters=it)
+    print(f"system apply A@x            {t:9.1f} us")
+
+    solve_fn = jax.jit(lambda s: implicit_velocity_solve(obj, s, dt_s, 1, 1)[0].vel)
+    t = timeit(solve_fn, state, iters=it)
+    print(f"full implicit solve         {t:9.1f} us")
+
+
+if __name__ == "__main__":
+    main()
