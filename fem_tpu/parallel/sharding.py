@@ -92,12 +92,16 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         solver_backend="matrix_free",  # dense backend is single-chip only
     )
 
-    def local_fn(idx_l, ref_inv_l, vol_l, state, obstacles):
-        # Element arrays arrive as this shard's local slices; particle arrays
-        # (mass, positions) are replicated via the closed-over `padded`.
-        local = padded.replace(
-            element_indices=idx_l, ref_inv=ref_inv_l, volume=vol_l,
-            element_cnt=local_cnt, assembly_mode="segment",
+    # Element arrays shard over the mesh axis; particle arrays replicate.
+    # Built with .replace so the spec pytree's static fields match `padded`'s.
+    obj_spec = padded.replace(
+        element_indices=P(AXIS), ref_inv=P(AXIS), volume=P(AXIS),
+        mass=P(), rest_pos=P(), faces=P(), gather_idx=P(),
+    )
+
+    def local_fn(obj_shard: FemObject, state, obstacles):
+        local = obj_shard.replace(
+            element_cnt=local_cnt, assembly_mode="segment"
         )
         if scan_frame:
             def body(s, _):
@@ -109,16 +113,16 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
     sharded = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), state_spec, obs_spec),
+        in_specs=(obj_spec, state_spec, obs_spec),
         out_specs=(state_spec, aux_spec),
     )
 
-    @jax.jit
+    # `padded` is a jit argument, never a closure constant (see the NOTE in
+    # fem_tpu/sim.py — captured mesh arrays compile and run pathologically).
+    jit_sharded = jax.jit(sharded)
+
     def run(state: SimState, obstacles: Obstacles):
-        return sharded(
-            padded.element_indices, padded.ref_inv, padded.volume,
-            state, obstacles,
-        )
+        return jit_sharded(padded, state, obstacles)
 
     return run
 

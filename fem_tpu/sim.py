@@ -88,11 +88,8 @@ def substep(
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 
 
-def make_frame_fn(obj: FemObject, cfg: SimConfig):
-    """Compiled function advancing one rendered frame (= ``sim_count``
-    substeps under lax.scan).  Returns (state, StepAux stacked over substeps).
-    """
-    kwargs = dict(
+def _cfg_kwargs(cfg: SimConfig) -> dict:
+    return dict(
         dt=cfg.delta_time,
         g_dir=cfg.g_dir,
         use_explicit_method=cfg.use_explicit_method,
@@ -102,32 +99,44 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
         solver_backend=cfg.solver_backend,
     )
 
+
+# NOTE on jit structure: the mesh arrays (element indices, ref_inv, volumes,
+# masses, incidence plans) MUST be jit *arguments*, not closure captures.
+# Captured arrays become XLA constants; measured on this TPU backend that
+# made a 131k-element kernel compile ~15x slower AND run ~250x slower
+# (10.5 ms vs 41 us) than the same kernel with the arrays passed as inputs.
+
+
+def make_frame_fn(obj: FemObject, cfg: SimConfig):
+    """Compiled function advancing one rendered frame (= ``sim_count``
+    substeps under lax.scan).  Returns (state, StepAux stacked over substeps).
+    """
+    kwargs = _cfg_kwargs(cfg)
+
     @jax.jit
-    def frame(state: SimState, obstacles: Obstacles):
+    def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
         def body(s, _):
-            s, aux = substep(obj, s, obstacles, **kwargs)
+            s, aux = substep(o, s, obstacles, **kwargs)
             return s, aux
 
         return jax.lax.scan(body, state, None, length=cfg.sim_count)
+
+    def frame(state: SimState, obstacles: Obstacles):
+        return frame_impl(obj, state, obstacles)
 
     return frame
 
 
 def make_substep_fn(obj: FemObject, cfg: SimConfig):
     """Compiled single-substep function (for tests / fine-grained stepping)."""
-    kwargs = dict(
-        dt=cfg.delta_time,
-        g_dir=cfg.g_dir,
-        use_explicit_method=cfg.use_explicit_method,
-        auto_diff=cfg.auto_diff,
-        implicit_method=cfg.implicit_method,
-        preconditioned=cfg.preconditioned,
-        solver_backend=cfg.solver_backend,
-    )
+    kwargs = _cfg_kwargs(cfg)
 
     @jax.jit
+    def step_impl(o: FemObject, state: SimState, obstacles: Obstacles):
+        return substep(o, state, obstacles, **kwargs)
+
     def step(state: SimState, obstacles: Obstacles):
-        return substep(obj, state, obstacles, **kwargs)
+        return step_impl(obj, state, obstacles)
 
     return step
 
