@@ -1,7 +1,11 @@
 # coding=utf-8
 """Microbenchmark of the compute-path pieces on the current backend.
 
-Usage: python tools/profile_parts.py [--mesh spot|grid64] [--iters 200]
+All mesh arrays are passed as jit ARGUMENTS (closure-captured arrays become
+XLA constants and are pathologically slow on this backend — see the NOTE in
+fem_tpu/sim.py).
+
+Usage: python tools/profile_parts.py [--mesh spot|gridN] [--iters 200]
 """
 
 import argparse
@@ -36,14 +40,12 @@ def main():
     args = p.parse_args()
 
     from fem_tpu.models.mesh import construct_2d_mesh, load_object_mesh
-    from fem_tpu.models.state import Obstacles, build_object
-    from fem_tpu.ops.assembly import element_contrib_full, segment_assemble
-    from fem_tpu.ops.element import (
-        explicit_grad_columns, hessian_blocks,
+    from fem_tpu.models.state import build_object
+    from fem_tpu.ops.assembly import (
+        element_contrib_full, gather_assemble, segment_assemble,
     )
-    from fem_tpu.solvers.implicit import (
-        implicit_velocity_solve, make_system_apply,
-    )
+    from fem_tpu.ops.element import explicit_grad_columns, hessian_blocks
+    from fem_tpu.solvers.implicit import implicit_velocity_solve, make_system_apply
     from fem_tpu.utils.config import ObjectConfig, read_config
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -64,47 +66,56 @@ def main():
         dt_s = 5e-4
 
     print(f"backend={jax.default_backend()} particles={obj.particle_cnt} "
-          f"elements={obj.element_cnt}")
+          f"elements={obj.element_cnt}", flush=True)
 
     pos = state.pos
     it = args.iters
 
-    cols_fn = jax.jit(lambda p: explicit_grad_columns(
-        p, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda))
-    t = timeit(cols_fn, pos, iters=it)
-    print(f"element grad columns        {t:9.1f} us")
+    cols_fn = jax.jit(explicit_grad_columns, static_argnums=(4, 5))
+    cargs = (obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda)
+    t = timeit(lambda p: cols_fn(p, *cargs), pos, iters=it)
+    print(f"element grad columns        {t:9.1f} us", flush=True)
 
-    cols = cols_fn(pos)
-    asm_fn = jax.jit(lambda c: segment_assemble(
-        element_contrib_full(c), obj.element_indices, obj.particle_cnt))
-    t = timeit(asm_fn, cols, iters=it)
-    print(f"segment assembly            {t:9.1f} us")
+    cols = cols_fn(pos, *cargs)
 
-    from fem_tpu.ops.assembly import gather_assemble
+    seg_fn = jax.jit(
+        lambda c, idx: segment_assemble(
+            element_contrib_full(c), idx, obj.particle_cnt
+        )
+    )
+    t = timeit(seg_fn, cols, obj.element_indices, iters=it)
+    print(f"segment assembly            {t:9.1f} us", flush=True)
 
-    gasm_fn = jax.jit(lambda c: gather_assemble(
-        element_contrib_full(c), obj.gather_idx))
-    t = timeit(gasm_fn, cols, iters=it)
+    gat_fn = jax.jit(
+        lambda c, g: gather_assemble(element_contrib_full(c), g)
+    )
+    t = timeit(gat_fn, cols, obj.gather_idx, iters=it)
     print(f"gather assembly             {t:9.1f} us  "
-          f"(maxdeg={obj.gather_idx.shape[1]})")
+          f"(maxdeg={obj.gather_idx.shape[1]})", flush=True)
 
-    grad_fn = jax.jit(lambda p: asm_fn(cols_fn(p)))
-    t = timeit(grad_fn, pos, iters=it)
-    print(f"gradient (fused)            {t:9.1f} us")
+    grad_fn = jax.jit(lambda p, o: gather_assemble(
+        element_contrib_full(
+            explicit_grad_columns(
+                p, o.element_indices, o.ref_inv, o.volume, obj.mu, obj.s_lambda
+            )
+        ), o.gather_idx))
+    t = timeit(grad_fn, pos, obj, iters=it)
+    print(f"gradient (fused)            {t:9.1f} us", flush=True)
 
-    hess_fn = jax.jit(lambda p: hessian_blocks(
-        p, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda))
-    t = timeit(hess_fn, pos, iters=it)
-    print(f"hessian blocks K            {t:9.1f} us")
+    hess_fn = jax.jit(hessian_blocks, static_argnums=(4, 5))
+    t = timeit(lambda p: hess_fn(p, *cargs), pos, iters=it)
+    print(f"hessian blocks K            {t:9.1f} us", flush=True)
 
-    K = hess_fn(pos)
-    apply_fn = jax.jit(lambda x: make_system_apply(obj, K, dt_s)(x))
-    t = timeit(apply_fn, state.vel, iters=it)
-    print(f"system apply A@x            {t:9.1f} us")
+    K = hess_fn(pos, *cargs)
+    apply_fn = jax.jit(lambda o, k, x: make_system_apply(o, k, dt_s)(x))
+    t = timeit(apply_fn, obj, K, state.vel, iters=it)
+    print(f"system apply A@x            {t:9.1f} us", flush=True)
 
-    solve_fn = jax.jit(lambda s: implicit_velocity_solve(obj, s, dt_s, 1, 1)[0].vel)
-    t = timeit(solve_fn, state, iters=it)
-    print(f"full implicit solve         {t:9.1f} us")
+    solve_fn = jax.jit(
+        lambda o, s: implicit_velocity_solve(o, s, dt_s, 1, 1)[0].vel
+    )
+    t = timeit(solve_fn, obj, state, iters=it)
+    print(f"full implicit solve         {t:9.1f} us", flush=True)
 
 
 if __name__ == "__main__":
