@@ -1,0 +1,192 @@
+# coding=utf-8
+"""Pallas TPU kernels for the hot element math.
+
+The Neo-Hookean element chain (F = X·R⁻¹ → F⁻¹ → log det F → Piola stress →
+gradient columns H = V·P·R⁻ᵀ) is a long elementwise dependency chain over
+per-element d×d matrices.  This kernel computes the whole chain in one VMEM
+pass using a *component-planar* layout: the (E, d, d) matrix batch is stored
+as (d², E) — components on the sublane axis, elements on the 128-wide lane
+axis — so every matrix op is an unrolled scalar formula over (1, TILE_E)
+vectors on the VPU, with zero intermediate HBM traffic.
+
+The gather of vertex positions stays outside (XLA's gather is near-roofline
+on TPU — measured in tools/profile_parts.py); the kernel consumes the edge
+matrices X directly.
+
+Exposed as an alternative backend for
+:func:`fem_tpu.ops.element.explicit_grad_columns`; selected via
+``element_backend="pallas"`` (SimConfig extension).  Falls back to interpret
+mode automatically on CPU so tests run everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_E = 1024  # lanes per grid step (multiple of 128)
+
+
+# --- small-matrix algebra on lists of (1, T) component rows ---------------
+
+def _mat3_mul(a: Sequence, b: Sequence):
+    """Row-major 3×3 product of component lists [a00..a22] × [b00..b22]."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            out.append(
+                a[3 * i + 0] * b[3 * 0 + j]
+                + a[3 * i + 1] * b[3 * 1 + j]
+                + a[3 * i + 2] * b[3 * 2 + j]
+            )
+    return out
+
+
+def _mat3_det(m: Sequence):
+    return (
+        m[0] * (m[4] * m[8] - m[5] * m[7])
+        - m[1] * (m[3] * m[8] - m[5] * m[6])
+        + m[2] * (m[3] * m[7] - m[4] * m[6])
+    )
+
+
+def _mat3_inv(m: Sequence, det):
+    inv_det = 1.0 / det
+    return [
+        (m[4] * m[8] - m[5] * m[7]) * inv_det,
+        (m[2] * m[7] - m[1] * m[8]) * inv_det,
+        (m[1] * m[5] - m[2] * m[4]) * inv_det,
+        (m[5] * m[6] - m[3] * m[8]) * inv_det,
+        (m[0] * m[8] - m[2] * m[6]) * inv_det,
+        (m[2] * m[3] - m[0] * m[5]) * inv_det,
+        (m[3] * m[7] - m[4] * m[6]) * inv_det,
+        (m[1] * m[6] - m[0] * m[7]) * inv_det,
+        (m[0] * m[4] - m[1] * m[3]) * inv_det,
+    ]
+
+
+def _mat3_T(m: Sequence):
+    return [m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8]]
+
+
+def _mat2_mul(a, b):
+    return [
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+    ]
+
+
+def _mat2_det(m):
+    return m[0] * m[3] - m[1] * m[2]
+
+
+def _mat2_inv(m, det):
+    inv_det = 1.0 / det
+    return [m[3] * inv_det, -m[1] * inv_det, -m[2] * inv_det, m[0] * inv_det]
+
+
+def _mat2_T(m):
+    return [m[0], m[2], m[1], m[3]]
+
+
+# --- the fused kernel ------------------------------------------------------
+
+def _grad_cols_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
+    """One tile: read X, R⁻¹, V planes; write H = V·P(F)·R⁻ᵀ planes."""
+    d2 = dim * dim
+    if dim == 3:
+        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
+    else:
+        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+
+    x = [x_ref[i : i + 1, :] for i in range(d2)]
+    r = [r_ref[i : i + 1, :] for i in range(d2)]
+    v = v_ref[0:1, :]
+
+    f = mul(x, r)  # deformation gradient
+    det_f = det_fn(f)
+    f_inv_t = t_fn(inv_fn(f, det_f))
+    log_j = jnp.log(det_f)  # NaN for inverted elements, as the reference
+    p = [
+        mu * f[i] + (lam * log_j - mu) * f_inv_t[i] for i in range(d2)
+    ]
+    h = mul(p, t_fn(r))  # P @ R⁻ᵀ
+    for i in range(d2):
+        out_ref[i : i + 1, :] = v * h[i]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu", "s_lambda", "interpret")
+)
+def grad_columns_planar(
+    x_planes: jnp.ndarray,  # (d², E_pad) edge-matrix components
+    r_planes: jnp.ndarray,  # (d², E_pad) ref_inv components
+    v_plane: jnp.ndarray,  # (1, E_pad) volumes
+    mu: float,
+    s_lambda: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gradient columns in planar layout: returns (d², E_pad)."""
+    d2, e_pad = x_planes.shape
+    dim = 3 if d2 == 9 else 2
+    assert e_pad % TILE_E == 0, "pad the element axis to TILE_E"
+    grid = (e_pad // TILE_E,)
+    spec = lambda rows: pl.BlockSpec(
+        (rows, TILE_E), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _grad_cols_kernel, dim=dim, mu=mu, lam=s_lambda
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d2, e_pad), x_planes.dtype),
+        grid=grid,
+        in_specs=[spec(d2), spec(d2), spec(1)],
+        out_specs=spec(d2),
+        interpret=interpret,
+    )(x_planes, r_planes, v_plane)
+
+
+def explicit_grad_columns_pallas(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """Drop-in replacement for
+    :func:`fem_tpu.ops.element.explicit_grad_columns` running the fused
+    Pallas kernel (XLA handles the gather + layout shuffles, which fuse into
+    neighbouring ops)."""
+    from fem_tpu.ops.assembly import gather_edge_diffs
+
+    e = element_indices.shape[0]
+    d = pos.shape[1]
+    d2 = d * d
+    e_pad = ((e + TILE_E - 1) // TILE_E) * TILE_E
+
+    x_mat = gather_edge_diffs(pos, element_indices)  # (E, d, d)
+    # Pad both X and R⁻¹ with identity matrices so padded lanes have F = I
+    # (det 1, finite log); padded volumes are 0 so their output is zero.
+    eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=pos.dtype).reshape(d2, 1), (d2, e_pad - e)
+    )
+    x_planes = jnp.concatenate([x_mat.reshape(e, d2).T, eye], axis=1)
+    r_planes = jnp.concatenate([ref_inv.reshape(e, d2).T, eye], axis=1)
+    v_plane = jnp.concatenate(
+        [volume.reshape(1, e), jnp.zeros((1, e_pad - e), pos.dtype)], axis=1
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    h = grad_columns_planar(
+        x_planes, r_planes, v_plane, mu, s_lambda, interpret
+    )
+    return h[:, :e].T.reshape(e, d, d)

@@ -50,6 +50,7 @@ def substep(
     preconditioned: int,
     axis_name: str | None = None,
     solver_backend: str = "auto",
+    element_backend: str = "xla",
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -63,7 +64,9 @@ def substep(
         )
         return state, zero_aux
     if use_explicit_method:
-        grad = analytic_energy_gradient(obj, state.pos, axis_name)
+        grad = analytic_energy_gradient(
+            obj, state.pos, axis_name, element_backend
+        )
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir
         )
@@ -97,6 +100,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
         solver_backend=cfg.solver_backend,
+        element_backend=cfg.element_backend,
     )
 
 

@@ -20,14 +20,27 @@ from fem_tpu.ops.element import explicit_grad_columns, total_energy
 
 
 def analytic_energy_gradient(
-    obj: FemObject, pos: jnp.ndarray, axis_name: str | None = None
+    obj: FemObject,
+    pos: jnp.ndarray,
+    axis_name: str | None = None,
+    element_backend: str = "xla",
 ) -> jnp.ndarray:
     """Assembled ∂U/∂x via the reference's analytic per-element formula
     (solver/explicit.py:23-49).  With ``axis_name``, element arrays are local
-    shards and the assembly is psum-reduced."""
-    cols = explicit_grad_columns(
-        pos, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda
-    )
+    shards and the assembly is psum-reduced.  ``element_backend="pallas"``
+    runs the fused VMEM kernel (ops/pallas_kernels.py) for the column math."""
+    if element_backend == "pallas":
+        from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas
+
+        cols = explicit_grad_columns_pallas(
+            pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+    else:
+        cols = explicit_grad_columns(
+            pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
     return assemble_for(obj, element_contrib_full(cols), axis_name)
 
 

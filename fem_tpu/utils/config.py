@@ -75,6 +75,9 @@ class SimConfig:
     # "auto" picks the dense MXU backend for small systems (solvers/dense.py)
     # and the matrix-free operator otherwise; "matrix_free"/"dense" force one.
     solver_backend: str = "auto"
+    # Element-kernel execution: "xla" (default) or "pallas" (fused VMEM
+    # kernel, ops/pallas_kernels.py) for the explicit analytic column math.
+    element_backend: str = "xla"
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -132,6 +135,7 @@ def parse_config(data: dict) -> SimConfig:
         objects=objects,
         blocks=blocks,
         solver_backend=str(data.get("solver_backend", "auto")),
+        element_backend=str(data.get("element_backend", "xla")),
     )
 
 
