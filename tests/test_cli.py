@@ -1,0 +1,91 @@
+# coding=utf-8
+"""End-to-end CLI tests: the full driver loop on tiny runs (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import main as cli
+
+
+def _write_cfg(tmp_path, **overrides):
+    cfg = {
+        "dim": 2,
+        "delta_time": 5e-4,
+        "sim_count": 2,
+        "auto_diff": True,
+        "use_explicit_method": True,
+        "implicit_method": 0,
+        "preconditioned": 1,
+        "g_dir": [0, -1],
+        "is_output_gif": True,
+        "is_output_obj": False,
+        "output_fps": 60,
+        "objects": [
+            {"id": 0, "rho": 500, "center": [0.5, 0.8], "side_length": 0.2,
+             "subdivisions": 4, "E": 4e4, "nu": 0.2, "damping": 14.5}
+        ],
+        "blocks": [
+            {"id": 0, "block_center": [0.8, 0.5], "block_radius": 0.21}
+        ],
+    }
+    cfg.update(overrides)
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    return str(path)
+
+
+def test_cli_bad_config_exits_3(tmp_path):
+    # Reference parity: config-parse failure exits with code 3 (utils.py:29-32).
+    assert cli.run(["--config", str(tmp_path / "missing.json")]) == 3
+
+
+def test_cli_explicit_run_writes_gif(tmp_path):
+    cfg = _write_cfg(tmp_path)
+    out = tmp_path / "out"
+    rc = cli.run(
+        ["--config", cfg, "--frames", "4", "--output", str(out),
+         "--print-every", "2"]
+    )
+    assert rc == 0
+    assert (out / "video.gif").exists()
+
+
+def test_cli_implicit_with_checkpoint_and_resume(tmp_path):
+    cfg = _write_cfg(
+        tmp_path, auto_diff=False, use_explicit_method=False,
+        implicit_method=1, is_output_gif=False,
+    )
+    out = tmp_path / "out"
+    rc = cli.run(
+        ["--config", cfg, "--frames", "4", "--output", str(out),
+         "--checkpoint-every", "2", "--no-render", "--debug"]
+    )
+    assert rc == 0
+    ckpt = out / "ckpt_000002.npz"
+    assert ckpt.exists()
+    rc = cli.run(
+        ["--config", cfg, "--frames", "4", "--output", str(tmp_path / "o2"),
+         "--resume", str(ckpt), "--no-render"]
+    )
+    assert rc == 0
+
+
+def test_cli_multi_object_scene(tmp_path):
+    cfg = _write_cfg(
+        tmp_path,
+        objects=[
+            {"id": 0, "rho": 500, "center": [0.3, 0.8], "side_length": 0.1,
+             "subdivisions": 3, "E": 4e4, "nu": 0.2, "damping": 14.5},
+            {"id": 1, "rho": 800, "center": [0.6, 0.6], "side_length": 0.12,
+             "subdivisions": 4, "E": 8e4, "nu": 0.3, "damping": 10.0},
+        ],
+        is_output_gif=False,
+    )
+    rc = cli.run(
+        ["--config", cfg, "--frames", "3", "--output",
+         str(tmp_path / "out"), "--no-render"]
+    )
+    assert rc == 0
