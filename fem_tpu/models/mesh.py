@@ -310,6 +310,58 @@ def remap_surface(
     return np.vectorize(lambda x: remap[int(x)])(surface).astype(np.int64)
 
 
+def barycentric_coordinates(
+    p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, p: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Area-ratio barycentric coordinates of points w.r.t. triangles,
+    vectorized over leading axes (reference: object.py:238-252, a latent
+    utility of its UV-recovery path)."""
+    area = lambda a, b: 0.5 * np.linalg.norm(np.cross(a, b), axis=-1)
+    abc = area(p1 - p0, p2 - p0)
+    l1 = area(p1 - p, p2 - p) / abc
+    l2 = area(p2 - p, p0 - p) / abc
+    l3 = area(p0 - p, p1 - p) / abc
+    return l1, l2, l3
+
+
+def recover_uv(
+    surface_points: np.ndarray,
+    obj_vertices: np.ndarray,
+    obj_faces: np.ndarray,
+    obj_uv: np.ndarray,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """Map UVs from an original textured mesh onto new surface points:
+    exact-vertex matches copy the UV, other points get barycentric
+    interpolation on their nearest original triangle (vectorized rewrite of
+    the reference's latent ``recover_uv``, object.py:206-236)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(obj_vertices)
+    dist, nearest = tree.query(surface_points)
+    uv = obj_uv[nearest].copy()
+
+    far = dist >= tol
+    if np.any(far):
+        # Nearest triangle by centroid (approximation of trimesh's
+        # nearest.on_surface, sufficient for near-surface points).
+        centroids = obj_vertices[obj_faces].mean(axis=1)
+        tri_idx = cKDTree(centroids).query(surface_points[far])[1]
+        tris = obj_faces[tri_idx]
+        p0, p1, p2 = (
+            obj_vertices[tris[:, 0]],
+            obj_vertices[tris[:, 1]],
+            obj_vertices[tris[:, 2]],
+        )
+        l1, l2, l3 = barycentric_coordinates(p0, p1, p2, surface_points[far])
+        uv[far] = (
+            l1[:, None] * obj_uv[tris[:, 0]]
+            + l2[:, None] * obj_uv[tris[:, 1]]
+            + l3[:, None] * obj_uv[tris[:, 2]]
+        )
+    return uv
+
+
 def nearest_vertex_map(
     query_points: np.ndarray, target_points: np.ndarray
 ) -> np.ndarray:

@@ -63,6 +63,7 @@ class FemObject:
     s_lambda: float = struct.field(pytree_node=False, default=0.0)
     damping: float = struct.field(pytree_node=False, default=0.0)
     rho: float = struct.field(pytree_node=False, default=0.0)
+    material: str = struct.field(pytree_node=False, default="neo_hookean")
 
 
 @struct.dataclass
@@ -146,6 +147,7 @@ def build_object(
         s_lambda=cfg.s_lambda,
         damping=cfg.damping,
         rho=cfg.rho,
+        material=getattr(cfg, "material", "neo_hookean"),
     )
     zeros = jnp.zeros((n, d), jnp.float32)
     state = SimState(

@@ -46,14 +46,30 @@ def deformation_gradients(
     return sm.matmul(x_mat, ref_inv)
 
 
-def energy_density(F: jnp.ndarray, mu: float, s_lambda: float) -> jnp.ndarray:
-    """Neo-Hookean φ(F) = μ/2 (tr(FᵀF) − d) − μ logJ + λ/2 logJ².
+def energy_density(
+    F: jnp.ndarray, mu: float, s_lambda: float, material: str = "neo_hookean"
+) -> jnp.ndarray:
+    """Elastic energy density φ(F).
 
-    Reference: solver/explicit_auto_diff.py:24-28.  ``logJ = log(det F)`` is
-    deliberately *unclamped* — an inverted element yields NaN exactly as the
-    reference does.
+    * ``neo_hookean`` (reference live path, solver/explicit_auto_diff.py:24-28):
+      φ = μ/2 (tr(FᵀF) − d) − μ logJ + λ/2 logJ², with ``logJ = log(det F)``
+      deliberately *unclamped* — an inverted element yields NaN exactly as the
+      reference does.
+    * ``stvk`` (the reference's latent St. Venant–Kirchhoff variant, present
+      but commented out at solver/explicit_auto_diff.py:32-38):
+      G = ½(FᵀF − I), φ = μ·Σ G² + λ/2·tr(G)².
     """
     d = F.shape[-1]
+    if material == "stvk":
+        c = jnp.einsum(
+            "...ki,...kj->...ij", F, F, precision=jax.lax.Precision.HIGHEST
+        )
+        g = 0.5 * (c - jnp.broadcast_to(jnp.eye(d, dtype=F.dtype), c.shape))
+        g_sq = jnp.einsum("...ij,...ij->...", g, g)
+        tr_g = sm.trace(g)
+        return mu * g_sq + s_lambda / 2.0 * tr_g * tr_g
+    if material != "neo_hookean":
+        raise ValueError(f"unknown material {material!r}")
     log_j = jnp.log(sm.det(F))
     i_c = jnp.einsum(
         "...ij,...ij->...", F, F, precision=jax.lax.Precision.HIGHEST
@@ -70,11 +86,12 @@ def total_energy(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    material: str = "neo_hookean",
 ) -> jnp.ndarray:
     """U = Σ_e V_e φ(F_e) — the autodiff loss (reference: U accumulation at
     solver/explicit_auto_diff.py:30; tape at main.py:107)."""
     F = deformation_gradients(pos, element_indices, ref_inv)
-    return jnp.sum(volume * energy_density(F, mu, s_lambda))
+    return jnp.sum(volume * energy_density(F, mu, s_lambda, material))
 
 
 def element_energies(
@@ -84,12 +101,13 @@ def element_energies(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    material: str = "neo_hookean",
 ) -> jnp.ndarray:
     """Per-element V·φ used for render coloring (reference: ``obj.phi`` write
     at solver/explicit_auto_diff.py:29).  Sized ``(E,)`` — fixing the
     reference's out-of-bounds sizing by surface-face count (object.py:68)."""
     F = deformation_gradients(pos, element_indices, ref_inv)
-    return volume * energy_density(F, mu, s_lambda)
+    return volume * energy_density(F, mu, s_lambda, material)
 
 
 def explicit_grad_columns(

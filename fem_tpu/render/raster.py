@@ -191,5 +191,11 @@ class HeadlessRenderer:
                 imageio.mimsave(path, self.frames, fps=self.output_fps)
                 written.append(path)
             except Exception:
-                pass  # no ffmpeg backend available; gif already written
+                # No ffmpeg backend in this environment — fall back to the
+                # dependency-free MJPEG AVI writer (render/avi.py).
+                from fem_tpu.render.avi import write_mjpeg_avi
+
+                path = os.path.join(self.output_dir, "video.avi")
+                write_mjpeg_avi(path, self.frames, fps=self.output_fps)
+                written.append(path)
         return written

@@ -151,5 +151,5 @@ def element_phi(obj: FemObject, state: SimState) -> jnp.ndarray:
     surface-count sizing bug at object.py:68)."""
     return element_energies(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda,
+        obj.mu, obj.s_lambda, obj.material,
     )

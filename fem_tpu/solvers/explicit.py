@@ -53,7 +53,8 @@ def autodiff_energy_gradient(
 
     def energy(p):
         u = total_energy(
-            p, obj.element_indices, obj.ref_inv, obj.volume, obj.mu, obj.s_lambda
+            p, obj.element_indices, obj.ref_inv, obj.volume, obj.mu,
+            obj.s_lambda, obj.material,
         )
         if axis_name is not None:
             u = jax.lax.psum(u, axis_name)

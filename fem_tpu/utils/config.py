@@ -33,6 +33,9 @@ class ObjectConfig:
     subdivisions: int = 10
     # 3D mesh file (reference: object.py:128-161)
     obj: Optional[str] = None
+    # Material model: "neo_hookean" (reference live path) or "stvk" (the
+    # reference's latent commented-out variant; autodiff path only).
+    material: str = "neo_hookean"
 
     @property
     def mu(self) -> float:
@@ -109,6 +112,7 @@ def parse_config(data: dict) -> SimConfig:
             side_length=float(o.get("side_length", 0.2)),
             subdivisions=int(o.get("subdivisions", 10)),
             obj=o.get("obj"),
+            material=str(o.get("material", "neo_hookean")),
         )
         for o in data.get("objects", [{}])
     )

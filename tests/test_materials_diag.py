@@ -1,0 +1,84 @@
+# coding=utf-8
+"""StVK material, solver diagnostics, barycentric/UV utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.models.mesh import barycentric_coordinates, recover_uv
+from fem_tpu.ops.element import energy_density, total_energy
+from fem_tpu.solvers.diagnostics import system_diagnostics, symmetry_probe
+from tests.utils import make_2d_object, single_tet_object
+
+
+def test_stvk_rest_zero_and_positive_energy():
+    f_id = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+    phi = energy_density(f_id, 1e4, 1e4, material="stvk")
+    np.testing.assert_allclose(np.asarray(phi), 0.0, atol=1e-5)
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(
+        (np.eye(3) + 0.1 * rng.normal(size=(4, 3, 3))).astype(np.float32)
+    )
+    phi = energy_density(f, 1e4, 1e4, material="stvk")
+    assert (np.asarray(phi) > 0).all()
+
+
+def test_stvk_handles_inversion_finite():
+    """StVK is polynomial in F — finite even for inverted elements (unlike
+    Neo-Hookean's log)."""
+    f = -jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    phi = energy_density(f, 1e4, 1e4, material="stvk")
+    assert np.isfinite(np.asarray(phi)).all()
+
+
+def test_stvk_autodiff_simulation_runs():
+    from fem_tpu.sim import make_frame_fn
+    from tests.utils import default_obstacles, default_sim_config
+
+    cfg = default_sim_config(auto_diff=True, use_explicit_method=True)
+    _, obj, state = make_2d_object(subdivisions=4)
+    obj = obj.replace(material="stvk")
+    s, _ = make_frame_fn(obj, cfg)(state, default_obstacles())
+    assert np.isfinite(np.asarray(s.pos)).all()
+
+
+def test_system_diagnostics_rest_pose():
+    """The reference operator is *nearly but not exactly* symmetric — its K
+    block contains μ(R⁻ᵀ)² and the M⁻¹ row scaling, neither symmetric (which
+    is why its CG defaults to normal equations, and presumably why the
+    symmetry check was left commented out).  For small dt, A ≈ I is strongly
+    diagonally dominant — the Jacobi convergence precondition holds."""
+    cfg, obj, state = make_2d_object(subdivisions=3)
+    d = system_diagnostics(obj, state, dt=5e-4)
+    assert 0.0 < d.symmetry_error < 0.2
+    assert d.diagonally_dominant
+    assert d.diag_dominance_margin > 0.5  # A ≈ I
+
+
+def test_symmetry_probe_detects_asymmetry():
+    a = jnp.asarray(np.array([[1.0, 2.0], [0.0, 1.0]], np.float32))
+    err = symmetry_probe(lambda v: a @ v, (2,))
+    assert err > 0.1
+
+
+def test_barycentric_coordinates():
+    p0 = np.array([[0.0, 0, 0]])
+    p1 = np.array([[1.0, 0, 0]])
+    p2 = np.array([[0.0, 1, 0]])
+    p = np.array([[1 / 3, 1 / 3, 0]])
+    l1, l2, l3 = barycentric_coordinates(p0, p1, p2, p)
+    np.testing.assert_allclose([l1[0], l2[0], l3[0]], [1 / 3] * 3, rtol=1e-6)
+    np.testing.assert_allclose(l1 + l2 + l3, 1.0, rtol=1e-6)
+
+
+def test_recover_uv_exact_and_interpolated():
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64
+    )
+    faces = np.array([[0, 1, 2]])
+    uv = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    # Exact vertex match + interior point.
+    pts = np.array([[1, 0, 0], [0.25, 0.25, 0.0]])
+    out = recover_uv(pts, verts, faces, uv)
+    np.testing.assert_allclose(out[0], [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(out[1], [0.25, 0.25], atol=1e-6)
