@@ -45,6 +45,20 @@ def run(argv=None) -> int:
                         help="capture a jax.profiler trace into this directory")
     args = parser.parse_args(argv)
 
+    # Persistent XLA compilation cache: repeat runs of the same config skip
+    # the 30-240 s first-compile (disable with FEM_TPU_NO_CACHE=1).
+    if not os.environ.get("FEM_TPU_NO_CACHE"):
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "FEM_TPU_CACHE_DIR",
+                os.path.expanduser("~/.cache/fem_tpu_xla"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from fem_tpu.render.raster import HeadlessRenderer
     from fem_tpu.scene import load_scene, method_banner
     from fem_tpu.sim import element_phi, make_frame_fn
