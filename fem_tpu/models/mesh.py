@@ -207,6 +207,87 @@ def tetrahedralize(
         return delaunay_tetrahedralize(vertices, faces, interior_spacing)
 
 
+def _tet_volumes(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    p = pts[tets]
+    return (
+        np.abs(
+            np.einsum(
+                "ei,ei->e",
+                p[:, 1] - p[:, 0],
+                np.cross(p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]),
+            )
+        )
+        / 6.0
+    )
+
+
+def collapse_slivers(
+    pts: np.ndarray,
+    tets: np.ndarray,
+    vol_frac: float = 0.05,
+    rounds: int = 5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Remove sliver tetrahedra by collapsing their shortest edge.
+
+    Quality substitute for tetgen's ``mindihedral/minratio`` bounds
+    (reference object.py:143), which the scipy-Delaunay fallback lacks:
+    near-degenerate tets have huge ``R⁻¹`` and tiny lumped masses, making the
+    implicit system ``A = I − dt²M⁻¹K`` indefinite under deformation (measured
+    κ = dt²·‖K‖/m up to ~1 on raw Delaunay output vs ~1e-3 on clean meshes).
+    Each round merges the endpoints of the shortest edge of every tet whose
+    volume is below ``vol_frac ×`` the median, then drops degenerate tets.
+    """
+    pts = pts.copy()
+    tets = tets.copy()
+    for _ in range(rounds):
+        vol = _tet_volumes(pts, tets)
+        med = np.median(vol)
+        bad = np.where(vol < vol_frac * med)[0]
+        if bad.size == 0:
+            break
+        parent = np.arange(pts.shape[0])
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        pairs = []
+        for t in bad:
+            quad = tets[t]
+            best, bi, bj = np.inf, quad[0], quad[1]
+            for a in range(4):
+                for b in range(a + 1, 4):
+                    dlen = np.sum((pts[quad[a]] - pts[quad[b]]) ** 2)
+                    if dlen < best:
+                        best, bi, bj = dlen, quad[a], quad[b]
+            pairs.append((bi, bj))
+        for i, j in pairs:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+        root = np.array([find(i) for i in range(pts.shape[0])])
+        # Merged position: mean of each cluster.
+        sums = np.zeros_like(pts)
+        counts = np.zeros(pts.shape[0])
+        np.add.at(sums, root, pts)
+        np.add.at(counts, root, 1.0)
+        pts = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], pts)
+        tets = root[tets]
+        keep = (
+            (tets[:, 0] != tets[:, 1]) & (tets[:, 0] != tets[:, 2])
+            & (tets[:, 0] != tets[:, 3]) & (tets[:, 1] != tets[:, 2])
+            & (tets[:, 1] != tets[:, 3]) & (tets[:, 2] != tets[:, 3])
+        )
+        tets = tets[keep]
+    # Compact vertex numbering.
+    used = np.unique(tets.reshape(-1))
+    remap = -np.ones(pts.shape[0], np.int64)
+    remap[used] = np.arange(used.shape[0])
+    return pts[used], remap[tets]
+
+
 def delaunay_tetrahedralize(
     vertices: np.ndarray,
     faces: np.ndarray,
@@ -214,10 +295,21 @@ def delaunay_tetrahedralize(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Native fallback mesher: Delaunay of surface vertices (+ interior grid
     Steiner points), keeping tetrahedra whose centroid lies inside the surface
-    (winding number > 1/2)."""
+    (winding number > 1/2), then sliver removal by edge collapse."""
     from scipy.spatial import Delaunay
 
     pts = vertices.copy()
+    if interior_spacing is None:
+        # Auto Steiner spacing ≈ 2× the median surface edge length — interior
+        # points are essential for element quality (tetgen inserts them too);
+        # pass interior_spacing=0 to disable.
+        edges = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        )
+        elen = np.linalg.norm(
+            vertices[edges[:, 0]] - vertices[edges[:, 1]], axis=1
+        )
+        interior_spacing = 2.0 * float(np.median(elen))
     if interior_spacing is not None and interior_spacing > 0:
         lo, hi = vertices.min(0), vertices.max(0)
         axes = [
@@ -248,11 +340,7 @@ def delaunay_tetrahedralize(
     ) / 6.0
     scale = float(np.prod(vertices.max(0) - vertices.min(0)) + 1e-30)
     tets = tets[vol > 1e-12 * scale]
-    # Compact to used vertices only.
-    used = np.unique(tets.reshape(-1))
-    remap = -np.ones(pts.shape[0], np.int64)
-    remap[used] = np.arange(used.shape[0])
-    return pts[used], remap[tets]
+    return collapse_slivers(pts, tets)
 
 
 # ---------------------------------------------------------------------------

@@ -140,6 +140,7 @@ def implicit_force_columns(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    robust: bool = False,
 ) -> jnp.ndarray:
     """Elastic force columns for the implicit RHS b: ``(E, d, d)``.
 
@@ -148,8 +149,16 @@ def implicit_force_columns(
     explicit path — and multiplies by ``−V`` (force, not gradient).
     """
     F = deformation_gradients(pos, element_indices, ref_inv)
-    f_inv_t = sm.mT(sm.inv(F))
-    log_term = jnp.log(sm.det(sm.matmul(sm.mT(F), F)))[..., None, None]
+    if robust:
+        # robust_inversion extension: clamp the determinant in F-inverse and
+        # the log argument so degenerate elements stay finite (the reference
+        # applies this guard only to logJ in the Hessian, implicit.py:131).
+        f_inv_t = sm.mT(sm.safe_inv(F))
+        gram_det = jnp.maximum(sm.det(sm.matmul(sm.mT(F), F)), 1e-8)
+    else:
+        f_inv_t = sm.mT(sm.inv(F))
+        gram_det = sm.det(sm.matmul(sm.mT(F), F))
+    log_term = jnp.log(gram_det)[..., None, None]
     P = mu * F - mu * f_inv_t + (s_lambda / 2.0) * log_term * f_inv_t
     return -volume[..., None, None] * sm.matmul(P, sm.mT(ref_inv))
 
@@ -161,6 +170,7 @@ def hessian_blocks(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    robust: bool = False,
 ) -> jnp.ndarray:
     """The single per-element implicit system block ``K_e``: ``(E, d, d)``.
 
@@ -173,7 +183,7 @@ def hessian_blocks(
     solver/implicit.py:131).
     """
     F = deformation_gradients(pos, element_indices, ref_inv)
-    f_inv = sm.inv(F)
+    f_inv = sm.safe_inv(F) if robust else sm.inv(F)
     f_inv_t = sm.mT(f_inv)
     log_j = jnp.log(jnp.maximum(sm.det(F), 1e-4))[..., None, None]
     dF = ref_inv

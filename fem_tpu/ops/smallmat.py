@@ -32,21 +32,18 @@ def det(m: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"unsupported matrix dim {d}")
 
 
-def inv(m: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of (..., d, d), d in {2, 3}, via adjugate / det."""
+def adjugate(m: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate (cofactor transpose) of (..., d, d) — always finite."""
     d = m.shape[-1]
-    dt = det(m)[..., None, None]
     if d == 2:
-        adj = jnp.stack(
+        return jnp.stack(
             [
                 jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1),
                 jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1),
             ],
             axis=-2,
         )
-        return adj / dt
     if d == 3:
-        # Cofactor matrix, transposed (adjugate).
         c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
         c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
         c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
@@ -56,7 +53,7 @@ def inv(m: jnp.ndarray) -> jnp.ndarray:
         c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
         c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
         c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
-        adj = jnp.stack(
+        return jnp.stack(
             [
                 jnp.stack([c00, c10, c20], axis=-1),
                 jnp.stack([c01, c11, c21], axis=-1),
@@ -64,8 +61,28 @@ def inv(m: jnp.ndarray) -> jnp.ndarray:
             ],
             axis=-2,
         )
-        return adj / dt
     raise ValueError(f"unsupported matrix dim {d}")
+
+
+def inv(m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of (..., d, d), d in {2, 3}, via adjugate / det."""
+    return adjugate(m) / det(m)[..., None, None]
+
+
+def safe_inv(m: jnp.ndarray, det_eps: float = 1e-6) -> jnp.ndarray:
+    """Inverse with the determinant clamped away from zero (sign-preserving).
+
+    Extension of the reference's inversion guard: the reference clamps only
+    ``log(det F)`` in the implicit Hessian (solver/implicit.py:131) but still
+    divides by the raw determinant in ``ti.math.inverse`` — a degenerate
+    element therefore NaNs the whole solve.  ``safe_inv`` keeps the adjugate
+    direction and bounds the magnitude, letting impacts recover (used only
+    when ``robust_inversion`` is enabled; default path matches the reference).
+    """
+    dt = det(m)
+    sign = jnp.where(dt < 0, -1.0, 1.0).astype(m.dtype)
+    dt_safe = sign * jnp.maximum(jnp.abs(dt), det_eps)
+    return adjugate(m) / dt_safe[..., None, None]
 
 
 def trace(m: jnp.ndarray) -> jnp.ndarray:

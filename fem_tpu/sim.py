@@ -51,6 +51,7 @@ def substep(
     axis_name: str | None = None,
     solver_backend: str = "auto",
     element_backend: str = "xla",
+    robust_inversion: bool = False,
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -81,11 +82,12 @@ def substep(
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
 
         state, solve_aux = implicit_velocity_solve_dense(
-            obj, state, dt, implicit_method, preconditioned
+            obj, state, dt, implicit_method, preconditioned, robust_inversion
         )
     else:
         state, solve_aux = implicit_velocity_solve(
-            obj, state, dt, implicit_method, preconditioned, axis_name
+            obj, state, dt, implicit_method, preconditioned, axis_name,
+            robust_inversion,
         )
     state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
@@ -101,6 +103,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         preconditioned=cfg.preconditioned,
         solver_backend=cfg.solver_backend,
         element_backend=cfg.element_backend,
+        robust_inversion=cfg.robust_inversion,
     )
 
 

@@ -97,6 +97,7 @@ def implicit_velocity_solve_dense(
     dt: float,
     method: int,
     preconditioned: int,
+    robust: bool = False,
 ) -> Tuple[SimState, ImplicitAux]:
     """Dense-backend counterpart of
     :func:`fem_tpu.solvers.implicit.implicit_velocity_solve` — identical
@@ -104,10 +105,10 @@ def implicit_velocity_solve_dense(
     n, d = obj.particle_cnt, obj.dim
     K = hessian_blocks(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda,
+        obj.mu, obj.s_lambda, robust,
     )
     A = assemble_dense_system(obj, K, dt)
-    b = implicit_rhs(obj, state, dt).reshape(-1)
+    b = implicit_rhs(obj, state, dt, robust=robust).reshape(-1)
 
     if method == JACOBI_METHOD:
         diag = jnp.diagonal(A).reshape(n, d)

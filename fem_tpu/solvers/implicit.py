@@ -116,12 +116,13 @@ def diagonal_blocks(
 # ---------------------------------------------------------------------------
 
 def implicit_rhs(
-    obj: FemObject, state: SimState, dt: float, axis_name: str | None = None
+    obj: FemObject, state: SimState, dt: float, axis_name: str | None = None,
+    robust: bool = False,
 ) -> jnp.ndarray:
     """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107)."""
     cols = implicit_force_columns(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda,
+        obj.mu, obj.s_lambda, robust,
     )
     f = assemble_for(obj, element_contrib_full(cols), axis_name)
     return state.vel + dt * f / obj.mass[:, None]
@@ -246,6 +247,7 @@ def implicit_velocity_solve(
     method: int,
     preconditioned: int,
     axis_name: str | None = None,
+    robust: bool = False,
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -257,10 +259,10 @@ def implicit_velocity_solve(
     """
     K = hessian_blocks(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda,
+        obj.mu, obj.s_lambda, robust,
     )
     apply_a = make_system_apply(obj, K, dt, axis_name)
-    b = implicit_rhs(obj, state, dt, axis_name)
+    b = implicit_rhs(obj, state, dt, axis_name, robust)
 
     if method == JACOBI_METHOD:
         diag = diagonal_blocks(obj, K, dt, axis_name)

@@ -81,6 +81,11 @@ class SimConfig:
     # Element-kernel execution: "xla" (default) or "pallas" (fused VMEM
     # kernel, ops/pallas_kernels.py) for the explicit analytic column math.
     element_backend: str = "xla"
+    # Clamp determinants in the implicit path's F-inverse/log so degenerate
+    # elements stay finite through impacts (the reference guards only the
+    # Hessian's logJ, implicit.py:131, and NaNs otherwise). Off by default
+    # for exact reference parity.
+    robust_inversion: bool = False
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -140,6 +145,7 @@ def parse_config(data: dict) -> SimConfig:
         blocks=blocks,
         solver_backend=str(data.get("solver_backend", "auto")),
         element_backend=str(data.get("element_backend", "xla")),
+        robust_inversion=bool(data.get("robust_inversion", False)),
     )
 
 

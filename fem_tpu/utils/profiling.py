@@ -57,9 +57,8 @@ class FrameMetrics(NamedTuple):
     any_nan: bool
 
 
-def frame_metrics(obj: FemObject, state: SimState) -> FrameMetrics:
-    """Structured per-frame stats (SURVEY §5: returned as auxiliaries instead
-    of the reference's ad-hoc prints)."""
+@jax.jit
+def _metrics_impl(obj: FemObject, state: SimState):
     F = deformation_gradients(state.pos, obj.element_indices, obj.ref_inv)
     det = sm.det(F)
     u = total_energy(
@@ -70,10 +69,17 @@ def frame_metrics(obj: FemObject, state: SimState) -> FrameMetrics:
     ke = 0.5 * jnp.sum(obj.mass * jnp.sum(v * v, axis=-1))
     speed = jnp.sqrt(jnp.max(jnp.sum(v * v, axis=-1)))
     pos_nan = ~jnp.all(jnp.isfinite(state.pos))
+    return u, ke, jnp.min(det), speed, pos_nan
+
+
+def frame_metrics(obj: FemObject, state: SimState) -> FrameMetrics:
+    """Structured per-frame stats (SURVEY §5: returned as auxiliaries instead
+    of the reference's ad-hoc prints).  One jitted dispatch per call."""
+    u, ke, min_det, speed, pos_nan = _metrics_impl(obj, state)
     return FrameMetrics(
         elastic_energy=float(u),
         kinetic_energy=float(ke),
-        min_det_f=float(jnp.min(det)),
+        min_det_f=float(min_det),
         max_speed=float(speed),
         any_nan=bool(pos_nan),
     )
