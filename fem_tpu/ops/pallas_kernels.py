@@ -122,6 +122,105 @@ def _grad_cols_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
         out_ref[i : i + 1, :] = v * h[i]
 
 
+def _hessian_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
+    """One tile of the implicit system blocks K_e (reference
+    solver/implicit.py:131-147 semantics; see ops/element.hessian_blocks)."""
+    d2 = dim * dim
+    if dim == 3:
+        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
+    else:
+        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+
+    x = [x_ref[i : i + 1, :] for i in range(d2)]
+    r = [r_ref[i : i + 1, :] for i in range(d2)]
+    v = v_ref[0:1, :]
+
+    f = mul(x, r)
+    det_f = det_fn(f)
+    f_inv = inv_fn(f, det_f)
+    f_inv_t = t_fn(f_inv)
+    log_j = jnp.log(jnp.maximum(det_f, 1e-4))  # reference clamp implicit.py:131
+    term2 = mul(mul(f_inv_t, t_fn(r)), f_inv_t)
+    f_inv_r = mul(f_inv, r)
+    tr = sum(f_inv_r[i * dim + i] for i in range(dim))
+    blk = [
+        mu * r[i] + (mu - lam * log_j) * term2[i] + lam * tr * f_inv_t[i]
+        for i in range(d2)
+    ]
+    k = mul(blk, t_fn(r))
+    for i in range(d2):
+        out_ref[i : i + 1, :] = -v * k[i]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu", "s_lambda", "interpret")
+)
+def hessian_blocks_planar(
+    x_planes: jnp.ndarray,
+    r_planes: jnp.ndarray,
+    v_plane: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused implicit-system blocks in planar layout: returns (d², E_pad)."""
+    d2, e_pad = x_planes.shape
+    dim = 3 if d2 == 9 else 2
+    assert e_pad % TILE_E == 0
+    spec = lambda rows: pl.BlockSpec(
+        (rows, TILE_E), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_hessian_kernel, dim=dim, mu=mu, lam=s_lambda)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d2, e_pad), x_planes.dtype),
+        grid=(e_pad // TILE_E,),
+        in_specs=[spec(d2), spec(d2), spec(1)],
+        out_specs=spec(d2),
+        interpret=interpret,
+    )(x_planes, r_planes, v_plane)
+
+
+def _planar_inputs(pos, element_indices, ref_inv, volume):
+    """Shared planar packing: edge matrices + ref_inv + volume, identity-padded."""
+    from fem_tpu.ops.assembly import gather_edge_diffs
+
+    e = element_indices.shape[0]
+    d = pos.shape[1]
+    d2 = d * d
+    e_pad = ((e + TILE_E - 1) // TILE_E) * TILE_E
+    x_mat = gather_edge_diffs(pos, element_indices)
+    eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=pos.dtype).reshape(d2, 1), (d2, e_pad - e)
+    )
+    x_planes = jnp.concatenate([x_mat.reshape(e, d2).T, eye], axis=1)
+    r_planes = jnp.concatenate([ref_inv.reshape(e, d2).T, eye], axis=1)
+    v_plane = jnp.concatenate(
+        [volume.reshape(1, e), jnp.zeros((1, e_pad - e), pos.dtype)], axis=1
+    )
+    return x_planes, r_planes, v_plane, e, d
+
+
+def hessian_blocks_pallas(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """Drop-in Pallas variant of :func:`fem_tpu.ops.element.hessian_blocks`
+    (non-robust path only — the robust det clamp stays on the XLA path)."""
+    x_planes, r_planes, v_plane, e, d = _planar_inputs(
+        pos, element_indices, ref_inv, volume
+    )
+    interpret = jax.default_backend() != "tpu"
+    k = hessian_blocks_planar(
+        x_planes, r_planes, v_plane, mu, s_lambda, interpret
+    )
+    return k[:, :e].T.reshape(e, d, d)
+
+
 @functools.partial(
     jax.jit, static_argnames=("mu", "s_lambda", "interpret")
 )
@@ -165,26 +264,11 @@ def explicit_grad_columns_pallas(
     """Drop-in replacement for
     :func:`fem_tpu.ops.element.explicit_grad_columns` running the fused
     Pallas kernel (XLA handles the gather + layout shuffles, which fuse into
-    neighbouring ops)."""
-    from fem_tpu.ops.assembly import gather_edge_diffs
-
-    e = element_indices.shape[0]
-    d = pos.shape[1]
-    d2 = d * d
-    e_pad = ((e + TILE_E - 1) // TILE_E) * TILE_E
-
-    x_mat = gather_edge_diffs(pos, element_indices)  # (E, d, d)
-    # Pad both X and R⁻¹ with identity matrices so padded lanes have F = I
-    # (det 1, finite log); padded volumes are 0 so their output is zero.
-    eye = jnp.broadcast_to(
-        jnp.eye(d, dtype=pos.dtype).reshape(d2, 1), (d2, e_pad - e)
+    neighbouring ops).  Both X and R⁻¹ pad with identity so padded lanes have
+    F = I (det 1, finite log); padded volumes are 0 so their output is zero."""
+    x_planes, r_planes, v_plane, e, d = _planar_inputs(
+        pos, element_indices, ref_inv, volume
     )
-    x_planes = jnp.concatenate([x_mat.reshape(e, d2).T, eye], axis=1)
-    r_planes = jnp.concatenate([ref_inv.reshape(e, d2).T, eye], axis=1)
-    v_plane = jnp.concatenate(
-        [volume.reshape(1, e), jnp.zeros((1, e_pad - e), pos.dtype)], axis=1
-    )
-
     interpret = jax.default_backend() != "tpu"
     h = grad_columns_planar(
         x_planes, r_planes, v_plane, mu, s_lambda, interpret

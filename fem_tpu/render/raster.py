@@ -46,6 +46,7 @@ def render_frame_2d(
     """One 640×640 RGB frame of the 2D scene (render/render.py:64-84):
     energy-tinted triangles, particle dots, obstacle circles."""
     fig = plt.figure(figsize=(WIDTH / 100, HEIGHT / 100), dpi=100)
+    fig.patch.set_facecolor("black")  # ti.GUI default background
     ax = fig.add_axes([0, 0, 1, 1])
     ax.set_xlim(0, 1)
     ax.set_ylim(0, 1)
@@ -102,12 +103,14 @@ def render_frame_3d(
         Line3DCollection(box_lines, colors=(0.99, 0.68, 0.28), linewidths=1.5)
     )
     if faces.shape[0]:
-        tri = pos[faces]  # (M, 3, 3)
-        edges = np.concatenate(
-            [tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]], axis=0
+        # Unique undirected edges: shared triangle edges drawn once (halves
+        # the segment count, matplotlib's bottleneck at large meshes).
+        e = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
         )
+        e = np.unique(np.sort(e, axis=1), axis=0)
         ax.add_collection3d(
-            Line3DCollection(edges, colors="white", linewidths=0.3)
+            Line3DCollection(pos[e], colors="white", linewidths=0.3)
         )
     ax.set_xlim(lo, hi)
     ax.set_ylim(lo, hi)

@@ -87,7 +87,7 @@ def substep(
     else:
         state, solve_aux = implicit_velocity_solve(
             obj, state, dt, implicit_method, preconditioned, axis_name,
-            robust_inversion,
+            robust_inversion, element_backend,
         )
     state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
     return state, StepAux(solve_aux.iterations, solve_aux.residual)

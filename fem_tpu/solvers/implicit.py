@@ -248,6 +248,7 @@ def implicit_velocity_solve(
     preconditioned: int,
     axis_name: str | None = None,
     robust: bool = False,
+    element_backend: str = "xla",
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -257,10 +258,18 @@ def implicit_velocity_solve(
     Jacobi iterations run replicated on every shard (identical arithmetic →
     identical iterates, no divergence).
     """
-    K = hessian_blocks(
-        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda, robust,
-    )
+    if element_backend == "pallas" and not robust:
+        from fem_tpu.ops.pallas_kernels import hessian_blocks_pallas
+
+        K = hessian_blocks_pallas(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+    else:
+        K = hessian_blocks(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda, robust,
+        )
     apply_a = make_system_apply(obj, K, dt, axis_name)
     b = implicit_rhs(obj, state, dt, axis_name, robust)
 

@@ -122,6 +122,45 @@ def test_extract_surface_cube():
     assert remapped.max() == len(surface_vertex) - 1
 
 
+def test_collapse_slivers_removes_degenerates():
+    from fem_tpu.models.mesh import _tet_volumes, collapse_slivers
+
+    # Two healthy tets + one sliver (4th vertex nearly coplanar).
+    pts = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [1, 1, 1],
+            [0.5, 0.5, 1e-6],  # sliver apex, nearly on the z=0 plane
+        ],
+        np.float64,
+    )
+    tets = np.array([[0, 1, 2, 3], [1, 2, 3, 4], [0, 1, 2, 5]], np.int64)
+    new_pts, new_tets = collapse_slivers(pts, tets, vol_frac=0.05)
+    vols = _tet_volumes(new_pts, new_tets)
+    assert vols.min() > 0.05 * np.median(vols)
+
+
+def test_delaunay_mesh_quality():
+    """The native mesher must not emit slivers: min element volume within
+    ~20x of the median (raw surface-Delaunay of the blob gives ~100x)."""
+    from fem_tpu.models.mesh import _tet_volumes, load_obj_file
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "assets", "spot.obj")
+    if not os.path.exists(path):
+        import subprocess, sys
+
+        subprocess.run(
+            [sys.executable, os.path.join(here, "assets", "make_assets.py")],
+            check=True,
+        )
+    v, f = load_obj_file(path)
+    nodes, tets = delaunay_tetrahedralize(v, f)
+    vols = _tet_volumes(nodes, tets)
+    assert vols.min() > np.median(vols) / 25.0
+
+
 def test_stl_roundtrip(tmp_path):
     v, f = _cube_surface()
     # Write a binary STL and read it back.
