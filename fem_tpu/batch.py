@@ -11,8 +11,6 @@ workload on hardware built for batch parallelism.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,13 +11,12 @@ Scalars that must be trace-time constants (dim, counts, material params) are
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from fem_tpu.ops import smallmat as sm
 from fem_tpu.utils.config import BlockConfig, ObjectConfig
 
 

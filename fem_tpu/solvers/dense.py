@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from fem_tpu.models.state import FemObject, SimState
 from fem_tpu.ops.element import hessian_blocks
 from fem_tpu.solvers.implicit import (
-    CGResult,
     ImplicitAux,
     conjugate_gradient,
     implicit_rhs,

@@ -10,8 +10,6 @@ none) — the full state pytree round-trips through a single ``.npz``.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
