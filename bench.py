@@ -155,7 +155,19 @@ def dense_cpu_baseline(cfg, obj, state, n_steps=3):
 
 def main():
     cfg, obj, state, obstacles = build_flagship()
-    tpu_steps_per_s, cg_iters = bench_tpu(cfg, obj, state, obstacles)
+    # The TPU tunnel in this environment occasionally drops with a transient
+    # "TPU device error" under sustained load; retry the measurement.
+    last_err = None
+    for attempt in range(3):
+        try:
+            tpu_steps_per_s, cg_iters = bench_tpu(cfg, obj, state, obstacles)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            last_err = e
+            print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(5)
+    else:
+        raise last_err
     base_steps_per_s = dense_cpu_baseline(cfg, obj, state)
     result = {
         "metric": "3d_spot_implicit_pcg_steps_per_s",
