@@ -8,6 +8,7 @@ tetrahedral Neo-Hookean soft bodies, explicit integration (analytic forces or
 by weighted Jacobi or (preconditioned) conjugate gradient.
 """
 
+from fem_tpu.api import Simulation
 from fem_tpu.models.state import FemObject, Obstacles, SimState, build_object
 from fem_tpu.sim import make_frame_fn, make_substep_fn, substep
 from fem_tpu.utils.config import (
@@ -21,6 +22,7 @@ from fem_tpu.utils.config import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "Simulation",
     "FemObject",
     "Obstacles",
     "SimState",

@@ -1,0 +1,129 @@
+# coding=utf-8
+"""High-level user API: one object wrapping scene + compiled steppers.
+
+The reference's only "API" is its CLI main loop; library users of this
+framework get an ergonomic façade over the pure-functional core::
+
+    import fem_tpu
+    sim = fem_tpu.Simulation.from_config("configs/default.json")
+    sim.run(seconds=1.0)                   # advance the virtual clock
+    frame = sim.render()                    # RGB frame of the current state
+    sim.save_checkpoint("state.npz")
+    metrics = sim.metrics()                 # energies / min det F / NaN guard
+
+Everything remains accessible underneath (``sim.scene[i].obj/.state``,
+``fem_tpu.sim.substep`` …) for power users.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from fem_tpu.models.state import Obstacles
+from fem_tpu.scene import SceneObject, load_scene, method_banner
+from fem_tpu.sim import element_phi, make_frame_fn
+from fem_tpu.utils import io as fio
+from fem_tpu.utils.config import SimConfig, parse_config, read_config
+from fem_tpu.utils.profiling import FrameMetrics, check_state, frame_metrics
+
+
+class Simulation:
+    """A loaded scene plus compiled per-frame steppers and a virtual clock."""
+
+    def __init__(self, cfg: SimConfig, interior_spacing: Optional[float] = None):
+        self.cfg = cfg
+        self.scene: List[SceneObject]
+        self.scene, self.obstacles = load_scene(cfg, interior_spacing)
+        self._frame_fns = [make_frame_fn(s.obj, cfg) for s in self.scene]
+        self.virtual_time = 0.0
+        self.frame_count = 0
+        self.last_aux = None
+
+    # -- constructors -----------------------------------------------------
+    @classmethod
+    def from_config(cls, path: str, **kw) -> "Simulation":
+        return cls(read_config(path), **kw)
+
+    @classmethod
+    def from_dict(cls, data: dict, **kw) -> "Simulation":
+        return cls(parse_config(data), **kw)
+
+    # -- stepping ---------------------------------------------------------
+    def step_frame(self) -> None:
+        """Advance one rendered frame (= ``sim_count`` substeps)."""
+        for s, fn in zip(self.scene, self._frame_fns):
+            s.state, self.last_aux = fn(s.state, self.obstacles)
+        self.virtual_time += self.cfg.sim_count * self.cfg.delta_time
+        self.frame_count += 1
+
+    def run(self, seconds: Optional[float] = None, frames: Optional[int] = None,
+            nan_guard: bool = False) -> None:
+        """Advance by virtual ``seconds`` or an explicit ``frames`` count."""
+        if frames is None:
+            if seconds is None:
+                raise ValueError("pass seconds= or frames=")
+            frames = int(seconds / (self.cfg.sim_count * self.cfg.delta_time))
+        for _ in range(frames):
+            self.step_frame()
+            if nan_guard:
+                check_state(
+                    self.scene[0].obj, self.scene[0].state,
+                    self.frame_count * self.cfg.sim_count,
+                )
+
+    # -- observation ------------------------------------------------------
+    def metrics(self, index: int = 0) -> FrameMetrics:
+        s = self.scene[index]
+        return frame_metrics(s.obj, s.state)
+
+    def positions(self, index: int = 0) -> np.ndarray:
+        return np.asarray(self.scene[index].state.pos)
+
+    def render(self, msgs: Sequence[str] = ()) -> np.ndarray:
+        """RGB frame of the current state (640×640 uint8)."""
+        from fem_tpu.render.raster import render_frame_2d, render_frame_3d
+
+        s = self.scene[0]
+        pos = np.asarray(s.state.pos)
+        faces = np.asarray(s.obj.faces)
+        if self.cfg.dim == 2:
+            phi = np.asarray(element_phi(s.obj, s.state))
+            return render_frame_2d(
+                pos, faces, phi,
+                np.asarray(self.obstacles.centers),
+                np.asarray(self.obstacles.radii),
+                msgs,
+            )
+        return render_frame_3d(pos, faces, msgs)
+
+    # -- persistence ------------------------------------------------------
+    def save_checkpoint(self, path: str, index: int = 0) -> None:
+        fio.save_checkpoint(
+            path, self.scene[index].state, self.frame_count, self.virtual_time
+        )
+
+    def load_checkpoint(self, path: str, index: int = 0) -> None:
+        state, frame, vt = fio.load_checkpoint(path)
+        self.scene[index].state = state
+        self.frame_count = frame
+        self.virtual_time = vt
+
+    def export_obj(self, path: str, index: int = 0) -> None:
+        s = self.scene[index]
+        if "map_index" not in s.aux:
+            raise ValueError("OBJ export requires a 3D mesh-file object")
+        fio.export_deformed_obj(
+            path, np.asarray(s.state.pos), s.aux["obj_vertices"],
+            s.aux["obj_faces"], s.aux["map_index"],
+        )
+
+    def __repr__(self) -> str:
+        bodies = ", ".join(
+            f"{s.obj.particle_cnt}p/{s.obj.element_cnt}e" for s in self.scene
+        )
+        return (
+            f"<Simulation dim={self.cfg.dim} t={self.virtual_time:.4f}s "
+            f"bodies=[{bodies}] {method_banner(self.cfg)!r}>"
+        )

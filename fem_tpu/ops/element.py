@@ -58,8 +58,17 @@ def energy_density(
     * ``stvk`` (the reference's latent St. Venant–Kirchhoff variant, present
       but commented out at solver/explicit_auto_diff.py:32-38):
       G = ½(FᵀF − I), φ = μ·Σ G² + λ/2·tr(G)².
+    * ``linear`` (framework extension — small-strain linear elasticity):
+      ε = ½(F + Fᵀ) − I, φ = μ·Σ ε² + λ/2·tr(ε)².
     """
     d = F.shape[-1]
+    if material == "linear":
+        eps = 0.5 * (F + sm.mT(F)) - jnp.broadcast_to(
+            jnp.eye(d, dtype=F.dtype), F.shape
+        )
+        eps_sq = jnp.einsum("...ij,...ij->...", eps, eps)
+        tr_e = sm.trace(eps)
+        return mu * eps_sq + s_lambda / 2.0 * tr_e * tr_e
     if material == "stvk":
         c = jnp.einsum(
             "...ki,...kj->...ij", F, F, precision=jax.lax.Precision.HIGHEST

@@ -64,6 +64,16 @@ def dense_diagnostics(a: np.ndarray) -> SystemDiagnostics:
     )
 
 
+def leading_principal_minors(a: np.ndarray, max_k: int = 64) -> np.ndarray:
+    """Leading principal minors det(A[:k,:k]) — the reference's commented-out
+    positive-definiteness probe (main.py:15-29).  All positive ⇒ positive
+    definite (Sylvester's criterion); capped at ``max_k`` for cost."""
+    k_max = min(a.shape[0], max_k)
+    return np.array(
+        [np.linalg.det(a[:k, :k]) for k in range(1, k_max + 1)]
+    )
+
+
 def system_diagnostics(
     obj: FemObject, state: SimState, dt: float, dense_max_dof: int = 8192
 ) -> SystemDiagnostics:

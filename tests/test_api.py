@@ -1,0 +1,83 @@
+# coding=utf-8
+"""High-level Simulation API, linear material, PD probe."""
+
+import numpy as np
+
+import fem_tpu
+from fem_tpu.ops.element import energy_density
+import jax.numpy as jnp
+
+
+def _cfg_dict(**over):
+    d = {
+        "dim": 2,
+        "delta_time": 5e-4,
+        "sim_count": 2,
+        "auto_diff": True,
+        "use_explicit_method": True,
+        "g_dir": [0, -1],
+        "objects": [
+            {"rho": 500, "center": [0.5, 0.8], "side_length": 0.2,
+             "subdivisions": 4, "E": 4e4, "nu": 0.2, "damping": 14.5}
+        ],
+        "blocks": [{"block_center": [0.5, 0.4], "block_radius": 0.15}],
+    }
+    d.update(over)
+    return d
+
+
+def test_simulation_lifecycle(tmp_path):
+    sim = fem_tpu.Simulation.from_dict(_cfg_dict())
+    assert "Simulation" in repr(sim)
+    y0 = sim.positions()[:, 1].mean()
+    sim.run(frames=10, nan_guard=True)
+    assert sim.frame_count == 10
+    assert abs(sim.virtual_time - 10 * 2 * 5e-4) < 1e-9
+    assert sim.positions()[:, 1].mean() < y0  # fell
+
+    m = sim.metrics()
+    assert not m.any_nan
+
+    frame = sim.render()
+    assert frame.shape == (640, 640, 3)
+
+    ckpt = str(tmp_path / "s.npz")
+    sim.save_checkpoint(ckpt)
+    sim2 = fem_tpu.Simulation.from_dict(_cfg_dict())
+    sim2.load_checkpoint(ckpt)
+    np.testing.assert_allclose(sim2.positions(), sim.positions())
+    assert sim2.frame_count == 10
+
+
+def test_linear_material():
+    f_id = jnp.broadcast_to(jnp.eye(2), (3, 2, 2))
+    phi = energy_density(f_id, 1e4, 1e4, material="linear")
+    np.testing.assert_allclose(np.asarray(phi), 0.0, atol=1e-6)
+    # Pure rotation has nonzero linear-elastic energy (the known small-strain
+    # artifact) while StVK is rotation-invariant — checks the formulas differ.
+    c, s = np.cos(0.3), np.sin(0.3)
+    rot = jnp.asarray(np.array([[[c, -s], [s, c]]], np.float32))
+    phi_lin = float(energy_density(rot, 1e4, 1e4, material="linear")[0])
+    phi_stvk = float(energy_density(rot, 1e4, 1e4, material="stvk")[0])
+    assert phi_lin > 1.0
+    assert abs(phi_stvk) < 1e-2
+
+
+def test_linear_material_simulation():
+    sim = fem_tpu.Simulation.from_dict(
+        _cfg_dict(objects=[
+            {"rho": 500, "center": [0.5, 0.8], "side_length": 0.2,
+             "subdivisions": 4, "E": 4e4, "nu": 0.2, "damping": 14.5,
+             "material": "linear"}
+        ])
+    )
+    sim.run(frames=5, nan_guard=True)
+
+
+def test_leading_principal_minors():
+    from fem_tpu.solvers.diagnostics import leading_principal_minors
+
+    spd = np.array([[2.0, 1.0], [1.0, 2.0]])
+    assert (leading_principal_minors(spd) > 0).all()
+    indef = np.array([[0.0, 1.0], [1.0, 0.0]])
+    assert (leading_principal_minors(indef) <= 0).any()
