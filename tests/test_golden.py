@@ -1,0 +1,72 @@
+# coding=utf-8
+"""Golden-trajectory regression canaries.
+
+One virtual second (2,000 substeps) of the 2D through-passage scene per
+method, checked against values recorded on the CPU backend.  After contact
+the four methods legitimately differ (explicit vs implicit advection;
+analytic vs autodiff agree to f32 accumulation; CG vs Jacobi to solver
+tolerance), so each method gets its own golden.  Tolerances are loose enough
+for cross-version numeric drift but catch semantic regressions (a changed
+collision order or solver constant moves these by >1e-2).
+"""
+
+import numpy as np
+import pytest
+
+from fem_tpu.sim import make_frame_fn
+from tests.utils import default_obstacles, default_sim_config, make_2d_object
+
+GOLDEN = {
+    "explicit_analytic": dict(
+        mean=0.52577740, std=0.07123064,
+        p0=(0.5946439, 0.4561227),
+        p24=(0.4982445, 0.5551394),
+        p48=(0.3927549, 0.6483386),
+    ),
+    "autodiff": dict(
+        mean=0.52570546, std=0.07118951,
+        p0=(0.5946961, 0.4559107),
+        p24=(0.4983058, 0.5549618),
+        p48=(0.3928466, 0.6482556),
+    ),
+    "implicit_cg": dict(
+        mean=0.55748934, std=0.09069931,
+        p0=(0.4851717, 0.4765905),
+        p24=(0.4952799, 0.6177244),
+        p48=(0.5053155, 0.7599441),
+    ),
+    "implicit_jacobi": dict(
+        mean=0.55740088, std=0.09082490,
+        p0=(0.4845695, 0.4767128),
+        p24=(0.4950091, 0.6178332),
+        p48=(0.5053751, 0.7600236),
+    ),
+}
+
+OVERRIDES = {
+    "explicit_analytic": dict(auto_diff=False, use_explicit_method=True),
+    "autodiff": dict(auto_diff=True, use_explicit_method=True),
+    "implicit_cg": dict(
+        auto_diff=False, use_explicit_method=False, implicit_method=1,
+        preconditioned=1,
+    ),
+    "implicit_jacobi": dict(
+        auto_diff=False, use_explicit_method=False, implicit_method=0
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_trajectory(name):
+    cfg = default_sim_config(**OVERRIDES[name])
+    _, obj, state = make_2d_object(subdivisions=6)
+    obstacles = default_obstacles()
+    frame = make_frame_fn(obj, cfg)
+    for _ in range(200):  # 1.0 virtual second
+        state, _ = frame(state, obstacles)
+    p = np.asarray(state.pos)
+    g = GOLDEN[name]
+    assert abs(p.mean() - g["mean"]) < 5e-3
+    assert abs(p.std() - g["std"]) < 5e-3
+    for key, idx in (("p0", 0), ("p24", 24), ("p48", 48)):
+        np.testing.assert_allclose(p[idx], g[key], atol=1e-2)
