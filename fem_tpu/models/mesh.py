@@ -179,6 +179,25 @@ def winding_number(
 # Tetrahedralization
 # ---------------------------------------------------------------------------
 
+def _tet_cache_path(
+    vertices: np.ndarray, faces: np.ndarray, interior_spacing
+) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(vertices, np.float64).tobytes())
+    h.update(np.ascontiguousarray(faces, np.int64).tobytes())
+    h.update(repr(interior_spacing).encode())
+    cache_dir = os.environ.get(
+        "FEM_TPU_MESH_CACHE",
+        os.path.join(tempfile.gettempdir(), "fem_tpu_mesh_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, h.hexdigest()[:24] + ".npz")
+
+
 def tetrahedralize(
     vertices: np.ndarray,
     faces: np.ndarray,
@@ -188,8 +207,30 @@ def tetrahedralize(
 
     Prefers the tetgen wheel (reference parameters, object.py:143) when
     importable; otherwise uses the native Delaunay + winding-number pipeline.
-    Returns (nodes (N,3) f64, tets (E,4) i64).
+    Results are cached to disk keyed by the input geometry hash (SURVEY §7:
+    cached tetrahedralization keeps goldens stable and reloads fast; disable
+    with ``FEM_TPU_MESH_CACHE=off``).  Returns (nodes (N,3) f64, tets (E,4)
+    i64).
     """
+    import os
+
+    cache_enabled = os.environ.get("FEM_TPU_MESH_CACHE", "") != "off"
+    if cache_enabled:
+        path = _tet_cache_path(vertices, faces, interior_spacing)
+        if os.path.exists(path):
+            data = np.load(path)
+            return data["nodes"], data["tets"]
+    nodes, tets = _tetrahedralize_uncached(vertices, faces, interior_spacing)
+    if cache_enabled:
+        np.savez(path, nodes=nodes, tets=tets)
+    return nodes, tets
+
+
+def _tetrahedralize_uncached(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    interior_spacing: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
     try:  # pragma: no cover - tetgen not present in CI env
         import tetgen  # type: ignore
         import pyvista as pv  # type: ignore

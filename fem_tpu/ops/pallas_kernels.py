@@ -181,6 +181,84 @@ def hessian_blocks_planar(
     )(x_planes, r_planes, v_plane)
 
 
+def _implicit_force_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
+    """One tile of the implicit RHS force columns (reference
+    solver/implicit.py:87-88: λ/2·log det(FᵀF) form, scaled by −V)."""
+    d2 = dim * dim
+    if dim == 3:
+        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
+    else:
+        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+
+    x = [x_ref[i : i + 1, :] for i in range(d2)]
+    r = [r_ref[i : i + 1, :] for i in range(d2)]
+    v = v_ref[0:1, :]
+
+    f = mul(x, r)
+    det_f = det_fn(f)
+    f_inv_t = t_fn(inv_fn(f, det_f))
+    # log det(FᵀF) = log((det F)²) — finite for inverted elements, matching
+    # the reference's implicit-b expression exactly.
+    log_gram = jnp.log(det_f * det_f)
+    p = [
+        mu * f[i] + (lam / 2.0 * log_gram - mu) * f_inv_t[i]
+        for i in range(d2)
+    ]
+    h = mul(p, t_fn(r))
+    for i in range(d2):
+        out_ref[i : i + 1, :] = -v * h[i]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mu", "s_lambda", "interpret")
+)
+def implicit_force_planar(
+    x_planes: jnp.ndarray,
+    r_planes: jnp.ndarray,
+    v_plane: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    d2, e_pad = x_planes.shape
+    dim = 3 if d2 == 9 else 2
+    assert e_pad % TILE_E == 0
+    spec = lambda rows: pl.BlockSpec(
+        (rows, TILE_E), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _implicit_force_kernel, dim=dim, mu=mu, lam=s_lambda
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d2, e_pad), x_planes.dtype),
+        grid=(e_pad // TILE_E,),
+        in_specs=[spec(d2), spec(d2), spec(1)],
+        out_specs=spec(d2),
+        interpret=interpret,
+    )(x_planes, r_planes, v_plane)
+
+
+def implicit_force_columns_pallas(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+) -> jnp.ndarray:
+    """Drop-in Pallas variant of
+    :func:`fem_tpu.ops.element.implicit_force_columns` (non-robust path)."""
+    x_planes, r_planes, v_plane, e, d = _planar_inputs(
+        pos, element_indices, ref_inv, volume
+    )
+    interpret = jax.default_backend() != "tpu"
+    h = implicit_force_planar(
+        x_planes, r_planes, v_plane, mu, s_lambda, interpret
+    )
+    return h[:, :e].T.reshape(e, d, d)
+
+
 def _planar_inputs(pos, element_indices, ref_inv, volume):
     """Shared planar packing: edge matrices + ref_inv + volume, identity-padded."""
     from fem_tpu.ops.assembly import gather_edge_diffs

@@ -117,13 +117,21 @@ def diagonal_blocks(
 
 def implicit_rhs(
     obj: FemObject, state: SimState, dt: float, axis_name: str | None = None,
-    robust: bool = False,
+    robust: bool = False, element_backend: str = "xla",
 ) -> jnp.ndarray:
     """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107)."""
-    cols = implicit_force_columns(
-        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda, robust,
-    )
+    if element_backend == "pallas" and not robust:
+        from fem_tpu.ops.pallas_kernels import implicit_force_columns_pallas
+
+        cols = implicit_force_columns_pallas(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+    else:
+        cols = implicit_force_columns(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda, robust,
+        )
     f = assemble_for(obj, element_contrib_full(cols), axis_name)
     return state.vel + dt * f / obj.mass[:, None]
 
@@ -271,7 +279,7 @@ def implicit_velocity_solve(
             obj.mu, obj.s_lambda, robust,
         )
     apply_a = make_system_apply(obj, K, dt, axis_name)
-    b = implicit_rhs(obj, state, dt, axis_name, robust)
+    b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
 
     if method == JACOBI_METHOD:
         diag = diagonal_blocks(obj, K, dt, axis_name)

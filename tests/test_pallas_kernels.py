@@ -58,6 +58,25 @@ def test_pallas_hessian_blocks_match_xla():
         )
 
 
+def test_pallas_implicit_force_columns_match_xla():
+    from fem_tpu.ops.element import implicit_force_columns
+    from fem_tpu.ops.pallas_kernels import implicit_force_columns_pallas
+
+    for maker, scale in ((make_2d_object, 0.003), (two_tet_object, 0.02)):
+        cfg, obj, state = maker()
+        state = _perturbed(state, scale)
+        args = (
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+        ref = np.asarray(implicit_force_columns(*args))
+        got = np.asarray(implicit_force_columns_pallas(*args))
+        scale_ref = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(
+            got / scale_ref, ref / scale_ref, atol=2e-5
+        )
+
+
 def test_pallas_padding_lanes_are_zeroed():
     """Padded lanes (volume 0, F = I) must not contaminate real output."""
     cfg, obj, state = two_tet_object()
