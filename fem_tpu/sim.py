@@ -52,6 +52,7 @@ def substep(
     solver_backend: str = "auto",
     element_backend: str = "xla",
     robust_inversion: bool = False,
+    hessian: str = "reference",
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -87,7 +88,7 @@ def substep(
     else:
         state, solve_aux = implicit_velocity_solve(
             obj, state, dt, implicit_method, preconditioned, axis_name,
-            robust_inversion, element_backend,
+            robust_inversion, element_backend, hessian,
         )
     state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
@@ -104,6 +105,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         solver_backend=cfg.solver_backend,
         element_backend=cfg.element_backend,
         robust_inversion=cfg.robust_inversion,
+        hessian=cfg.hessian,
     )
 
 

@@ -111,6 +111,36 @@ def diagonal_blocks(
     return eye - (dt * dt) * diag_k / obj.mass[:, None, None]
 
 
+def make_exact_hvp_apply(
+    obj: FemObject,
+    pos: jnp.ndarray,
+    dt: float,
+    axis_name: str | None = None,
+    robust: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Extension: the *true* Newton operator A = I − dt²·M⁻¹·∂f/∂x via a
+    Hessian-vector product (``jax.jvp`` of the assembled elastic force).
+
+    The reference's block Hessian (``hessian_blocks``) drops all cross-vertex
+    coupling (solver/implicit.py:141-144) — the exact linearization couples
+    every vertex pair of an element.  Selected via ``hessian="exact_jvp"``
+    (SimConfig extension); O(E) per application like the reference operator.
+    """
+
+    def force(p: jnp.ndarray) -> jnp.ndarray:
+        cols = implicit_force_columns(
+            p, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda, robust,
+        )
+        return assemble_for(obj, element_contrib_full(cols), axis_name)
+
+    def apply_a(x: jnp.ndarray) -> jnp.ndarray:
+        _, df_x = jax.jvp(force, (pos,), (x,))
+        return x - (dt * dt) * df_x / obj.mass[:, None]
+
+    return apply_a
+
+
 # ---------------------------------------------------------------------------
 # Right-hand side
 # ---------------------------------------------------------------------------
@@ -257,6 +287,7 @@ def implicit_velocity_solve(
     axis_name: str | None = None,
     robust: bool = False,
     element_backend: str = "xla",
+    hessian: str = "reference",
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -266,6 +297,38 @@ def implicit_velocity_solve(
     Jacobi iterations run replicated on every shard (identical arithmetic →
     identical iterates, no divergence).
     """
+    if hessian == "exact_jvp":
+        if method != CONJUGATE_GRADIENT_METHOD:
+            raise ValueError(
+                "hessian='exact_jvp' supports only the CG solver (Jacobi "
+                "needs explicit diagonal blocks)"
+            )
+        apply_a = make_exact_hvp_apply(obj, state.pos, dt, axis_name, robust)
+        b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
+        # ∂f/∂x of a conservative force is symmetric ⇒ Aᵀ = I − dt²·Jᵀ·M⁻¹
+        # realized with the VJP of the same force function.
+        def force(p):
+            cols = implicit_force_columns(
+                p, obj.element_indices, obj.ref_inv, obj.volume,
+                obj.mu, obj.s_lambda, robust,
+            )
+            return assemble_for(obj, element_contrib_full(cols), axis_name)
+
+        _, vjp_fn = jax.vjp(force, state.pos)
+
+        def apply_at(y):
+            (jt,) = vjp_fn(y / obj.mass[:, None])
+            return y - (dt * dt) * jt
+
+        if preconditioned == 1:
+            operator = lambda v: apply_at(apply_a(v))
+            rhs = apply_at(b)
+        else:
+            operator = apply_a
+            rhs = b
+        res = conjugate_gradient(operator, rhs, x0=b)
+        return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
+
     if element_backend == "pallas" and not robust:
         from fem_tpu.ops.pallas_kernels import hessian_blocks_pallas
 

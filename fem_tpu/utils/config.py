@@ -86,6 +86,10 @@ class SimConfig:
     # Hessian's logJ, implicit.py:131, and NaNs otherwise). Off by default
     # for exact reference parity.
     robust_inversion: bool = False
+    # Implicit linearization: "reference" (the reference's decoupled block
+    # Hessian, exact parity) or "exact_jvp" (true Newton operator via
+    # jax.jvp of the assembled force; CG only).
+    hessian: str = "reference"
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -146,6 +150,7 @@ def parse_config(data: dict) -> SimConfig:
         solver_backend=str(data.get("solver_backend", "auto")),
         element_backend=str(data.get("element_backend", "xla")),
         robust_inversion=bool(data.get("robust_inversion", False)),
+        hessian=str(data.get("hessian", "reference")),
     )
 
 
