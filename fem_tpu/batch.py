@@ -37,6 +37,29 @@ def perturb_states(
     return base.replace(pos=base.pos + jnp.asarray(noise))
 
 
+def make_sharded_batched_frame_fn(obj: FemObject, cfg: SimConfig, mesh):
+    """Data-parallel ensembles: the batch axis sharded over a device mesh.
+
+    The complementary axis to element sharding (fem_tpu/parallel): ensemble
+    members are independent, so the batch dimension shards with *zero*
+    collectives — pure pjit-style auto-partitioning.  Pass a 1-D
+    ``jax.sharding.Mesh``; states come back sharded the same way.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    frame = make_batched_frame_fn(obj, cfg)
+    batch_sharding = NamedSharding(mesh, P(axis))
+
+    def sharded_frame(states: SimState, obstacles: Obstacles):
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sharding), states
+        )
+        return frame(states, obstacles)
+
+    return sharded_frame
+
+
 def make_batched_frame_fn(obj: FemObject, cfg: SimConfig):
     """Compiled frame function over a batch of states: one mesh, B
     simulations, `sim_count` substeps, a single device dispatch.
