@@ -137,10 +137,12 @@ class HeadlessRenderer:
         output_dir: str = "./output",
         output_fps: int = 60,
         is_output_gif: bool = False,
+        camera: "Optional[Tuple[float, float]]" = None,
     ):
         import os
 
         self.dim = dim
+        self.camera = camera  # (elev, azim) degrees; None = default view
         self.output_dir = output_dir
         self.output_fps = output_fps
         self.frame_time = 1.0 / output_fps
@@ -169,7 +171,12 @@ class HeadlessRenderer:
                 block_centers, block_radii, msgs,
             )
         else:
-            frame = render_frame_3d(pos, faces, msgs)
+            if self.camera is not None:
+                frame = render_frame_3d(
+                    pos, faces, msgs, elev=self.camera[0], azim=self.camera[1]
+                )
+            else:
+                frame = render_frame_3d(pos, faces, msgs)
         self.frames.append(frame)
         self.output_frame_cnt += 1
         return True

@@ -78,7 +78,13 @@ def substep(
     # and the O(E) matrix-free operator beats dense materialization at every
     # mesh size tried — so "auto" resolves to matrix-free and dense stays an
     # explicit opt-in for high-iteration-count regimes.
-    use_dense = solver_backend == "dense" and axis_name is None
+    # The dense backend materializes the reference block Hessian; the
+    # exact-JVP operator is matrix-free only.
+    use_dense = (
+        solver_backend == "dense"
+        and axis_name is None
+        and hessian == "reference"
+    )
     if use_dense:
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
 

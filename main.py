@@ -43,6 +43,10 @@ def run(argv=None) -> int:
                         help="NaN-guarded stepping + physics metrics per print")
     parser.add_argument("--trace", type=str, default=None,
                         help="capture a jax.profiler trace into this directory")
+    parser.add_argument("--camera", type=str, default=None,
+                        help="3D camera as 'elev,azim' degrees (headless "
+                             "replacement for the reference's interactive "
+                             "camera keys)")
     args = parser.parse_args(argv)
 
     # Persistent XLA compilation cache: repeat runs of the same config skip
@@ -91,8 +95,13 @@ def run(argv=None) -> int:
 
     renderer = None
     if not args.no_render:
+        camera = None
+        if args.camera:
+            elev, azim = (float(x) for x in args.camera.split(","))
+            camera = (elev, azim)
         renderer = HeadlessRenderer(
-            cfg.dim, args.output, cfg.output_fps, cfg.is_output_gif
+            cfg.dim, args.output, cfg.output_fps, cfg.is_output_gif,
+            camera=camera,
         )
     os.makedirs(args.output, exist_ok=True)
 
