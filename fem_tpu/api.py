@@ -82,14 +82,15 @@ class Simulation:
         return np.asarray(self.scene[index].state.pos)
 
     def render(self, msgs: Sequence[str] = ()) -> np.ndarray:
-        """RGB frame of the current state (640×640 uint8)."""
+        """RGB frame of the current state, all bodies (640×640 uint8)."""
         from fem_tpu.render.raster import render_frame_2d, render_frame_3d
 
-        s = self.scene[0]
-        pos = np.asarray(s.state.pos)
-        faces = np.asarray(s.obj.faces)
+        pos = [np.asarray(s.state.pos) for s in self.scene]
+        faces = [np.asarray(s.obj.faces) for s in self.scene]
         if self.cfg.dim == 2:
-            phi = np.asarray(element_phi(s.obj, s.state))
+            phi = [
+                np.asarray(element_phi(s.obj, s.state)) for s in self.scene
+            ]
             return render_frame_2d(
                 pos, faces, phi,
                 np.asarray(self.obstacles.centers),

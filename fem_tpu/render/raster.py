@@ -36,15 +36,25 @@ def _fig_to_rgb(fig) -> np.ndarray:
 
 
 def render_frame_2d(
-    pos: np.ndarray,
-    faces: np.ndarray,
-    phi: np.ndarray,
+    pos,
+    faces,
+    phi,
     block_centers: np.ndarray,
     block_radii: np.ndarray,
     msgs: Sequence[str] = (),
 ) -> np.ndarray:
     """One 640×640 RGB frame of the 2D scene (render/render.py:64-84):
-    energy-tinted triangles, particle dots, obstacle circles."""
+    energy-tinted triangles, particle dots, obstacle circles.
+
+    ``pos``/``faces``/``phi`` may be single arrays or lists of per-body
+    arrays — the reference draws every object in the scene
+    (render/render.py:66).
+    """
+    bodies = (
+        list(zip(pos, faces, phi))
+        if isinstance(pos, (list, tuple))
+        else [(pos, faces, phi)]
+    )
     fig = plt.figure(figsize=(WIDTH / 100, HEIGHT / 100), dpi=100)
     fig.patch.set_facecolor("black")  # ti.GUI default background
     ax = fig.add_axes([0, 0, 1, 1])
@@ -53,14 +63,19 @@ def render_frame_2d(
     ax.set_facecolor("black")
     ax.set_axis_off()
 
-    tris = pos[faces]  # (M, 3, 2)
-    # Reference color: rgb(phi + base, base, base) per triangle.
-    r = np.clip(phi + _ENERGY_BASE, 0.0, 1.0)
-    colors = np.stack(
-        [r, np.full_like(r, _ENERGY_BASE), np.full_like(r, _ENERGY_BASE)], -1
-    )
-    ax.add_collection(PolyCollection(tris, facecolors=colors, linewidths=0))
-    ax.scatter(pos[:, 0], pos[:, 1], s=4, c="#AAAA00", linewidths=0)
+    for body_pos, body_faces, body_phi in bodies:
+        tris = body_pos[body_faces]  # (M, 3, 2)
+        # Reference color: rgb(phi + base, base, base) per triangle.
+        r = np.clip(body_phi + _ENERGY_BASE, 0.0, 1.0)
+        colors = np.stack(
+            [r, np.full_like(r, _ENERGY_BASE), np.full_like(r, _ENERGY_BASE)],
+            -1,
+        )
+        ax.add_collection(
+            PolyCollection(tris, facecolors=colors, linewidths=0)
+        )
+        ax.scatter(body_pos[:, 0], body_pos[:, 1], s=4, c="#AAAA00",
+                   linewidths=0)
     for c, rad in zip(block_centers, block_radii):
         if rad > 0:
             ax.add_patch(plt.Circle(c, rad, color="#343434"))
@@ -78,17 +93,24 @@ _BOX_EDGES = [
 
 
 def render_frame_3d(
-    pos: np.ndarray,
-    faces: np.ndarray,
+    pos,
+    faces,
     msgs: Sequence[str] = (),
     elev: float = 15.0,
     azim: float = -80.0,
     box: Tuple[float, float] = (0.0, 5.0),
 ) -> np.ndarray:
     """One RGB frame of the 3D scene: wireframe surface mesh + [0,5]³ box
-    lines (render/render.py:86-106)."""
+    lines (render/render.py:86-106).  ``pos``/``faces`` may be lists of
+    per-body arrays (the reference draws every object, render/render.py:97).
+    """
     from mpl_toolkits.mplot3d.art3d import Line3DCollection
 
+    bodies = (
+        list(zip(pos, faces))
+        if isinstance(pos, (list, tuple))
+        else [(pos, faces)]
+    )
     fig = plt.figure(figsize=(WIDTH / 100, HEIGHT / 100), dpi=100)
     ax = fig.add_axes([0, 0, 1, 1], projection="3d")
     lo, hi = box
@@ -102,15 +124,21 @@ def render_frame_3d(
     ax.add_collection3d(
         Line3DCollection(box_lines, colors=(0.99, 0.68, 0.28), linewidths=1.5)
     )
-    if faces.shape[0]:
+    for body_pos, body_faces in bodies:
+        if not body_faces.shape[0]:
+            continue
         # Unique undirected edges: shared triangle edges drawn once (halves
         # the segment count, matplotlib's bottleneck at large meshes).
         e = np.concatenate(
-            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+            [
+                body_faces[:, [0, 1]], body_faces[:, [1, 2]],
+                body_faces[:, [2, 0]],
+            ],
+            axis=0,
         )
         e = np.unique(np.sort(e, axis=1), axis=0)
         ax.add_collection3d(
-            Line3DCollection(pos[e], colors="white", linewidths=0.3)
+            Line3DCollection(body_pos[e], colors="white", linewidths=0.3)
         )
     ax.set_xlim(lo, hi)
     ax.set_ylim(lo, hi)
@@ -166,9 +194,13 @@ class HeadlessRenderer:
         if not (virtual_time / self.frame_time > self.output_frame_cnt):
             return False
         if self.dim == 2:
+            if phi is None:
+                if isinstance(faces, (list, tuple)):
+                    phi = [np.zeros(f.shape[0]) for f in faces]
+                else:
+                    phi = np.zeros(faces.shape[0])
             frame = render_frame_2d(
-                pos, faces, phi if phi is not None else np.zeros(faces.shape[0]),
-                block_centers, block_radii, msgs,
+                pos, faces, phi, block_centers, block_radii, msgs,
             )
         else:
             if self.camera is not None:

@@ -142,17 +142,17 @@ def run(argv=None) -> int:
             msgs = []
             if not cfg.is_output_gif:  # overlay parity, main.py:124-127
                 msgs = [f"frame_cnt: {frame + 1}", f"time: {virtual_time:.4f}"]
-            s0 = scene[0]
-            phi = None
+            # Every body in the scene is drawn (reference render2d/render3d
+            # loop over objects, render/render.py:66,97).
+            all_pos = [np.asarray(s.state.pos) for s in scene]
+            all_faces = [np.asarray(s.obj.faces) for s in scene]
+            all_phi = None
             if cfg.dim == 2:
-                phi = np.asarray(element_phi(s0.obj, s0.state))
+                all_phi = [
+                    np.asarray(element_phi(s.obj, s.state)) for s in scene
+                ]
             renderer.maybe_capture(
-                virtual_time,
-                np.asarray(s0.state.pos),
-                np.asarray(s0.obj.faces),
-                phi,
-                centers,
-                radii,
+                virtual_time, all_pos, all_faces, all_phi, centers, radii,
                 msgs,
             )
 
