@@ -173,6 +173,48 @@ def test_jacobi_solves_system():
     )
 
 
+def test_jacobi_zero_diagonal_branch():
+    """|a_ii| < 1e-6 zeroes that component instead of dividing
+    (implicit.py:400-401)."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(np.diag([1.0, 1e-9]).astype(np.float32))
+    diag = jnp.asarray(
+        np.array([[[1.0]], [[1e-9]]], np.float32)
+    )  # (N=2, d=1, d=1)
+    b = jnp.asarray(np.array([[1.0], [1.0]], np.float32))
+    past = jnp.zeros((2, 1))
+    res = jacobi_solve(lambda v: a @ v, diag, b, past)
+    x = np.asarray(res.x)
+    assert x[1, 0] == 0.0  # degenerate diagonal → zeroed every sweep
+    # Healthy row relaxes toward b/a until the degenerate row's constant
+    # residual makes the error non-monotone and the rollback stops it.
+    assert 0.7 < x[0, 0] <= 1.0
+    assert int(res.iterations) >= 1
+
+
+def test_energy_rotation_invariance():
+    """Neo-Hookean and StVK energies are invariant under rigid rotation of F
+    (property test; linear elasticity is knowingly not)."""
+    from fem_tpu.ops.element import energy_density
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    F = jnp.asarray(
+        (np.eye(3) + 0.1 * rng.normal(size=(5, 3, 3))).astype(np.float32)
+    )
+    theta = 0.7
+    c, s = np.cos(theta), np.sin(theta)
+    R = jnp.asarray(
+        np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    )
+    RF = jnp.einsum("ij,ejk->eik", R, F)
+    for material in ("neo_hookean", "stvk"):
+        phi = np.asarray(energy_density(F, 1e4, 1e4, material))
+        phi_r = np.asarray(energy_density(RF, 1e4, 1e4, material))
+        np.testing.assert_allclose(phi_r, phi, rtol=1e-4, atol=1e-3)
+
+
 def test_jacobi_rollback_on_divergence():
     """On a non-dominant system where the first sweep increases the residual,
     jacobi returns the stale past_x (rollback semantics, implicit.py:257-259)."""
