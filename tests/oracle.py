@@ -195,9 +195,12 @@ class Oracle:
             it += 1
         self.vel = x.reshape(self.n, self.d)
 
-    def solve_jacobi(self, dt, past_x=None):
+    def solve_jacobi(self, dt):
+        """Weighted Jacobi with rollback; the relaxation anchor persists
+        across steps exactly like the reference's never-reset past_vec_x."""
         Ad, b = self._dense_system(dt)
         n = b.shape[0]
+        past_x = getattr(self, "_jacobi_past", None)
         past = np.zeros(n) if past_x is None else past_x.reshape(-1).copy()
         x = 0.5 * b
         err = np.linalg.norm(b - Ad @ x)
@@ -229,4 +232,8 @@ class Oracle:
 
     def step_implicit_cg(self, dt, g_dir, blocks, preconditioned=1):
         self.solve_cg(dt, preconditioned)
+        self.advect_implicit(dt, g_dir, blocks)
+
+    def step_implicit_jacobi(self, dt, g_dir, blocks):
+        self.solve_jacobi(dt)
         self.advect_implicit(dt, g_dir, blocks)
