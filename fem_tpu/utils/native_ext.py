@@ -38,14 +38,23 @@ def _build_library(src_dir: str) -> Optional[str]:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-o", out, src],
+            ["g++", "-O3", "-fopenmp", "-fPIC", "-shared", "-o", out, src],
             check=True,
             capture_output=True,
             timeout=120,
         )
         return out
     except Exception:
-        return None
+        try:  # toolchains without OpenMP
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-o", out, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return out
+        except Exception:
+            return None
 
 
 def get_library() -> Optional[ctypes.CDLL]:

@@ -110,6 +110,7 @@ void winding_number(const double *points, int64_t num_points,
                     double *out) {
     (void)num_vertices;
     const double four_pi = 4.0 * M_PI;
+#pragma omp parallel for schedule(static)
     for (int64_t p = 0; p < num_points; ++p) {
         const double *q = points + 3 * p;
         double total = 0.0;
@@ -142,6 +143,7 @@ void winding_number(const double *points, int64_t num_points,
 void nearest_vertex(const double *queries, int64_t num_queries,
                     const double *targets, int64_t num_targets,
                     int64_t *out) {
+#pragma omp parallel for schedule(static)
     for (int64_t q = 0; q < num_queries; ++q) {
         const double *p = queries + 3 * q;
         double best = 1e300;
