@@ -90,6 +90,23 @@ def test_winding_number_cube():
     assert np.all(np.abs(winding_number(outside, v, f)) < 0.1)
 
 
+def test_ray_parity_inside_matches_winding():
+    from fem_tpu.models.mesh import points_inside_mesh
+
+    v, f = _cube_surface()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.5, 1.5, size=(500, 3))
+    # Keep points away from the surface (both tests are ill-defined there).
+    margin = 0.02
+    near = np.any(
+        (np.abs(pts) < margin) | (np.abs(pts - 1.0) < margin), axis=1
+    )
+    pts = pts[~near]
+    wn = winding_number(pts, v, f) > 0.5
+    rp = points_inside_mesh(pts, v, f)
+    np.testing.assert_array_equal(rp, wn)
+
+
 def test_delaunay_tetrahedralize_cube():
     v, f = _cube_surface()
     nodes, tets = delaunay_tetrahedralize(v, f)

@@ -23,6 +23,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--spacing", type=float, default=0.035)
     p.add_argument("--seconds", type=float, default=0.5)
+    p.add_argument("--warm-seconds", type=float, default=0.6,
+                   help="simulate through the floor impact first so the "
+                        "measured window has real deformation + CG work")
     p.add_argument("--render", action="store_true")
     p.add_argument("--method", default="implicit_cg",
                    choices=["implicit_cg", "explicit"])
@@ -66,6 +69,18 @@ def main():
     jax.block_until_ready(s.pos)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", flush=True)
 
+    warm_frames = int(args.warm_seconds / (cfg.sim_count * cfg.delta_time))
+    for _ in range(warm_frames):
+        s, aux = frame(s, obstacles)
+    jax.block_until_ready(s.pos)
+    m = frame_metrics(obj, s)
+    iters = float(np.asarray(aux.solver_iterations).mean())
+    print(
+        f"warmed through impact: min det F={m.min_det_f:.3f} "
+        f"CG iters/substep={iters:.1f}",
+        flush=True,
+    )
+
     n_frames = int(args.seconds / (cfg.sim_count * cfg.delta_time))
     t0 = time.perf_counter()
     for _ in range(n_frames):
@@ -74,9 +89,11 @@ def main():
     wall = time.perf_counter() - t0
     steps = n_frames * cfg.sim_count
     m = frame_metrics(obj, s)
+    iters = float(np.asarray(aux.solver_iterations).mean())
     print(
         f"{steps} substeps in {wall:.2f}s = {steps / wall:.0f} steps/s "
         f"({obj.element_cnt * steps / wall:.2e} element-steps/s)  "
+        f"CG iters/substep={iters:.1f}  "
         f"min det F={m.min_det_f:.3f}  finite={not m.any_nan}",
         flush=True,
     )
