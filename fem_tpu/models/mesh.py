@@ -216,6 +216,10 @@ def points_inside_mesh(
 # Tetrahedralization
 # ---------------------------------------------------------------------------
 
+# Bump when tetrahedralization/collapse algorithms change (cache key salt).
+_MESHER_VERSION = "v2-quality-collapse-rayparity"
+
+
 def _tet_cache_path(
     vertices: np.ndarray, faces: np.ndarray, interior_spacing
 ) -> str:
@@ -224,6 +228,7 @@ def _tet_cache_path(
     import tempfile
 
     h = hashlib.sha256()
+    h.update(_MESHER_VERSION.encode())  # invalidate on algorithm changes
     h.update(np.ascontiguousarray(vertices, np.float64).tobytes())
     h.update(np.ascontiguousarray(faces, np.int64).tobytes())
     h.update(repr(interior_spacing).encode())
@@ -299,11 +304,23 @@ def _tet_volumes(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:
     )
 
 
+def _tet_quality(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Scale-invariant shape quality: V / L³ with L the longest edge
+    (≈0.118 for a regular tet, →0 for slivers/needles)."""
+    p = pts[tets]
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    edge_sq = np.stack(
+        [np.sum((p[:, a] - p[:, b]) ** 2, axis=1) for a, b in pairs], axis=1
+    )
+    longest = np.sqrt(edge_sq.max(axis=1))
+    return _tet_volumes(pts, tets) / np.maximum(longest, 1e-300) ** 3
+
+
 def collapse_slivers(
     pts: np.ndarray,
     tets: np.ndarray,
-    vol_frac: float = 0.05,
-    rounds: int = 5,
+    quality_min: float = 0.01,
+    rounds: int = 10,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Remove sliver tetrahedra by collapsing their shortest edge.
 
@@ -312,15 +329,18 @@ def collapse_slivers(
     near-degenerate tets have huge ``R⁻¹`` and tiny lumped masses, making the
     implicit system ``A = I − dt²M⁻¹K`` indefinite under deformation (measured
     κ = dt²·‖K‖/m up to ~1 on raw Delaunay output vs ~1e-3 on clean meshes).
-    Each round merges the endpoints of the shortest edge of every tet whose
-    volume is below ``vol_frac ×`` the median, then drops degenerate tets.
+
+    The criterion is the *scale-invariant* shape quality V/L³ (regular tet
+    ≈0.118); a volume-vs-median threshold over-fires on meshes with mixed
+    element sizes (legitimately small boundary tets near uniform interiors)
+    and cascades.  Each round merges the endpoints of the shortest edge of
+    every below-threshold tet, then drops degenerate tets.
     """
     pts = pts.copy()
     tets = tets.copy()
     for _ in range(rounds):
-        vol = _tet_volumes(pts, tets)
-        med = np.median(vol)
-        bad = np.where(vol < vol_frac * med)[0]
+        q = _tet_quality(pts, tets)
+        bad = np.where(q < quality_min)[0]
         if bad.size == 0:
             break
         parent = np.arange(pts.shape[0])
@@ -331,7 +351,10 @@ def collapse_slivers(
                 i = parent[i]
             return i
 
-        pairs = []
+        # Merge an INDEPENDENT set of edges per round: chained merges
+        # (A-B, B-C, ...) percolate through a dense sliver region and can
+        # collapse whole submeshes into single points.
+        touched = set()
         for t in bad:
             quad = tets[t]
             best, bi, bj = np.inf, quad[0], quad[1]
@@ -340,11 +363,11 @@ def collapse_slivers(
                     dlen = np.sum((pts[quad[a]] - pts[quad[b]]) ** 2)
                     if dlen < best:
                         best, bi, bj = dlen, quad[a], quad[b]
-            pairs.append((bi, bj))
-        for i, j in pairs:
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                parent[rj] = ri
+            if bi in touched or bj in touched:
+                continue
+            touched.add(bi)
+            touched.add(bj)
+            parent[find(bj)] = find(bi)
         root = np.array([find(i) for i in range(pts.shape[0])])
         # Merged position: mean of each cluster.
         sums = np.zeros_like(pts)
@@ -359,6 +382,11 @@ def collapse_slivers(
             & (tets[:, 1] != tets[:, 3]) & (tets[:, 2] != tets[:, 3])
         )
         tets = tets[keep]
+    # A few slivers can be irreducible by edge collapse (each collapse may
+    # create a new one); drop any stragglers outright — removing a handful
+    # of degenerate boundary tets is far safer than keeping their huge R⁻¹.
+    q = _tet_quality(pts, tets)
+    tets = tets[q >= quality_min]
     # Compact vertex numbering.
     used = np.unique(tets.reshape(-1))
     remap = -np.ones(pts.shape[0], np.int64)
@@ -396,6 +424,13 @@ def delaunay_tetrahedralize(
         ]
         if all(len(a) for a in axes):
             grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+            # A perfect cubic grid is co-spherical in every cell — Delaunay
+            # on it produces arbitrary degenerate slivers.  Deterministic
+            # jitter breaks the degeneracy and yields well-shaped tets.
+            rng = np.random.default_rng(0)
+            grid = grid + rng.uniform(
+                -0.2 * interior_spacing, 0.2 * interior_spacing, grid.shape
+            )
             inner = grid[points_inside_mesh(grid, vertices, faces)]
             if inner.shape[0]:
                 pts = np.vstack([pts, inner])

@@ -152,15 +152,16 @@ def test_collapse_slivers_removes_degenerates():
         np.float64,
     )
     tets = np.array([[0, 1, 2, 3], [1, 2, 3, 4], [0, 1, 2, 5]], np.int64)
-    new_pts, new_tets = collapse_slivers(pts, tets, vol_frac=0.05)
-    vols = _tet_volumes(new_pts, new_tets)
-    assert vols.min() > 0.05 * np.median(vols)
+    new_pts, new_tets = collapse_slivers(pts, tets)
+    from fem_tpu.models.mesh import _tet_quality
+
+    assert _tet_quality(new_pts, new_tets).min() >= 0.01
 
 
 def test_delaunay_mesh_quality():
-    """The native mesher must not emit slivers: min element volume within
-    ~20x of the median (raw surface-Delaunay of the blob gives ~100x)."""
-    from fem_tpu.models.mesh import _tet_volumes, load_obj_file
+    """The native mesher must not emit slivers: minimum shape quality above
+    the collapse threshold (raw surface-Delaunay of the blob violates it)."""
+    from fem_tpu.models.mesh import _tet_quality, load_obj_file
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -174,8 +175,7 @@ def test_delaunay_mesh_quality():
         )
     v, f = load_obj_file(path)
     nodes, tets = delaunay_tetrahedralize(v, f)
-    vols = _tet_volumes(nodes, tets)
-    assert vols.min() > np.median(vols) / 25.0
+    assert _tet_quality(nodes, tets).min() >= 0.009
 
 
 def test_stl_roundtrip(tmp_path):
