@@ -50,25 +50,29 @@ def build_flagship():
 
 
 def bench_tpu(cfg, obj, state, obstacles, n_frames=30, warm_frames=60):
-    import jax
-
     from fem_tpu.sim import make_frame_fn
 
     frame_fn = make_frame_fn(obj, cfg)
     # Compile, then advance past the initial free-fall so the measured regime
     # includes real deformation (CG iteration counts at rest are ~0-2).
+    #
+    # MEASUREMENT NOTE: on this environment's relayed TPU backend,
+    # jax.block_until_ready returns before execution actually completes, so
+    # the timed region must end with a device->host VALUE fetch — the only
+    # reliable completion barrier.  Frames still pipeline asynchronously
+    # inside the loop (throughput, not latency, is measured).
     s, aux = frame_fn(state, obstacles)
     for _ in range(warm_frames):
         s, aux = frame_fn(s, obstacles)
-    jax.block_until_ready(s.pos)
+    _ = np.asarray(s.pos)  # hard sync before starting the clock
     t0 = time.perf_counter()
     for _ in range(n_frames):
         s, aux = frame_fn(s, obstacles)
-    jax.block_until_ready(s.pos)
+    final_pos = np.asarray(s.pos)  # hard sync ends the timed region
     dt_wall = time.perf_counter() - t0
     steps = n_frames * cfg.sim_count
     iters = float(np.asarray(aux.solver_iterations).sum())
-    assert np.isfinite(np.asarray(s.pos)).all(), "simulation diverged"
+    assert np.isfinite(final_pos).all(), "simulation diverged"
     return steps / dt_wall, iters / cfg.sim_count
 
 

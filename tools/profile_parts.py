@@ -20,14 +20,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # block_until_ready is unreliable on this relayed backend (returns before
+    # execution completes); a device->host value fetch is the only hard sync.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timeit(fn, *args, iters=200, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e6  # us
 
 
