@@ -29,6 +29,8 @@ def analytic_energy_gradient(
     (solver/explicit.py:23-49).  With ``axis_name``, element arrays are local
     shards and the assembly is psum-reduced.  ``element_backend="pallas"``
     runs the fused VMEM kernel (ops/pallas_kernels.py) for the column math."""
+    if element_backend == "auto":
+        element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if element_backend == "pallas":
         from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas
 

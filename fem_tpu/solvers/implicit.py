@@ -150,6 +150,8 @@ def implicit_rhs(
     robust: bool = False, element_backend: str = "xla",
 ) -> jnp.ndarray:
     """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107)."""
+    if element_backend == "auto":
+        element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if element_backend == "pallas" and not robust:
         from fem_tpu.ops.pallas_kernels import implicit_force_columns_pallas
 
@@ -297,6 +299,8 @@ def implicit_velocity_solve(
     Jacobi iterations run replicated on every shard (identical arithmetic →
     identical iterates, no divergence).
     """
+    if element_backend == "auto":
+        element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if hessian == "exact_jvp":
         if method != CONJUGATE_GRADIENT_METHOD:
             raise ValueError(
