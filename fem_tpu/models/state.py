@@ -50,6 +50,10 @@ class FemObject:
     # Per-particle incidence plan (N, max_degree) for gather-based assembly
     # (ops/assembly.py:build_gather_plan) — TPUs prefer gathers to scatters.
     gather_idx: jnp.ndarray = None
+    # Dense ±1 edge-difference operator S (E·d, N) for the MXU operator mode
+    # (solvers/implicit.py:build_edge_matrix); attached at build time for
+    # small meshes, None otherwise.
+    edge_matrix: jnp.ndarray = None
     # --- static metadata ---
     # "gather" (default, single-chip) or "segment" (used under shard_map
     # where each shard owns an element slice and psum-reduces).
@@ -125,6 +129,7 @@ def build_object(
     arrays (reference: Object.__init__ + particles_init, object.py:44-93,
     337-343: ``pos = vertices + center``)."""
     from fem_tpu.ops.assembly import build_gather_plan
+    from fem_tpu.solvers.implicit import build_edge_matrix
 
     d = vertices.shape[1]
     pos = vertices.astype(np.float32) + np.asarray(cfg.center, np.float32)
@@ -138,6 +143,11 @@ def build_object(
         rest_pos=jnp.asarray(pos),
         faces=jnp.asarray(faces.astype(np.int32)),
         gather_idx=jnp.asarray(build_gather_plan(element_indices, n)),
+        edge_matrix=(
+            jnp.asarray(build_edge_matrix(element_indices, n))
+            if element_indices.shape[0] * d * n <= 6_000_000
+            else None
+        ),
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

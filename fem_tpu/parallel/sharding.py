@@ -56,6 +56,7 @@ def pad_elements(obj: FemObject, multiple: int) -> FemObject:
         gather_idx=jnp.asarray(
             build_gather_plan(np.asarray(idx), obj.particle_cnt)
         ),
+        edge_matrix=None,  # MXU operator mode is single-chip only
     )
 
 
@@ -74,6 +75,11 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
     """Shared builder for the sharded substep / frame functions."""
     n_shards = mesh.devices.size
     padded = pad_elements(obj, n_shards)
+    if padded.element_cnt == obj.element_cnt:
+        # pad_elements may have returned the object unchanged; the sharded
+        # path never uses the dense edge matrix, so drop it (it would need a
+        # PartitionSpec otherwise).
+        padded = padded.replace(edge_matrix=None)
     local_cnt = padded.element_cnt // n_shards
 
     state_spec = SimState(pos=P(), vel=P(), vel_g=P(), force=P(),

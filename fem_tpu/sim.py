@@ -53,6 +53,7 @@ def substep(
     element_backend: str = "xla",
     robust_inversion: bool = False,
     hessian: str = "reference",
+    operator_mode: str = "graph",
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -94,7 +95,7 @@ def substep(
     else:
         state, solve_aux = implicit_velocity_solve(
             obj, state, dt, implicit_method, preconditioned, axis_name,
-            robust_inversion, element_backend, hessian,
+            robust_inversion, element_backend, hessian, operator_mode,
         )
     state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
@@ -112,6 +113,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         element_backend=cfg.element_backend,
         robust_inversion=cfg.robust_inversion,
         hessian=cfg.hessian,
+        operator_mode=cfg.operator_mode,
     )
 
 

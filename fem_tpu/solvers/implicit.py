@@ -111,6 +111,54 @@ def diagonal_blocks(
     return eye - (dt * dt) * diag_k / obj.mass[:, None, None]
 
 
+def build_edge_matrix(element_indices, num_particles: int):
+    """Dense ±1 edge-difference operator S of shape (E·d, N):
+    ``(S x)[e·d+j] = x[v_{j+1}] − x[v_0]`` — so the element-Laplacian product
+    is two MXU matmuls, ``G(K)·x = Sᵀ·(K ∘ (S x))``.
+
+    On dispatch-overhead-dominated backends this "mxu" operator mode replaces
+    the ~7-op gather/einsum/scatter chain per application with 3 ops.  Dense
+    S is O(E·d·N) memory — viable for small/medium meshes only (the caller
+    gates on size).  Host-side, runs once at load.
+    """
+    import numpy as np
+
+    idx = np.asarray(element_indices)
+    e, dp1 = idx.shape
+    d = dp1 - 1
+    s = np.zeros((e * d, num_particles), np.float32)
+    rows = np.arange(e * d)
+    s[rows, idx[:, 1:].reshape(-1)] += 1.0
+    s[rows, np.repeat(idx[:, 0], d)] -= 1.0
+    return s
+
+
+def make_mxu_system_apply(
+    obj: FemObject, K: jnp.ndarray, s_mat: jnp.ndarray, dt: float
+):
+    """(apply_a, apply_at) in the MXU formulation.  ``s_mat`` is the dense S
+    from :func:`build_edge_matrix`; K blocks reshape to (E·d, d) row blocks so
+    ``K ∘ t`` is one einsum."""
+    e, d = K.shape[0], obj.dim
+    hp = jax.lax.Precision.HIGHEST
+
+    def g_apply(k_blocks, x):
+        s = jnp.dot(s_mat, x, precision=hp)  # row (e,j) = edge diff vector j
+        # t[e,j,:] = K_e @ s[e,j,:]  (contract component axis k)
+        t = jnp.einsum(
+            "eik,ejk->eji", k_blocks, s.reshape(e, d, d), precision=hp
+        ).reshape(e * d, d)
+        return jnp.dot(s_mat.T, t, precision=hp)
+
+    def apply_a(x):
+        return x - (dt * dt) * g_apply(K, x) / obj.mass[:, None]
+
+    def apply_at(y):
+        return y - (dt * dt) * g_apply(sm.mT(K), y / obj.mass[:, None])
+
+    return apply_a, apply_at
+
+
 def make_exact_hvp_apply(
     obj: FemObject,
     pos: jnp.ndarray,
@@ -290,6 +338,7 @@ def implicit_velocity_solve(
     robust: bool = False,
     element_backend: str = "xla",
     hessian: str = "reference",
+    operator_mode: str = "graph",
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -345,7 +394,17 @@ def implicit_velocity_solve(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
             obj.mu, obj.s_lambda, robust,
         )
-    apply_a = make_system_apply(obj, K, dt, axis_name)
+    use_mxu = (
+        operator_mode in ("mxu", "auto")
+        and axis_name is None
+        and obj.edge_matrix is not None
+    )
+    if use_mxu:
+        apply_a, apply_at_mxu = make_mxu_system_apply(
+            obj, K, obj.edge_matrix, dt
+        )
+    else:
+        apply_a = make_system_apply(obj, K, dt, axis_name)
     b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
 
     if method == JACOBI_METHOD:
@@ -356,7 +415,10 @@ def implicit_velocity_solve(
 
     if method == CONJUGATE_GRADIENT_METHOD:
         if preconditioned == 1:
-            apply_at = make_system_apply_t(obj, K, dt, axis_name)
+            if use_mxu:
+                apply_at = apply_at_mxu
+            else:
+                apply_at = make_system_apply_t(obj, K, dt, axis_name)
             operator = lambda v: apply_at(apply_a(v))
             rhs = apply_at(b)
         else:

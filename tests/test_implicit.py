@@ -173,6 +173,26 @@ def test_jacobi_solves_system():
     )
 
 
+def test_mxu_operator_matches_graph():
+    """The dense edge-matrix operator Sᵀ(K∘(Sx)) must match the graph
+    gather/scatter operator exactly (same linear map, MXU execution)."""
+    import jax.numpy as jnp
+
+    for maker, scale in ((make_2d_object, 0.004), (two_tet_object, 0.03)):
+        cfg, obj, state = maker()
+        state = _perturbed(state, scale)
+        assert obj.edge_matrix is not None
+        s1, _ = implicit_velocity_solve(
+            obj, state, DT, 1, 1, operator_mode="graph"
+        )
+        s2, _ = implicit_velocity_solve(
+            obj, state, DT, 1, 1, operator_mode="mxu"
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2.vel), np.asarray(s1.vel), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_jacobi_zero_diagonal_branch():
     """|a_ii| < 1e-6 zeroes that component instead of dividing
     (implicit.py:400-401)."""
