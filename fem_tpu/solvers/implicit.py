@@ -17,7 +17,8 @@ Solver semantics match the reference exactly:
   * CG: x₀ = b (implicit.py:314), absolute tolerance ``delta_new > 1e-5``
     (implicit.py:341), ≤500 iterations, optional normal-equations mode
     AᵀAx = Aᵀb when ``preconditioned == 1`` (implicit.py:289-299) — realized
-    matrix-free by a double apply with Aᵀ from ``jax.linear_transpose``;
+    matrix-free by a double apply with the closed-form Aᵀ (same scatter
+    pattern, transposed blocks);
   * weighted Jacobi: x₀ = 0.5·b (implicit.py:232), ω = 0.75 relaxation against
     the previously *cached* iterate (implicit.py:392-404), monotone-error
     check with rollback-and-stop (implicit.py:252-261), tol 1e-5, ≤20000
