@@ -133,6 +133,81 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
     return run
 
 
+def make_2d_mesh(
+    batch_size: int, elem_size: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D device mesh: ensembles × elements (("batch", "elem") axes)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: batch_size * elem_size]).reshape(
+        batch_size, elem_size
+    )
+    return Mesh(devices, ("batch", AXIS))
+
+
+def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
+    """Composed parallelism over a 2-D ``("batch", "elem")`` device mesh:
+    ensemble members shard over ``batch`` (independent — zero collectives)
+    while each member's elements shard over ``elem`` (one ``psum`` per
+    assembly).  This is the full SPMD story: B·S chips simulate B·S-times the
+    work of one chip with only the small per-iteration ICI reduction.
+
+    Call with a batched :class:`SimState` (leading axis divisible by the
+    batch-mesh size) and unbatched obstacles.
+    """
+    n_elem_shards = mesh.shape[AXIS]
+    padded = pad_elements(obj, n_elem_shards).replace(edge_matrix=None)
+    local_cnt = padded.element_cnt // n_elem_shards
+
+    state_spec = SimState(
+        pos=P("batch"), vel=P("batch"), vel_g=P("batch"),
+        force=P("batch"), jacobi_past_x=P("batch"),
+    )
+    obs_spec = Obstacles(centers=P(), radii=P())
+    aux_spec = StepAux(P("batch"), P("batch"))
+    obj_spec = padded.replace(
+        element_indices=P(AXIS), ref_inv=P(AXIS), volume=P(AXIS),
+        mass=P(), rest_pos=P(), faces=P(), gather_idx=P(),
+    )
+
+    kwargs = dict(
+        dt=cfg.delta_time,
+        g_dir=cfg.g_dir,
+        use_explicit_method=cfg.use_explicit_method,
+        auto_diff=cfg.auto_diff,
+        implicit_method=cfg.implicit_method,
+        preconditioned=cfg.preconditioned,
+        axis_name=AXIS,
+        solver_backend="matrix_free",
+    )
+
+    def local_fn(obj_shard: FemObject, states, obstacles):
+        local = obj_shard.replace(
+            element_cnt=local_cnt, assembly_mode="segment"
+        )
+
+        def one(state):
+            def body(s, _):
+                return substep(local, s, obstacles, **kwargs)
+
+            return jax.lax.scan(body, state, None, length=cfg.sim_count)
+
+        return jax.vmap(one)(states)
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(obj_spec, state_spec, obs_spec),
+        out_specs=(state_spec, aux_spec),
+    )
+    jit_sharded = jax.jit(sharded)
+
+    def run(states: SimState, obstacles: Obstacles):
+        return jit_sharded(padded, states, obstacles)
+
+    return run
+
+
 def make_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
     """Compiled frame function (``sim_count`` substeps) with elements sharded
     over ``mesh``; drop-in replacement for :func:`fem_tpu.sim.make_frame_fn`."""

@@ -65,6 +65,45 @@ def test_sharded_substep_matches_single_device(overrides):
     )
 
 
+def test_2d_mesh_batch_by_elements():
+    """Composed parallelism: 4 ensemble members × 2 element shards on the
+    8-device CPU mesh must match the single-device batched path."""
+    from fem_tpu.batch import broadcast_state, make_batched_frame_fn
+    from fem_tpu.parallel.sharding import (
+        make_2d_mesh,
+        make_batched_sharded_frame_fn,
+    )
+
+    cfg_all = default_sim_config(
+        auto_diff=False, use_explicit_method=False, implicit_method=1,
+        preconditioned=1, sim_count=2,
+    )
+    _, obj, state = make_2d_object(subdivisions=4)
+    obstacles = default_obstacles()
+    states = broadcast_state(state, 4)
+    # Perturb members so they differ.
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    states = states.replace(
+        pos=states.pos
+        + jnp.asarray(
+            rng.normal(scale=1e-4, size=states.pos.shape).astype(_np.float32)
+        )
+    )
+
+    mesh2d = make_2d_mesh(4, 2)
+    sharded = make_batched_sharded_frame_fn(obj, cfg_all, mesh2d)
+    plain = make_batched_frame_fn(obj, cfg_all)
+
+    s1, aux1 = sharded(states, obstacles)
+    s2, aux2 = plain(states, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
+    )
+    assert aux1.solver_iterations.shape == (4, 2)
+
+
 def test_sharded_frame_matches_single_device_explicit():
     cfg_all = default_sim_config(
         auto_diff=False, use_explicit_method=True, sim_count=5
