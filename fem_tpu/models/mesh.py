@@ -59,9 +59,18 @@ def construct_2d_mesh(cfg: ObjectConfig) -> Tuple[np.ndarray, np.ndarray, np.nda
 # Native OBJ / STL readers (replacing trimesh/pyvista ingestion)
 # ---------------------------------------------------------------------------
 
-def load_obj_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
+def load_obj_file(
+    path: str, weld: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
     """Minimal Wavefront OBJ reader: v/f records, fan-triangulated faces,
-    ``v/vt/vn`` index forms supported.  Returns (vertices (N,3), faces (M,3))."""
+    ``v/vt/vn`` index forms supported.  Returns (vertices (N,3), faces (M,3)).
+
+    ``weld`` merges positionally-duplicate vertices (textured OBJs duplicate
+    vertices along UV seams) — the reference gets this implicitly from
+    trimesh's load-time processing (object.py:134) and carries a whole latent
+    utility for the same seam issue (``process_obj_duplicate_point``,
+    object.py:164-195); unwelded seams would crack a FEM mesh apart.
+    """
     verts: List[List[float]] = []
     faces: List[List[int]] = []
     with open(path, "r") as f:
@@ -76,7 +85,37 @@ def load_obj_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 ids = [i - 1 if i > 0 else len(verts) + i for i in ids]
                 for k in range(1, len(ids) - 1):
                     faces.append([ids[0], ids[k], ids[k + 1]])
-    return np.array(verts, np.float64), np.array(faces, np.int64)
+    v = np.array(verts, np.float64)
+    f_arr = np.array(faces, np.int64)
+    if weld and v.shape[0]:
+        uniq, inverse = np.unique(
+            np.round(v, 8), axis=0, return_inverse=True
+        )
+        # Keep original coordinates (first occurrence) rather than rounded.
+        first = np.full(uniq.shape[0], -1, np.int64)
+        for i, g in enumerate(inverse):
+            if first[g] < 0:
+                first[g] = i
+        v_out = v[first]
+        f_arr = inverse[f_arr]
+        keep = (
+            (f_arr[:, 0] != f_arr[:, 1])
+            & (f_arr[:, 1] != f_arr[:, 2])
+            & (f_arr[:, 0] != f_arr[:, 2])
+        )
+        return v_out, f_arr[keep]
+    return v, f_arr
+
+
+def find_duplicate_vertex_groups(vertices: np.ndarray) -> dict:
+    """Groups of positionally-identical vertex indices (the reference's
+    latent seam analysis, ``process_obj_duplicate_point`` object.py:164-195,
+    as a vectorized utility): maps representative index -> list of indices."""
+    uniq, inverse = np.unique(np.round(vertices, 8), axis=0, return_inverse=True)
+    groups: dict = {}
+    for i, g in enumerate(inverse):
+        groups.setdefault(int(g), []).append(i)
+    return {v[0]: v for v in groups.values() if len(v) > 1}
 
 
 def load_stl_file(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -178,6 +178,27 @@ def test_delaunay_mesh_quality():
     assert _tet_quality(nodes, tets).min() >= 0.009
 
 
+def test_obj_loader_welds_uv_seam_duplicates(tmp_path):
+    """A textured-style OBJ with duplicated seam vertices must weld into a
+    single connected mesh (reference gets this from trimesh processing)."""
+    from fem_tpu.models.mesh import find_duplicate_vertex_groups, load_obj_file
+
+    path = tmp_path / "seam.obj"
+    path.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "v 1 0 0\nv 0 1 0\nv 1 1 0\n"  # duplicates of v2,v3 (UV seam style)
+        "f 1/1 2/2 3/3\nf 4/4 6/6 5/5\n"
+    )
+    v, f = load_obj_file(str(path))
+    assert v.shape[0] == 4  # welded 6 -> 4
+    assert f.shape[0] == 2
+    assert len(np.unique(f.reshape(-1))) == 4  # both faces share the seam
+
+    v_raw, _ = load_obj_file(str(path), weld=False)
+    groups = find_duplicate_vertex_groups(v_raw)
+    assert sorted(sorted(g) for g in groups.values()) == [[1, 3], [2, 4]]
+
+
 def test_stl_roundtrip(tmp_path):
     v, f = _cube_surface()
     # Write a binary STL and read it back.
