@@ -60,10 +60,17 @@ def substep(
     otherwise explicit-analytic or implicit.  ``axis_name`` enables
     element-sharded execution under shard_map (fem_tpu.parallel)."""
     zero_aux = StepAux(jnp.int32(0), jnp.float32(0.0))
+    # Advection stays on the XLA path: the fused Pallas advection kernels
+    # (ops/pallas_advect.py) are parity-exact but measured 4x SLOWER here —
+    # their (N, d) layout has d lanes, forcing Mosaic relayouts that cost
+    # more than the ~8 fused XLA ops they replace.  (The element-column
+    # kernels use the component-planar layout and do win.)
+    advect_backend = "xla"
     if auto_diff:
         grad = autodiff_energy_gradient(obj, state.pos, axis_name)
         state = kinematic_step(
-            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir
+            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
+            advect_backend,
         )
         return state, zero_aux
     if use_explicit_method:
@@ -71,7 +78,8 @@ def substep(
             obj, state.pos, axis_name, element_backend
         )
         state = kinematic_step(
-            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir
+            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
+            advect_backend,
         )
         return state, zero_aux
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
@@ -97,7 +105,9 @@ def substep(
             obj, state, dt, implicit_method, preconditioned, axis_name,
             robust_inversion, element_backend, hessian, operator_mode,
         )
-    state = advect_implicit_step(state, obstacles, dt, obj.damping, g_dir)
+    state = advect_implicit_step(
+        state, obstacles, dt, obj.damping, g_dir, advect_backend
+    )
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 
 

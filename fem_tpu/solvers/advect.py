@@ -59,12 +59,27 @@ def kinematic_step(
     dt: float,
     damping: float,
     g_dir: Tuple[float, ...],
+    backend: str = "xla",
 ) -> SimState:
     """Explicit-path advection (kinematic.py:14-45).
 
     ``grad`` is the assembled energy gradient (the reference's
     ``particles.force`` / ``pos.grad``), subtracted as −grad/m.
+    ``backend="pallas"`` runs the whole stage as one fused kernel
+    (ops/pallas_advect.py).
     """
+    if backend == "pallas":
+        import jax
+
+        from fem_tpu.ops.pallas_advect import kinematic_pallas
+
+        pos, vel = kinematic_pallas(
+            state.pos, state.vel, grad, (1.0 / mass)[:, None],
+            obstacles.centers, obstacles.radii[None, :],
+            dt=dt, damping=damping, g_dir=tuple(g_dir),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return state.replace(pos=pos, vel=vel, force=jnp.zeros_like(grad))
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel = state.vel + (g[None, :] - grad / mass[:, None]) * dt
     vel = vel * jnp.exp(-dt * damping)
@@ -85,9 +100,22 @@ def advect_implicit_step(
     dt: float,
     damping: float,
     g_dir: Tuple[float, ...],
+    backend: str = "xla",
 ) -> SimState:
     """Implicit-path advection (implicit.py:407-438): gravity lives in the
     separate ``vel_g`` channel outside the linear solve."""
+    if backend == "pallas":
+        import jax
+
+        from fem_tpu.ops.pallas_advect import advect_implicit_pallas
+
+        pos, vel, vel_g = advect_implicit_pallas(
+            state.pos, state.vel, state.vel_g,
+            obstacles.centers, obstacles.radii[None, :],
+            dt=dt, damping=damping, g_dir=tuple(g_dir),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return state.replace(pos=pos, vel=vel, vel_g=vel_g)
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel_g = state.vel_g + g[None, :] * dt
     decay = jnp.exp(-dt * damping)
