@@ -65,15 +65,16 @@ def bench_tpu(cfg, obj, state, obstacles, n_frames=30, warm_frames=60):
     for _ in range(warm_frames):
         s, aux = frame_fn(s, obstacles)
     _ = np.asarray(s.pos)  # hard sync before starting the clock
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        s, aux = frame_fn(s, obstacles)
-    final_pos = np.asarray(s.pos)  # hard sync ends the timed region
-    dt_wall = time.perf_counter() - t0
-    steps = n_frames * cfg.sim_count
+    rates = []
+    for _ in range(3):  # median of 3 windows (the relay's latency is noisy)
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            s, aux = frame_fn(s, obstacles)
+        final_pos = np.asarray(s.pos)  # hard sync ends the timed region
+        rates.append(n_frames * cfg.sim_count / (time.perf_counter() - t0))
     iters = float(np.asarray(aux.solver_iterations).sum())
     assert np.isfinite(final_pos).all(), "simulation diverged"
-    return steps / dt_wall, iters / cfg.sim_count
+    return sorted(rates)[1], iters / cfg.sim_count
 
 
 def dense_cpu_baseline(cfg, obj, state, n_steps=3):
