@@ -73,6 +73,53 @@ def test_cli_implicit_with_checkpoint_and_resume(tmp_path):
     assert rc == 0
 
 
+def test_cli_3d_run_renders_and_exports_obj(tmp_path):
+    """3D path end-to-end: cube STL -> tetrahedralize -> explicit sim ->
+    wireframe render + gif + per-frame OBJ export (reference main.py:117-122
+    gating: obj export only for dim == 3)."""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stl = os.path.join(here, "assets", "cube.stl")
+    if not os.path.exists(stl):
+        import subprocess
+        import sys
+
+        subprocess.run(
+            [sys.executable, os.path.join(here, "assets", "make_assets.py")],
+            check=True,
+        )
+    cfg = {
+        "dim": 3,
+        "delta_time": 5e-4,
+        "sim_count": 2,
+        "auto_diff": False,
+        "use_explicit_method": True,
+        "g_dir": [0, -1, 0],
+        "is_output_gif": True,
+        "is_output_obj": True,
+        "output_fps": 60,
+        "objects": [
+            {"rho": 1000, "center": [0.3, 0.3, 0.3], "obj": stl,
+             "E": 4e4, "nu": 0.3, "damping": 10}
+        ],
+        "blocks": [],
+    }
+    path = tmp_path / "cfg3d.json"
+    path.write_text(json.dumps(cfg))
+    out = tmp_path / "out"
+    rc = cli.run(
+        ["--config", str(path), "--frames", "20", "--output", str(out),
+         "--camera", "20,-70", "--print-every", "10"]
+    )
+    assert rc == 0
+    assert (out / "video.gif").exists()
+    objs = list(out.glob("obj_*.obj"))
+    assert objs, "expected per-frame OBJ exports for dim==3"
+    text = objs[0].read_text()
+    assert text.startswith("v ") and "\nf " in text
+
+
 def test_cli_multi_object_scene(tmp_path):
     cfg = _write_cfg(
         tmp_path,
