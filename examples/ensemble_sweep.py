@@ -16,7 +16,6 @@ sys.path.insert(
 
 import time
 
-import jax
 import numpy as np
 
 from fem_tpu.batch import make_batched_frame_fn, perturb_states
@@ -41,17 +40,17 @@ obstacles = Obstacles.from_configs(cfg.blocks, cfg.dim)
 frame_fn = make_batched_frame_fn(obj, cfg)
 states = perturb_states(state, B, scale=1e-3)
 
-# 2 virtual seconds for all B members.
+# 2 virtual seconds for all B members.  NOTE: timed regions must end with a
+# device->host value fetch -- block_until_ready does not actually wait on
+# this environment's relayed TPU backend (see BASELINE.md).
 n_frames = int(2.0 / (cfg.sim_count * cfg.delta_time))
 s, _ = frame_fn(states, obstacles)  # compile
-jax.block_until_ready(s.pos)
+_ = np.asarray(s.pos)
 t0 = time.perf_counter()
 for _ in range(n_frames):
     s, _ = frame_fn(s, obstacles)
-jax.block_until_ready(s.pos)
+pos = np.asarray(s.pos)  # (B, N, 2) -- the fetch is the completion barrier
 wall = time.perf_counter() - t0
-
-pos = np.asarray(s.pos)  # (B, N, 2)
 com_y = pos[:, :, 1].mean(axis=1)
 through = (com_y < 0.5).sum()
 total_steps = B * n_frames * cfg.sim_count
