@@ -544,8 +544,9 @@ def remap_surface(
     """Re-index surface faces into the compact surface-vertex numbering
     (clean, total remap — the reference's partial remap at object.py:310-315
     only rewrites indices >= len(surface_vertex))."""
-    remap = {int(v): i for i, v in enumerate(surface_vertex)}
-    return np.vectorize(lambda x: remap[int(x)])(surface).astype(np.int64)
+    remap = np.zeros(int(surface_vertex.max()) + 1, np.int64)
+    remap[surface_vertex] = np.arange(len(surface_vertex), dtype=np.int64)
+    return remap[surface]
 
 
 def barycentric_coordinates(

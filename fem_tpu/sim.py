@@ -25,9 +25,6 @@ from fem_tpu.solvers.explicit import (
 from fem_tpu.solvers.implicit import implicit_velocity_solve
 from fem_tpu.utils.config import SimConfig
 
-# Dense-MXU backend cutover (dofs = N·d); see solvers/dense.py.
-DENSE_MAX_DOF = 4096
-
 
 class StepAux(NamedTuple):
     """Per-substep observability (SURVEY §5: structured metrics in place of

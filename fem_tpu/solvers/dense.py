@@ -15,8 +15,10 @@ The normal-equations mode materializes AᵀA once (one MXU matmul), after which
 each reference-CG iteration is a single matvec instead of the matrix-free
 double apply.
 
-Backend selection: ``fem_tpu.sim`` picks dense automatically when
-``particle_cnt · dim <= DENSE_MAX_DOF`` (configurable via SimConfig).
+Backend selection: dense is explicit opt-in via ``solver_backend="dense"``
+(measured: at the reference's absolute CG tolerance the solve converges in a
+handful of iterations, and the O(E) matrix-free operator wins at every mesh
+size tried, so "auto" resolves to matrix-free — see fem_tpu/sim.py).
 """
 
 from __future__ import annotations
@@ -35,11 +37,6 @@ from fem_tpu.solvers.implicit import (
     jacobi_solve,
 )
 from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD, JACOBI_METHOD
-
-# Default ceiling for choosing the dense backend (dofs = N·d).  At 4096 dofs
-# A is 64 MB f32 — comfortably HBM-resident, matvec ~0.03 ms.
-DENSE_MAX_DOF = 4096
-
 
 def assemble_dense_system(
     obj: FemObject, K: jnp.ndarray, dt: float

@@ -64,7 +64,12 @@ class SimConfig:
     dim: int = 2
     delta_time: float = 5e-4
     sim_count: int = 10
-    auto_diff: bool = True
+    # Default False to match parse_config / the reference's absent-key
+    # semantics (utils.py:9-21 leaves constants.auto_diff = 0).  auto_diff
+    # wins over use_explicit_method in substep dispatch (main.py:104-112
+    # parity), so a True default here would silently run the explicit
+    # autodiff path for directly-constructed implicit configs.
+    auto_diff: bool = False
     use_explicit_method: bool = True
     implicit_method: int = JACOBI_METHOD
     preconditioned: int = 1

@@ -33,29 +33,59 @@ def export_deformed_obj(
             f.write(f"f {face[0]} {face[1]} {face[2]}\n")
 
 
+_STATE_FIELDS = ("pos", "vel", "vel_g", "force", "jacobi_past_x")
+
+
 def save_checkpoint(
     path: str, state: SimState, step: int, virtual_time: float
 ) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(
-        path,
-        pos=np.asarray(state.pos),
-        vel=np.asarray(state.vel),
-        vel_g=np.asarray(state.vel_g),
-        force=np.asarray(state.force),
-        jacobi_past_x=np.asarray(state.jacobi_past_x),
-        step=np.int64(step),
-        virtual_time=np.float64(virtual_time),
-    )
+    """Single-body checkpoint (library API); see save_scene_checkpoint for
+    the multi-body CLI format."""
+    save_scene_checkpoint(path, [state], step, virtual_time)
 
 
 def load_checkpoint(path: str) -> tuple[SimState, int, float]:
+    states, step, virtual_time, _ = load_scene_checkpoint(path)
+    return states[0], step, virtual_time
+
+
+def save_scene_checkpoint(
+    path: str,
+    states: "list[SimState]",
+    step: int,
+    virtual_time: float,
+    ply_cnt: int = 0,
+) -> None:
+    """Checkpoint EVERY body's state pytree (bodies have distinct particle
+    counts, so arrays are stored under per-body keys ``b{i}_pos`` etc.), plus
+    the driver counters needed for bit-identical continuation (frame index,
+    virtual_time, OBJ-export counter)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {"n_bodies": np.int64(len(states)),
+              "step": np.int64(step),
+              "virtual_time": np.float64(virtual_time),
+              "ply_cnt": np.int64(ply_cnt)}
+    for i, state in enumerate(states):
+        for field in _STATE_FIELDS:
+            arrays[f"b{i}_{field}"] = np.asarray(getattr(state, field))
+    np.savez(path, **arrays)
+
+
+def load_scene_checkpoint(
+    path: str,
+) -> tuple["list[SimState]", int, float, int]:
+    """Load a checkpoint written by :func:`save_scene_checkpoint` (also reads
+    the legacy single-body flat-key format)."""
     data = np.load(path)
-    state = SimState(
-        pos=jnp.asarray(data["pos"]),
-        vel=jnp.asarray(data["vel"]),
-        vel_g=jnp.asarray(data["vel_g"]),
-        force=jnp.asarray(data["force"]),
-        jacobi_past_x=jnp.asarray(data["jacobi_past_x"]),
-    )
-    return state, int(data["step"]), float(data["virtual_time"])
+    if "n_bodies" in data:
+        states = [
+            SimState(**{
+                f: jnp.asarray(data[f"b{i}_{f}"]) for f in _STATE_FIELDS
+            })
+            for i in range(int(data["n_bodies"]))
+        ]
+        ply_cnt = int(data["ply_cnt"]) if "ply_cnt" in data else 0
+    else:  # legacy round-1 format: one body, flat keys
+        states = [SimState(**{f: jnp.asarray(data[f]) for f in _STATE_FIELDS})]
+        ply_cnt = 0
+    return states, int(data["step"]), float(data["virtual_time"]), ply_cnt

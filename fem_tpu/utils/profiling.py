@@ -63,7 +63,7 @@ def _metrics_impl(obj: FemObject, state: SimState):
     det = sm.det(F)
     u = total_energy(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda,
+        obj.mu, obj.s_lambda, obj.material,
     )
     v = state.vel + state.vel_g
     ke = 0.5 * jnp.sum(obj.mass * jnp.sum(v * v, axis=-1))

@@ -88,9 +88,19 @@ def run(argv=None) -> int:
 
     virtual_time = 0.0
     start_frame = 0
+    ply_cnt = 0
     if args.resume:
-        state, start_frame, virtual_time = fio.load_checkpoint(args.resume)
-        scene[0].state = state
+        states, start_frame, virtual_time, ply_cnt = fio.load_scene_checkpoint(
+            args.resume
+        )
+        if len(states) != len(scene):
+            print(
+                f"Checkpoint has {len(states)} bodies but config has "
+                f"{len(scene)}"
+            )
+            return 3
+        for s, state in zip(scene, states):
+            s.state = state
         print(f"Resumed from {args.resume} at frame {start_frame}")
 
     renderer = None
@@ -107,7 +117,6 @@ def run(argv=None) -> int:
 
     centers = np.asarray(obstacles.centers)
     radii = np.asarray(obstacles.radii)
-    ply_cnt = 0
     t0 = time.perf_counter()
 
     trace_ctx = None
@@ -118,9 +127,14 @@ def run(argv=None) -> int:
         trace_ctx.__enter__()
 
     for frame in range(start_frame, n_frames):
+        per_body_aux = []
         for s, frame_fn in zip(scene, frame_fns):
             s.state, aux = frame_fn(s.state, obstacles)
-        virtual_time += cfg.sim_count * cfg.delta_time
+            per_body_aux.append(aux)
+            # Reference quirk, reproduced deliberately: virtual_time advances
+            # *inside* the per-object loop (main.py:113), so an N-body scene
+            # paces gif capture and OBJ export N× faster.  See PARITY.md.
+            virtual_time += cfg.sim_count * cfg.delta_time
 
         if (
             cfg.is_output_obj
@@ -157,9 +171,9 @@ def run(argv=None) -> int:
             )
 
         if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
-            fio.save_checkpoint(
+            fio.save_scene_checkpoint(
                 os.path.join(args.output, f"ckpt_{frame + 1:06}.npz"),
-                scene[0].state, frame + 1, virtual_time,
+                [s.state for s in scene], frame + 1, virtual_time, ply_cnt,
             )
 
         if args.debug:
@@ -170,13 +184,26 @@ def run(argv=None) -> int:
         if args.print_every and (frame + 1) % args.print_every == 0:
             elapsed = time.perf_counter() - t0
             steps = (frame + 1 - start_frame) * cfg.sim_count
-            iters = int(np.asarray(aux.solver_iterations).sum())
             msg = (
                 f"frame {frame + 1}/{n_frames}  t={virtual_time:.3f}s  "
                 f"{steps / elapsed:.1f} steps/s"
             )
-            if iters:
-                msg += f"  solver iters/substep: {iters / cfg.sim_count:.1f}"
+            body_iters = [
+                int(np.asarray(a.solver_iterations).sum())
+                for a in per_body_aux
+            ]
+            if any(body_iters):
+                if len(body_iters) == 1:
+                    msg += (
+                        "  solver iters/substep: "
+                        f"{body_iters[0] / cfg.sim_count:.1f}"
+                    )
+                else:  # label per body (round-1 review: unlabeled last-body)
+                    per = ", ".join(
+                        f"obj{i}={it / cfg.sim_count:.1f}"
+                        for i, it in enumerate(body_iters)
+                    )
+                    msg += f"  solver iters/substep: {per}"
             if args.debug:
                 from fem_tpu.utils.profiling import frame_metrics
 

@@ -120,6 +120,62 @@ def test_cli_3d_run_renders_and_exports_obj(tmp_path):
     assert text.startswith("v ") and "\nf " in text
 
 
+def test_cli_multibody_checkpoint_resume_bit_identical(tmp_path):
+    """Checkpointing a 2-body scene and resuming continues EVERY body
+    bit-identically (round-1 review: only scene[0] used to be saved)."""
+    objects = [
+        {"id": 0, "rho": 500, "center": [0.3, 0.8], "side_length": 0.1,
+         "subdivisions": 3, "E": 4e4, "nu": 0.2, "damping": 14.5},
+        {"id": 1, "rho": 800, "center": [0.6, 0.6], "side_length": 0.12,
+         "subdivisions": 4, "E": 8e4, "nu": 0.3, "damping": 10.0},
+    ]
+    cfg = _write_cfg(
+        tmp_path, objects=objects, auto_diff=False,
+        use_explicit_method=False, implicit_method=1, is_output_gif=False,
+    )
+    # Straight run: 4 frames, checkpoint at the end.
+    a = tmp_path / "a"
+    rc = cli.run(["--config", cfg, "--frames", "4", "--output", str(a),
+                  "--checkpoint-every", "4", "--no-render"])
+    assert rc == 0
+    # Split run: checkpoint at frame 2, resume to frame 4.
+    b = tmp_path / "b"
+    rc = cli.run(["--config", cfg, "--frames", "4", "--output", str(b),
+                  "--checkpoint-every", "2", "--no-render"])
+    assert rc == 0
+    rc = cli.run(["--config", cfg, "--frames", "4", "--output", str(b),
+                  "--resume", str(b / "ckpt_000002.npz"),
+                  "--checkpoint-every", "2", "--no-render"])
+    assert rc == 0
+    ref = np.load(a / "ckpt_000004.npz")
+    got = np.load(b / "ckpt_000004.npz")
+    assert int(ref["n_bodies"]) == 2 and int(got["n_bodies"]) == 2
+    for key in ref.files:
+        np.testing.assert_array_equal(ref[key], got[key], err_msg=key)
+
+
+def test_cli_resume_body_count_mismatch_rejected(tmp_path):
+    cfg1 = _write_cfg(tmp_path, is_output_gif=False)
+    out = tmp_path / "out"
+    rc = cli.run(["--config", cfg1, "--frames", "2", "--output", str(out),
+                  "--checkpoint-every", "2", "--no-render"])
+    assert rc == 0
+    cfg2 = _write_cfg(
+        tmp_path,
+        objects=[
+            {"id": 0, "center": [0.3, 0.8], "side_length": 0.1,
+             "subdivisions": 3},
+            {"id": 1, "center": [0.6, 0.6], "side_length": 0.12,
+             "subdivisions": 4},
+        ],
+        is_output_gif=False,
+    )
+    rc = cli.run(["--config", cfg2, "--frames", "4", "--output",
+                  str(tmp_path / "o2"),
+                  "--resume", str(out / "ckpt_000002.npz"), "--no-render"])
+    assert rc == 3
+
+
 def test_cli_multi_object_scene(tmp_path):
     cfg = _write_cfg(
         tmp_path,
