@@ -94,6 +94,7 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         auto_diff=cfg.auto_diff,
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
+        jacobi_sweep=cfg.jacobi_sweep,
         axis_name=AXIS,
         solver_backend="matrix_free",  # dense backend is single-chip only
     )
@@ -177,6 +178,7 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         auto_diff=cfg.auto_diff,
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
+        jacobi_sweep=cfg.jacobi_sweep,
         axis_name=AXIS,
         solver_backend="matrix_free",
     )

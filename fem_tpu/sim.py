@@ -51,6 +51,7 @@ def substep(
     robust_inversion: bool = False,
     hessian: str = "reference",
     operator_mode: str = "graph",
+    jacobi_sweep: str = "serial",
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -95,12 +96,14 @@ def substep(
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
 
         state, solve_aux = implicit_velocity_solve_dense(
-            obj, state, dt, implicit_method, preconditioned, robust_inversion
+            obj, state, dt, implicit_method, preconditioned, robust_inversion,
+            jacobi_sweep,
         )
     else:
         state, solve_aux = implicit_velocity_solve(
             obj, state, dt, implicit_method, preconditioned, axis_name,
             robust_inversion, element_backend, hessian, operator_mode,
+            jacobi_sweep,
         )
     state = advect_implicit_step(
         state, obstacles, dt, obj.damping, g_dir, advect_backend
@@ -121,6 +124,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         robust_inversion=cfg.robust_inversion,
         hessian=cfg.hessian,
         operator_mode=cfg.operator_mode,
+        jacobi_sweep=cfg.jacobi_sweep,
     )
 
 

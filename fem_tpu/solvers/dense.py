@@ -35,11 +35,12 @@ from fem_tpu.solvers.implicit import (
     conjugate_gradient,
     implicit_rhs,
     jacobi_solve,
+    jacobi_solve_serial,
 )
 from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD, JACOBI_METHOD
 
 def assemble_dense_system(
-    obj: FemObject, K: jnp.ndarray, dt: float
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
 ) -> jnp.ndarray:
     """Materialize A (N·d, N·d) from the per-element blocks K_e with one
     segment-sum scatter over (row, col) particle pairs.
@@ -74,6 +75,8 @@ def assemble_dense_system(
     blocks = jax.ops.segment_sum(
         contrib.reshape(-1, d * d), flat_ids, num_segments=n * n
     ).reshape(n, n, d, d)
+    if axis_name is not None:  # per-shard element slices → full K grid
+        blocks = jax.lax.psum(blocks, axis_name)
 
     a = -(dt * dt) * blocks / obj.mass[:, None, None, None]
     eye_blocks = jnp.eye(d, dtype=K.dtype)[None, None] * jnp.eye(
@@ -94,6 +97,7 @@ def implicit_velocity_solve_dense(
     method: int,
     preconditioned: int,
     robust: bool = False,
+    jacobi_sweep: str = "serial",
 ) -> Tuple[SimState, ImplicitAux]:
     """Dense-backend counterpart of
     :func:`fem_tpu.solvers.implicit.implicit_velocity_solve` — identical
@@ -107,12 +111,15 @@ def implicit_velocity_solve_dense(
     b = implicit_rhs(obj, state, dt, robust=robust).reshape(-1)
 
     if method == JACOBI_METHOD:
-        diag = jnp.diagonal(A).reshape(n, d)
-        diag_blocks = jax.vmap(jnp.diag)(diag)  # (N, d, d) diagonal entries
-        op = lambda v: _matvec(A, v.reshape(-1)).reshape(n, d)
-        res = jacobi_solve(
-            op, diag_blocks, b.reshape(n, d), state.jacobi_past_x
-        )
+        if jacobi_sweep == "serial":
+            res = jacobi_solve_serial(A, b.reshape(n, d), state.jacobi_past_x)
+        else:
+            diag = jnp.diagonal(A).reshape(n, d)
+            diag_blocks = jax.vmap(jnp.diag)(diag)  # (N, d, d) diag entries
+            op = lambda v: _matvec(A, v.reshape(-1)).reshape(n, d)
+            res = jacobi_solve(
+                op, diag_blocks, b.reshape(n, d), state.jacobi_past_x
+            )
         new_state = state.replace(vel=res.x, jacobi_past_x=res.past_x)
         return new_state, ImplicitAux(res.iterations, res.error)
 

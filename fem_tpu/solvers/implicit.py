@@ -274,30 +274,17 @@ class JacobiResult(NamedTuple):
     error: jnp.ndarray
 
 
-def jacobi_solve(
-    operator: Callable[[jnp.ndarray], jnp.ndarray],
-    diag: jnp.ndarray,  # (N, d, d) diagonal blocks of A
+def _jacobi_outer_loop(
+    once: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    error: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
     past_x: jnp.ndarray,
-    omega: float = 0.75,
-    tol: float = 1e-5,
-    max_iter: int = 20000,
+    tol: float,
+    max_iter: int,
 ) -> JacobiResult:
-    diag_kk = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (N, d) entries A_ii[k,k]
-
-    def once(x, past):
-        """One damped-Jacobi sweep (implicit.py:391-404), deterministic
-        snapshot semantics in place of Taichi's racy in-place parallel loop."""
-        resid = b - operator(x)  # b − A·x, full rows
-        num = resid + diag_kk * x
-        safe = jnp.abs(diag_kk) >= 1e-6
-        upd = omega * num / jnp.where(safe, diag_kk, 1.0) + (1.0 - omega) * past
-        return jnp.where(safe, upd, 0.0)
-
-    def error(x):
-        r = b - operator(x)
-        return jnp.sqrt(jnp.sum(r * r))
-
+    """The reference's outer iteration (implicit.py:226-261): x₀ = 0.5·b,
+    ‖b−Ax‖ recomputed per iteration, monotone-error rollback-and-stop, the
+    accepted iterate cached as the next relaxation anchor."""
     x0 = 0.5 * b
     err0 = error(x0)
     carry0 = (x0, past_x, err0, err0, jnp.int32(0), jnp.bool_(False))
@@ -320,6 +307,91 @@ def jacobi_solve(
     return JacobiResult(x=x, past_x=past, iterations=it, error=err)
 
 
+def jacobi_solve(
+    operator: Callable[[jnp.ndarray], jnp.ndarray],
+    diag: jnp.ndarray,  # (N, d, d) diagonal blocks of A
+    b: jnp.ndarray,
+    past_x: jnp.ndarray,
+    omega: float = 0.75,
+    tol: float = 1e-5,
+    max_iter: int = 20000,
+) -> JacobiResult:
+    """Snapshot (true parallel) weighted-Jacobi sweep — the ``jacobi_sweep=
+    "snapshot"`` extension; O(E) matrix-free per iteration.  The reference's
+    sweep actually executes serially (see :func:`jacobi_solve_serial`, the
+    parity default)."""
+    diag_kk = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (N, d) entries A_ii[k,k]
+
+    def once(x, past):
+        """One damped-Jacobi sweep (implicit.py:391-404) with snapshot
+        semantics: every row reads the previous iterate."""
+        resid = b - operator(x)  # b − A·x, full rows
+        num = resid + diag_kk * x
+        safe = jnp.abs(diag_kk) >= 1e-6
+        upd = omega * num / jnp.where(safe, diag_kk, 1.0) + (1.0 - omega) * past
+        return jnp.where(safe, upd, 0.0)
+
+    def error(x):
+        r = b - operator(x)
+        return jnp.sqrt(jnp.sum(r * r))
+
+    return _jacobi_outer_loop(once, error, b, past_x, tol, max_iter)
+
+
+def jacobi_solve_serial(
+    a_dense: jnp.ndarray,  # (N·d, N·d) materialized system
+    b: jnp.ndarray,  # (N, d)
+    past_x: jnp.ndarray,  # (N, d)
+    omega: float = 0.75,
+    tol: float = 1e-5,
+    max_iter: int = 20000,
+) -> JacobiResult:
+    """Serial Gauss–Seidel-style weighted sweep — the reference's *actual*
+    execution semantics (parity default; analysis in PARITY.md).
+
+    ``jacobi_iter_field_once`` (reference implicit.py:391-404) is a
+    ``@ti.func`` inlined inside the serial ``while`` of ``jacobi_iter_field``
+    (implicit.py:252-261); Taichi parallelizes only for-loops at a kernel's
+    outermost scope, so the particle loop runs serially and row i reads
+    ``vec_x[j]`` values already updated this sweep for j < i.  Within a row,
+    the residual is computed from the full *old* x_i before any component
+    update (the j-loop covers j == i and precedes the component loop), only
+    the scalar diagonal A_ii[k,k] is added back, and the ω-relaxation anchors
+    on the previously cached iterate ``past_vec_x``.
+
+    Realized as a ``lax.scan`` over particle rows (one (d, N·d) matvec per
+    row) inside the shared outer while-loop.  O(N²·d²) per sweep like the
+    reference; the Jacobi path only runs on small 2D meshes.
+    """
+    n, d = b.shape
+    nd = n * d
+    hp = jax.lax.Precision.HIGHEST
+    a_rows = a_dense.reshape(n, d, nd)
+    diag_kk = jnp.diagonal(a_dense).reshape(n, d)
+    safe = jnp.abs(diag_kk) >= 1e-6
+    safe_diag = jnp.where(safe, diag_kk, 1.0)
+    row_ids = jnp.arange(n)
+
+    def once(x, past):
+        def row(xc, inp):
+            i, a_i, b_i, dg_i, sf_i, sd_i, past_i = inp
+            ax = jnp.dot(a_i, xc.reshape(-1), precision=hp)  # (d,)
+            num = b_i - ax + dg_i * xc[i]
+            upd = omega * num / sd_i + (1.0 - omega) * past_i
+            return xc.at[i].set(jnp.where(sf_i, upd, 0.0)), None
+
+        x1, _ = jax.lax.scan(
+            row, x, (row_ids, a_rows, b, diag_kk, safe, safe_diag, past)
+        )
+        return x1
+
+    def error(x):
+        r = b.reshape(-1) - jnp.dot(a_dense, x.reshape(-1), precision=hp)
+        return jnp.sqrt(jnp.sum(r * r))
+
+    return _jacobi_outer_loop(once, error, b, past_x, tol, max_iter)
+
+
 # ---------------------------------------------------------------------------
 # Top-level implicit solve (implicit_solver_neo_hookean, implicit.py:201-223)
 # ---------------------------------------------------------------------------
@@ -340,6 +412,7 @@ def implicit_velocity_solve(
     element_backend: str = "xla",
     hessian: str = "reference",
     operator_mode: str = "graph",
+    jacobi_sweep: str = "serial",
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -409,8 +482,19 @@ def implicit_velocity_solve(
     b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
 
     if method == JACOBI_METHOD:
-        diag = diagonal_blocks(obj, K, dt, axis_name)
-        res = jacobi_solve(apply_a, diag, b, state.jacobi_past_x)
+        if jacobi_sweep == "serial":
+            # Parity default: the serial Gauss–Seidel-style sweep needs the
+            # materialized rows; under sharding the per-shard partial grids
+            # psum to the full system inside assemble_dense_system.
+            from fem_tpu.solvers.dense import assemble_dense_system
+
+            a_dense = assemble_dense_system(obj, K, dt, axis_name)
+            res = jacobi_solve_serial(a_dense, b, state.jacobi_past_x)
+        elif jacobi_sweep == "snapshot":
+            diag = diagonal_blocks(obj, K, dt, axis_name)
+            res = jacobi_solve(apply_a, diag, b, state.jacobi_past_x)
+        else:
+            raise ValueError(f"unknown jacobi_sweep {jacobi_sweep!r}")
         new_state = state.replace(vel=res.x, jacobi_past_x=res.past_x)
         return new_state, ImplicitAux(res.iterations, res.error)
 

@@ -96,6 +96,13 @@ class SimConfig:
     # Hessian, exact parity) or "exact_jvp" (true Newton operator via
     # jax.jvp of the assembled force; CG only).
     hessian: str = "reference"
+    # Jacobi sweep semantics: "serial" is the parity default — the
+    # reference's jacobi_iter_field_once (implicit.py:391-404) executes as a
+    # serial in-place Gauss–Seidel-style sweep (Taichi parallelizes only
+    # outermost-scope kernel loops; see PARITY.md).  "snapshot" is the
+    # deterministic parallel variant (extension): O(E) matrix-free per
+    # iteration, typically needing more iterations per solve.
+    jacobi_sweep: str = "serial"
     # Matrix-free operator execution: "auto" picks the MXU edge-matrix
     # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this
     # backend) when the dense S fits (small meshes, single chip), else the
@@ -162,6 +169,7 @@ def parse_config(data: dict) -> SimConfig:
         element_backend=str(data.get("element_backend", "auto")),
         robust_inversion=bool(data.get("robust_inversion", False)),
         hessian=str(data.get("hessian", "reference")),
+        jacobi_sweep=str(data.get("jacobi_sweep", "serial")),
         operator_mode=str(data.get("operator_mode", "auto")),
     )
 

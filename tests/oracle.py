@@ -195,11 +195,21 @@ class Oracle:
             it += 1
         self.vel = x.reshape(self.n, self.d)
 
-    def solve_jacobi(self, dt):
+    def solve_jacobi(self, dt, sweep="serial"):
         """Weighted Jacobi with rollback; the relaxation anchor persists
-        across steps exactly like the reference's never-reset past_vec_x."""
+        across steps exactly like the reference's never-reset past_vec_x.
+
+        sweep="serial" (default, the reference's actual execution): the
+        particle loop of jacobi_iter_field_once runs serially inside the
+        kernel's serial flow, so row i reads x[j] already updated this sweep
+        for j < i; the row residual uses the full old x_i (the j-loop runs
+        before the component loop) with only the scalar diagonal added back.
+        sweep="snapshot": every row reads the previous iterate (the
+        framework's parallel extension).
+        """
         Ad, b = self._dense_system(dt)
         n = b.shape[0]
+        d = self.d
         past_x = getattr(self, "_jacobi_past", None)
         past = np.zeros(n) if past_x is None else past_x.reshape(-1).copy()
         x = 0.5 * b
@@ -208,13 +218,28 @@ class Oracle:
         diag = np.diag(Ad)
         it = 0
         while err > 1e-5 and it < 20000:
-            resid = b - Ad @ x
-            num = resid + diag * x
-            x1 = np.where(
-                np.abs(diag) < 1e-6, 0.0, 0.75 * num / np.where(
-                    np.abs(diag) < 1e-6, 1.0, diag
-                ) + 0.25 * past
-            )
+            if sweep == "serial":
+                x1 = x.copy()
+                for i in range(self.n):
+                    rows = slice(i * d, (i + 1) * d)
+                    ax = Ad[rows] @ x1  # rows j<i updated, row i still old
+                    for k in range(d):
+                        a_ii = diag[i * d + k]
+                        if abs(a_ii) < 1e-6:
+                            x1[i * d + k] = 0.0
+                        else:
+                            num = b[i * d + k] - ax[k] + a_ii * x1[i * d + k]
+                            x1[i * d + k] = (
+                                0.75 * num / a_ii + 0.25 * past[i * d + k]
+                            )
+            else:
+                resid = b - Ad @ x
+                num = resid + diag * x
+                x1 = np.where(
+                    np.abs(diag) < 1e-6, 0.0, 0.75 * num / np.where(
+                        np.abs(diag) < 1e-6, 1.0, diag
+                    ) + 0.25 * past
+                )
             err = np.linalg.norm(b - Ad @ x1)
             it += 1
             if err >= p_err:
@@ -234,6 +259,6 @@ class Oracle:
         self.solve_cg(dt, preconditioned)
         self.advect_implicit(dt, g_dir, blocks)
 
-    def step_implicit_jacobi(self, dt, g_dir, blocks):
-        self.solve_jacobi(dt)
+    def step_implicit_jacobi(self, dt, g_dir, blocks, sweep="serial"):
+        self.solve_jacobi(dt, sweep)
         self.advect_implicit(dt, g_dir, blocks)

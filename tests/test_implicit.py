@@ -213,6 +213,87 @@ def test_jacobi_zero_diagonal_branch():
     assert int(res.iterations) >= 1
 
 
+def _hand_serial_sweep(A, b, x, past, omega=0.75):
+    """Independent numpy transcription of the reference's serial in-place
+    sweep (implicit.py:391-404): rows update in order, row i's residual uses
+    rows j<i already updated and the full OLD x_i, only the scalar diagonal
+    added back, relaxation anchored on `past`."""
+    n, d = b.shape
+    xf = x.reshape(-1).copy().astype(np.float64)
+    Af, bf, pf = A.astype(np.float64), b.reshape(-1), past.reshape(-1)
+    for i in range(n):
+        ax = Af[i * d:(i + 1) * d] @ xf
+        for k in range(d):
+            r = i * d + k
+            a_ii = Af[r, r]
+            if abs(a_ii) < 1e-6:
+                xf[r] = 0.0
+            else:
+                xf[r] = omega * (bf[r] - ax[k] + a_ii * xf[r]) / a_ii \
+                    + (1 - omega) * pf[r]
+    return xf.reshape(n, d)
+
+
+def test_jacobi_serial_sweep_semantics():
+    """One serial sweep must match the hand-rolled Gauss–Seidel-style update,
+    and must genuinely differ from the snapshot sweep (ordering effect)."""
+    from fem_tpu.solvers.implicit import jacobi_solve_serial
+
+    rng = np.random.default_rng(7)
+    n, d = 5, 2
+    m = rng.normal(size=(n * d, n * d))
+    A = (0.05 * (m @ m.T) + np.eye(n * d)).astype(np.float32)
+    b = rng.normal(size=(n, d)).astype(np.float32)
+    past = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+
+    res = jacobi_solve_serial(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(past), max_iter=1
+    )
+    expect = _hand_serial_sweep(A, b, 0.5 * b, past)
+    assert int(res.iterations) == 1
+    np.testing.assert_allclose(np.asarray(res.x), expect, rtol=1e-5, atol=1e-6)
+
+    # Snapshot sweep from the same start differs (rows read the old iterate).
+    diag_blocks = jnp.asarray(
+        np.stack([np.diag(np.diag(A)[i * d:(i + 1) * d]) for i in range(n)])
+    )
+    snap = jacobi_solve(
+        lambda v: (jnp.asarray(A) @ v.reshape(-1)).reshape(n, d),
+        diag_blocks, jnp.asarray(b), jnp.asarray(past), max_iter=1,
+    )
+    assert np.abs(np.asarray(snap.x) - np.asarray(res.x)).max() > 1e-5
+
+
+def test_jacobi_serial_zero_diagonal_branch():
+    """|a_ii| < 1e-6 zeroes that component in the serial sweep too
+    (implicit.py:400-401)."""
+    from fem_tpu.solvers.implicit import jacobi_solve_serial
+
+    A = jnp.asarray(np.diag([1.0, 1e-9]).astype(np.float32))
+    b = jnp.asarray(np.array([[1.0], [1.0]], np.float32))  # N=2, d=1
+    past = jnp.zeros((2, 1))
+    res = jacobi_solve_serial(A, b, past)
+    x = np.asarray(res.x)
+    assert x[1, 0] == 0.0
+    assert 0.7 < x[0, 0] <= 1.0
+
+
+def test_jacobi_serial_matches_solution():
+    """On the real FEM system the serial sweep still converges to the direct
+    solve (same fixed point, different path than snapshot)."""
+    cfg, obj, state = make_2d_object(subdivisions=3)
+    state = _perturbed(state, 0.002)
+    A = dense_system_matrix(obj, state, DT)
+    b = np.asarray(implicit_rhs(obj, state, DT))
+    x_direct = np.linalg.solve(A, b.reshape(-1)).reshape(b.shape)
+    new_state, aux = implicit_velocity_solve(
+        obj, state, DT, JACOBI_METHOD, preconditioned=0, jacobi_sweep="serial"
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.vel), x_direct, rtol=5e-3, atol=5e-4
+    )
+
+
 def test_energy_rotation_invariance():
     """Neo-Hookean and StVK energies are invariant under rigid rotation of F
     (property test; linear elasticity is knowingly not)."""

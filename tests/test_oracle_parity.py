@@ -59,12 +59,16 @@ def test_explicit_trajectory_matches_oracle():
             )
 
 
-def test_implicit_jacobi_trajectory_matches_oracle():
-    """Jacobi incl. the cross-step past_vec_x relaxation anchor."""
+@pytest.mark.parametrize("sweep", ["serial", "snapshot"])
+def test_implicit_jacobi_trajectory_matches_oracle(sweep):
+    """Jacobi incl. the cross-step past_vec_x relaxation anchor, under both
+    sweep semantics: "serial" is the reference's actual execution (in-place
+    Gauss–Seidel-style sweep — see PARITY.md), "snapshot" the parallel
+    extension."""
     ocfg, obj, state, oracle, obstacles = _setup(sub=3)
     cfg = SimConfig(
         dim=2, sim_count=1, auto_diff=False, use_explicit_method=False,
-        implicit_method=0,
+        implicit_method=0, jacobi_sweep=sweep,
         objects=(ocfg,),
         blocks=tuple(
             BlockConfig(block_center=c, block_radius=r) for c, r in BLOCKS
@@ -73,7 +77,7 @@ def test_implicit_jacobi_trajectory_matches_oracle():
     step = make_substep_fn(obj, cfg)
     for k in range(120):
         state, _ = step(state, obstacles)
-        oracle.step_implicit_jacobi(DT, (0.0, -1.0), BLOCKS)
+        oracle.step_implicit_jacobi(DT, (0.0, -1.0), BLOCKS, sweep=sweep)
         if k % 40 == 39:
             np.testing.assert_allclose(
                 np.asarray(state.pos), oracle.pos, atol=5e-4,
