@@ -178,6 +178,56 @@ def test_delaunay_mesh_quality():
     assert _tet_quality(nodes, tets).min() >= 0.009
 
 
+def test_mesher_surface_conformity():
+    """The tetgen-contract criteria (reference object.py:143): meshed volume
+    within 1% of the surface-enclosed volume, every input surface vertex
+    present verbatim (first, in input order), element quality at threshold —
+    on both the cube and the spot blob."""
+    from fem_tpu.models.mesh import (
+        _tet_quality, _tet_volumes, enclosed_volume, load_obj_file,
+    )
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "assets", "spot.obj")
+    if not os.path.exists(path):
+        import subprocess, sys
+
+        subprocess.run(
+            [sys.executable, os.path.join(here, "assets", "make_assets.py")],
+            check=True,
+        )
+    cases = [_cube_surface(), load_obj_file(path)]
+    for v, f in cases:
+        nodes, tets = delaunay_tetrahedralize(v, f)
+        ev = enclosed_volume(v, f)
+        tv = float(_tet_volumes(nodes, tets).sum())
+        assert abs(tv - ev) / ev < 0.01, f"volume error {(tv-ev)/ev:.2%}"
+        n = v.shape[0]
+        assert nodes.shape[0] >= n
+        np.testing.assert_array_equal(nodes[:n], np.asarray(v, np.float64))
+        assert _tet_quality(nodes, tets).min() >= 0.0099
+
+
+def test_collapse_slivers_protects_surface_vertices():
+    """With protected_count set, protected vertices are never moved or
+    merged away; the free sliver apex collapses onto a protected vertex."""
+    from fem_tpu.models.mesh import _tet_quality, collapse_slivers
+
+    pts = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [1, 1, 1],
+            [0.333, 0.333, 1e-6],  # free sliver apex near the z=0 plane
+        ],
+        np.float64,
+    )
+    tets = np.array([[0, 1, 2, 3], [1, 2, 3, 4], [0, 1, 2, 5]], np.int64)
+    new_pts, new_tets = collapse_slivers(pts, tets, protected_count=5)
+    np.testing.assert_array_equal(new_pts[:5], pts[:5])  # verbatim
+    assert _tet_quality(new_pts, new_tets).min() >= 0.01
+
+
 def test_obj_loader_welds_uv_seam_duplicates(tmp_path):
     """A textured-style OBJ with duplicated seam vertices must weld into a
     single connected mesh (reference gets this from trimesh processing)."""

@@ -1,0 +1,96 @@
+# coding=utf-8
+"""End-to-end pipeline validation on the reference's REAL geometry.
+
+The flagship configs run a procedural blob (no asset copying); this test
+reads the reference's actual ``spot.obj`` (587 v / 1170 f, non-convex: legs,
+horns, ears) *in place* from /root/reference — never vendored — and pushes it
+through loader → conforming mesher → implicit-CG solver with pure reference
+semantics (``robust_inversion=False``).  Skipped when the reference tree is
+absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF_SPOT = "/root/reference/obj/spot.obj"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_SPOT), reason="reference spot.obj not available"
+)
+
+
+@pytest.fixture(scope="module")
+def spot_mesh():
+    from fem_tpu.models.mesh import load_obj_file, tetrahedralize
+
+    v, f = load_obj_file(REF_SPOT)
+    nodes, tets = tetrahedralize(v, f)
+    return v, f, nodes, tets
+
+
+def test_real_spot_mesh_conformity(spot_mesh):
+    """tetgen-contract criteria on real non-convex geometry: volume within
+    2%, surface vertices verbatim, quality at threshold."""
+    from fem_tpu.models.mesh import (
+        _tet_quality, _tet_volumes, enclosed_volume,
+    )
+
+    v, f, nodes, tets = spot_mesh
+    ev = enclosed_volume(v, f)
+    tv = float(_tet_volumes(nodes, tets).sum())
+    assert abs(tv - ev) / ev < 0.02, f"volume error {(tv - ev) / ev:.2%}"
+    np.testing.assert_array_equal(nodes[: v.shape[0]], v)
+    assert _tet_quality(nodes, tets).min() >= 0.0099
+
+
+def test_real_spot_implicit_cg_run(spot_mesh):
+    """150 implicit-CG substeps (free fall into floor contact) stay finite
+    and preserve total volume, with reference semantics (no robust clamp)."""
+    import jax.numpy as jnp
+
+    from fem_tpu.models.mesh import extract_surface
+    from fem_tpu.models.state import Obstacles, build_object
+    from fem_tpu.ops.element import deformation_gradients
+    from fem_tpu.ops import smallmat as sm
+    from fem_tpu.sim import make_frame_fn
+    from fem_tpu.utils.config import ObjectConfig, SimConfig
+
+    _, _, nodes, tets = spot_mesh
+    surface, _ = extract_surface(nodes, tets)
+    # The raw cow is ~1.7 units tall — scale to fit the unit collision box
+    # (uniform scaling preserves conformity and the scale-invariant quality)
+    # and start the feet just above the floor so contact happens quickly.
+    nodes = 0.5 * nodes
+    ocfg = ObjectConfig(
+        center=(0.5, 0.39, 0.5), rho=1000.0, E=4e4, nu=0.4, damping=10.0
+    )
+    obj, state = build_object(
+        ocfg,
+        nodes.astype(np.float32),
+        surface.astype(np.int32),
+        tets.astype(np.int32),
+    )
+    cfg = SimConfig(
+        dim=3, delta_time=5e-4, sim_count=10, auto_diff=False,
+        use_explicit_method=False, implicit_method=1, preconditioned=1,
+        g_dir=(0.0, -1.0, 0.0), robust_inversion=False,
+        objects=(ocfg,), blocks=(),
+    )
+    obstacles = Obstacles.from_configs((), 3)
+    frame = make_frame_fn(obj, cfg)
+
+    def total_volume(s):
+        F = deformation_gradients(s.pos, obj.element_indices, obj.ref_inv)
+        return float(jnp.sum(obj.volume * sm.det(F)))
+
+    assert float(state.pos[:, 1].min()) > 0.0  # feet start above the floor
+    v0 = total_volume(state)
+    for _ in range(15):  # 150 substeps = 0.075 s, includes floor contact
+        state, aux = frame(state, obstacles)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() > -0.05  # resting on/above the floor
+    v1 = total_volume(state)
+    assert abs(v1 - v0) / v0 < 0.05, f"volume drift {(v1 - v0) / v0:.2%}"
