@@ -1,28 +1,46 @@
-#!/bin/bash
-# Round-readiness checks: everything the driver exercises, in one script.
-#   bash tools/run_all_checks.sh
-set -e
+#!/usr/bin/env bash
+# Everything the driver exercises, in one script (CLAUDE.md roadmap).
+# Usage: bash tools/run_all_checks.sh [--fast]
+#   --fast skips the TPU-side bench (CPU-only checks, ~6 min).
+set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== 1/4 test suite (CPU, 8 virtual devices) ==="
-python -m pytest tests/ -q
+FAST=0
+[ "${1:-}" = "--fast" ] && FAST=1
+fail=0
 
-echo "=== 2/4 entry() compile check ==="
-python - <<'EOF'
-import jax
-import __graft_entry__ as g
+step() { echo; echo "=== $1 ==="; }
+
+step "pytest (CPU, 8-device virtual mesh via tests/conftest.py)"
+python -m pytest tests/ -q || fail=1
+
+step "CLI error path (must exit 3)"
+python main.py --config /nonexistent.json >/dev/null 2>&1
+[ $? -eq 3 ] && echo "exit-code-3 OK" || { echo "FAIL: wrong exit code"; fail=1; }
+
+step "CLI 2D end-to-end (gif)"
+out=$(mktemp -d)
+python main.py --config configs/default.json --seconds 0.1 --output "$out" \
+  >/dev/null && [ -f "$out/video.gif" ] && echo "2D gif OK" || { echo "FAIL"; fail=1; }
+rm -rf "$out"
+
+step "multichip dry run (8 virtual CPU devices)"
+python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" || fail=1
+
+if [ "$FAST" -eq 0 ]; then
+  step "flagship entry compile check (TPU if available)"
+  python - <<'EOF' || fail=1
+import jax, numpy as np, __graft_entry__ as g
 fn, args = g.entry()
 out = jax.jit(fn)(*args)
-jax.block_until_ready(out[0].pos)
-import numpy as np
-assert np.isfinite(np.asarray(out[0].pos)).all()
-print("entry OK")
+pos = np.asarray(out[0].pos)  # value fetch = the only reliable barrier here
+assert np.isfinite(pos).all()
+print("entry OK:", int(np.asarray(out[1].solver_iterations)), "CG iters")
 EOF
 
-echo "=== 3/4 dryrun_multichip(8) ==="
-python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+  step "bench (one JSON line on stdout)"
+  python bench.py || fail=1
+fi
 
-echo "=== 4/4 bench ==="
-python bench.py
-
-echo "ALL CHECKS PASSED"
+echo
+[ "$fail" -eq 0 ] && echo "ALL CHECKS PASSED" || { echo "SOME CHECKS FAILED"; exit 1; }

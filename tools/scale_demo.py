@@ -29,6 +29,9 @@ def main():
     p.add_argument("--render", action="store_true")
     p.add_argument("--method", default="implicit_cg",
                    choices=["implicit_cg", "explicit"])
+    p.add_argument("--robust-inversion", action="store_true",
+                   help="enable the robust clamp extension (default: pure "
+                        "reference semantics — stable on conforming meshes)")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -58,21 +61,24 @@ def main():
         dim=3, sim_count=10, auto_diff=False,
         use_explicit_method=not implicit,
         implicit_method=1, preconditioned=1,
-        g_dir=(0.0, -1.0, 0.0), robust_inversion=implicit,
+        g_dir=(0.0, -1.0, 0.0), robust_inversion=args.robust_inversion,
         objects=(ocfg,), blocks=(),
     )
     obstacles = Obstacles.from_configs((), 3)
     frame = make_frame_fn(obj, cfg)
 
+    # MEASUREMENT NOTE: on this environment's relayed TPU backend
+    # jax.block_until_ready returns before execution completes; every timed
+    # region must end with a device->host VALUE fetch (np.asarray).
     t0 = time.perf_counter()
     s, aux = frame(state, obstacles)
-    jax.block_until_ready(s.pos)
+    _ = np.asarray(s.pos)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", flush=True)
 
     warm_frames = int(args.warm_seconds / (cfg.sim_count * cfg.delta_time))
     for _ in range(warm_frames):
         s, aux = frame(s, obstacles)
-    jax.block_until_ready(s.pos)
+    _ = np.asarray(s.pos)  # hard sync before starting the clock
     m = frame_metrics(obj, s)
     iters = float(np.asarray(aux.solver_iterations).mean())
     print(
@@ -85,14 +91,16 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_frames):
         s, aux = frame(s, obstacles)
-    jax.block_until_ready(s.pos)
+    _ = np.asarray(s.pos)  # hard sync ends the timed region
     wall = time.perf_counter() - t0
     steps = n_frames * cfg.sim_count
     m = frame_metrics(obj, s)
     iters = float(np.asarray(aux.solver_iterations).mean())
+    cg_iters_per_s = iters * steps / wall
     print(
         f"{steps} substeps in {wall:.2f}s = {steps / wall:.0f} steps/s "
-        f"({obj.element_cnt * steps / wall:.2e} element-steps/s)  "
+        f"({obj.element_cnt * steps / wall:.2e} element-steps/s, "
+        f"{cg_iters_per_s:.0f} CG iters/s)  "
         f"CG iters/substep={iters:.1f}  "
         f"min det F={m.min_det_f:.3f}  finite={not m.any_nan}",
         flush=True,
