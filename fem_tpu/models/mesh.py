@@ -216,25 +216,61 @@ def winding_number(
 
 def points_inside_mesh(
     points: np.ndarray, vertices: np.ndarray, faces: np.ndarray,
-    chunk: int = 8192,
+    chunk: int = 4096,
 ) -> np.ndarray:
     """Boolean inside test by +z ray-crossing parity, fully vectorized.
 
     ~50× cheaper per point·face pair than the solid-angle winding number;
     used by the tetrahedralizer for the large point sets (interior Steiner
-    candidates, tet centroids).  Points exactly on edges are resolved by the
-    shifted-epsilon rule (top-left style) — adequate here because query
-    points are centroids/grid points, not surface points.
+    candidates, tet classification samples).  Points exactly on edges are
+    resolved by the shifted-epsilon rule (top-left style) — adequate here
+    because query points are centroids/grid points, not surface points.
+
+    Queries are processed in **Morton-sorted chunks with xy-bbox face
+    culling**: spatially coherent chunks overlap few face shadows, cutting
+    the O(P·F) pair count ~10× on the meshing workloads (the classifier's
+    sample points come from contiguous tets, so locality is real).
     """
     tri = vertices[faces]  # (F, 3, 3)
-    ax, ay = tri[:, :, 0], tri[:, :, 1]
-    out = np.empty(points.shape[0], bool)
-    for s in range(0, points.shape[0], chunk):
-        p = points[s : s + chunk]
+    # Spatial sort of the queries (16-bit interleaved Morton code on xy).
+    lo, hi = points.min(0), points.max(0)
+    span = np.maximum(hi - lo, 1e-30)
+    q = ((points - lo) / span * 1023).astype(np.uint32)
+
+    def _spread(v):  # interleave 10 bits with zeros
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    order = np.argsort(
+        _spread(q[:, 0]) | (_spread(q[:, 1]) << 1), kind="stable"
+    )
+    pts_s = points[order]
+
+    fx_min, fx_max = tri[:, :, 0].min(1), tri[:, :, 0].max(1)
+    fy_min, fy_max = tri[:, :, 1].min(1), tri[:, :, 1].max(1)
+    fz_max = tri[:, :, 2].max(1)
+
+    out_s = np.empty(points.shape[0], bool)
+    for s in range(0, pts_s.shape[0], chunk):
+        p = pts_s[s : s + chunk]
+        # Faces whose xy shadow overlaps this chunk's bbox and that are not
+        # entirely below it (a +z ray can't hit those).
+        keep = (
+            (fx_max >= p[:, 0].min()) & (fx_min <= p[:, 0].max())
+            & (fy_max >= p[:, 1].min()) & (fy_min <= p[:, 1].max())
+            & (fz_max > p[:, 2].min())
+        )
+        t = tri[keep]
+        if t.shape[0] == 0:
+            out_s[s : s + chunk] = False
+            continue
         px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
         # 2D barycentric containment of (px,py) in each triangle's xy-shadow.
-        x0, x1, x2 = ax[:, 0][None], ax[:, 1][None], ax[:, 2][None]
-        y0, y1, y2 = ay[:, 0][None], ay[:, 1][None], ay[:, 2][None]
+        x0, x1, x2 = t[:, 0, 0][None], t[:, 1, 0][None], t[:, 2, 0][None]
+        y0, y1, y2 = t[:, 0, 1][None], t[:, 1, 1][None], t[:, 2, 1][None]
         den = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
         den = np.where(np.abs(den) < 1e-30, 1e-30, den)
         l0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) / den
@@ -242,12 +278,14 @@ def points_inside_mesh(
         l2 = 1.0 - l0 - l1
         inside_xy = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
         z_hit = (
-            l0 * tri[:, 0, 2][None]
-            + l1 * tri[:, 1, 2][None]
-            + l2 * tri[:, 2, 2][None]
+            l0 * t[:, 0, 2][None]
+            + l1 * t[:, 1, 2][None]
+            + l2 * t[:, 2, 2][None]
         )
         crossings = np.sum(inside_xy & (z_hit > pz), axis=1)
-        out[s : s + chunk] = (crossings % 2) == 1
+        out_s[s : s + chunk] = (crossings % 2) == 1
+    out = np.empty_like(out_s)
+    out[order] = out_s
     return out
 
 
