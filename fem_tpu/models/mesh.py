@@ -231,6 +231,8 @@ def points_inside_mesh(
     the O(P·F) pair count ~10× on the meshing workloads (the classifier's
     sample points come from contiguous tets, so locality is real).
     """
+    if points.shape[0] == 0:
+        return np.zeros((0,), bool)
     tri = vertices[faces]  # (F, 3, 3)
     # Spatial sort of the queries (16-bit interleaved Morton code on xy).
     lo, hi = points.min(0), points.max(0)
@@ -519,29 +521,9 @@ def collapse_slivers(
         )
         tets = tets[keep]
     # A few slivers can be irreducible by edge collapse (each collapse may
-    # create a new one); drop any stragglers outright — removing a handful
-    # of degenerate boundary tets is far safer than keeping their huge R⁻¹ —
-    # unless the drop would orphan a protected vertex (a massless particle
-    # would NaN the solve; conformity requires every surface vertex used).
-    q = _tet_quality(pts, tets)
-    bad = np.where(q < quality_min)[0]
-    if bad.size:
-        usage = np.zeros(pts.shape[0], np.int64)
-        np.add.at(usage, tets.reshape(-1), 1)
-        drop = np.zeros(tets.shape[0], bool)
-        for t in bad:
-            quad = tets[t]
-            prot = quad[protected[quad]]
-            if np.all(usage[prot] > 1):
-                drop[t] = True
-                usage[quad] -= 1
-        tets = tets[~drop]
-    # Compact vertex numbering (protected vertices come first in `pts`, so
-    # sorted-unique compaction keeps them first and verbatim).
-    used = np.unique(tets.reshape(-1))
-    remap = -np.ones(pts.shape[0], np.int64)
-    remap[used] = np.arange(used.shape[0])
-    return pts[used], remap[tets]
+    # create a new one); the shared drop-only cleanup removes them (orphan-
+    # guarded) and enforces the protected-vertex contract loudly.
+    return _drop_bad_tets_protected(pts, tets, quality_min, protected_count)
 
 
 # Deterministic strictly-interior barycentric sample set for the tet
@@ -650,9 +632,11 @@ def delaunay_tetrahedralize(
          Replaces surface-damaging edge collapse as the primary quality tool.
       4. Orphan rescue: any surface vertex left tet-less re-adds its
          highest-fraction incident tet (massless particles are forbidden).
-      5. Final sliver cleanup with the surface vertices protected
-         (:func:`collapse_slivers`) — by now only a handful of irreducible
-         boundary slivers remain (measured ≤0.03% of the volume).
+      5. Drop-only final cleanup with the surface vertices protected
+         (:func:`_drop_bad_tets_protected`) — by now only a handful of
+         irreducible boundary slivers remain (measured ≤0.03% of the
+         volume); conformity violations raise instead of silently
+         renumbering.
     """
     from scipy.spatial import Delaunay, cKDTree
 
@@ -703,7 +687,8 @@ def delaunay_tetrahedralize(
         0.15 * float(np.median(elen))
     )
     frac_of = _FracCache(vertices, faces)
-    for _ in range(max(refine_rounds, 1)):
+    n_rounds = max(refine_rounds, 1)
+    for rnd in range(n_rounds):
         tets = Delaunay(pts).simplices.astype(np.int64)
         frac = frac_of(pts, tets)
         keep = frac >= 0.5
@@ -712,7 +697,9 @@ def delaunay_tetrahedralize(
         inside = tets[keep]
         q = _tet_quality(pts, inside)
         bad = np.where(q < quality_min)[0]
-        if bad.size == 0:
+        if bad.size == 0 or rnd == n_rounds - 1:
+            # No bad tets, or no further round would triangulate new points —
+            # candidate insertion on the last round would be wasted work.
             break
         cand, ok = _tet_circumcenters(pts[inside[bad]])
         cand = cand[ok]
@@ -757,7 +744,12 @@ def _drop_bad_tets_protected(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Drop below-quality tets unless the drop would orphan a protected
     (surface) vertex, then compact the vertex numbering (protected vertices
-    first, verbatim)."""
+    first, verbatim).
+
+    Raises ``ValueError`` if any protected vertex would be lost — a silently
+    dropped surface vertex would shift every downstream vertex index and
+    leave a massless particle; conformity failures must be loud.
+    """
     protected = np.zeros(pts.shape[0], bool)
     protected[:protected_count] = True
     q = _tet_quality(pts, tets)
@@ -774,6 +766,19 @@ def _drop_bad_tets_protected(
                 usage[quad] -= 1
         tets = tets[~drop]
     used = np.unique(tets.reshape(-1))
+    n_protected_used = int(np.searchsorted(used, protected_count))
+    if n_protected_used != protected_count or (
+        protected_count and not np.array_equal(
+            used[:protected_count], np.arange(protected_count)
+        )
+    ):
+        missing = np.setdiff1d(np.arange(protected_count), used)
+        raise ValueError(
+            f"surface-conformity violation: {missing.size} input surface "
+            f"vertices lost all their tetrahedra (first few: "
+            f"{missing[:5].tolist()}); the input surface is likely "
+            "degenerate near those vertices"
+        )
     remap = -np.ones(pts.shape[0], np.int64)
     remap[used] = np.arange(used.shape[0])
     return pts[used], remap[tets]
@@ -830,9 +835,15 @@ def remap_surface(
     """Re-index surface faces into the compact surface-vertex numbering
     (clean, total remap — the reference's partial remap at object.py:310-315
     only rewrites indices >= len(surface_vertex))."""
-    remap = np.zeros(int(surface_vertex.max()) + 1, np.int64)
+    remap = np.full(int(surface_vertex.max()) + 1, -1, np.int64)
     remap[surface_vertex] = np.arange(len(surface_vertex), dtype=np.int64)
-    return remap[surface]
+    out = remap[surface]
+    if (out < 0).any():  # loud failure, like the old dict KeyError
+        bad = np.unique(np.asarray(surface)[out < 0])
+        raise KeyError(
+            f"surface indices not in surface_vertex: {bad[:5].tolist()}"
+        )
+    return out
 
 
 def barycentric_coordinates(

@@ -2,6 +2,7 @@
 """Mesh construction + element init: volumes, masses, topology (SURVEY §4)."""
 
 import numpy as np
+import pytest
 
 from fem_tpu.models.mesh import (
     construct_2d_mesh,
@@ -226,6 +227,22 @@ def test_collapse_slivers_protects_surface_vertices():
     new_pts, new_tets = collapse_slivers(pts, tets, protected_count=5)
     np.testing.assert_array_equal(new_pts[:5], pts[:5])  # verbatim
     assert _tet_quality(new_pts, new_tets).min() >= 0.01
+
+
+def test_remap_surface_unknown_index_raises():
+    from fem_tpu.models.mesh import remap_surface
+
+    surface = np.array([[5, 7, 8]], np.int64)
+    with pytest.raises((KeyError, IndexError)):
+        remap_surface(surface, np.array([5, 7, 9], np.int64))
+
+
+def test_points_inside_mesh_empty_input():
+    from fem_tpu.models.mesh import points_inside_mesh
+
+    v, f = _cube_surface()
+    out = points_inside_mesh(np.zeros((0, 3)), v, f)
+    assert out.shape == (0,) and out.dtype == bool
 
 
 def test_obj_loader_welds_uv_seam_duplicates(tmp_path):
