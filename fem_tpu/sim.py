@@ -138,7 +138,24 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
 def make_frame_fn(obj: FemObject, cfg: SimConfig):
     """Compiled function advancing one rendered frame (= ``sim_count``
     substeps under lax.scan).  Returns (state, StepAux stacked over substeps).
+
+    With ``frame_backend="fused"`` the whole frame runs as ONE fused Pallas
+    kernel instead — identical semantics, one device op per frame
+    (ops/pallas_frame.py).  Parity-exact but measured 4.8× slower on this
+    backend (no Mosaic gather primitive → one-hot matmul gathers, see the
+    module docstring), so "auto" resolves to the op-composed path.
     """
+    if cfg.frame_backend == "fused":
+        from fem_tpu.ops.pallas_frame import (
+            make_fused_frame_fn, supports_fused_frame,
+        )
+
+        if not supports_fused_frame(obj, cfg, 0):
+            raise ValueError(
+                "frame_backend='fused' requested but this config/mesh "
+                "is not eligible (see ops/pallas_frame.py)"
+            )
+        return make_fused_frame_fn(obj, cfg)
     kwargs = _cfg_kwargs(cfg)
 
     @jax.jit

@@ -103,6 +103,12 @@ class SimConfig:
     # deterministic parallel variant (extension): O(E) matrix-free per
     # iteration, typically needing more iterations per solve.
     jacobi_sweep: str = "serial"
+    # Frame execution: "auto" runs the whole frame (sim_count substeps of
+    # K-assembly → rhs → reference CG → implicit advection) as ONE fused
+    # Pallas kernel on TPU when eligible (ops/pallas_frame.py: implicit CG,
+    # reference Hessian, neo-Hookean, non-robust, VMEM-sized mesh), else the
+    # lax.scan op-composed path; "fused"/"ops" force one.
+    frame_backend: str = "auto"
     # Matrix-free operator execution: "auto" picks the MXU edge-matrix
     # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this
     # backend) when the dense S fits (small meshes, single chip), else the
@@ -170,6 +176,7 @@ def parse_config(data: dict) -> SimConfig:
         robust_inversion=bool(data.get("robust_inversion", False)),
         hessian=str(data.get("hessian", "reference")),
         jacobi_sweep=str(data.get("jacobi_sweep", "serial")),
+        frame_backend=str(data.get("frame_backend", "auto")),
         operator_mode=str(data.get("operator_mode", "auto")),
     )
 
