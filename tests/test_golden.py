@@ -57,6 +57,52 @@ OVERRIDES = {
 }
 
 
+def test_golden_trajectory_3d_implicit_cg():
+    """3D canary: cube.stl → conforming mesher → implicit-PCG drop onto the
+    floor, 0.5 virtual seconds.  Pins mesher + 3D solver + advection
+    together; regenerate the numbers when the mesher algorithm version
+    changes (they are mesh-dependent by design)."""
+    import numpy as np
+
+    from fem_tpu.models.mesh import (
+        delaunay_tetrahedralize, extract_surface, load_surface_mesh,
+    )
+    from fem_tpu.models.state import Obstacles, build_object
+    from fem_tpu.utils.config import ObjectConfig, SimConfig
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    v, f = load_surface_mesh(os.path.join(here, "assets", "cube.stl"))
+    nodes, tets = delaunay_tetrahedralize(v, f, 0.25)
+    surface, _ = extract_surface(nodes, tets)
+    ocfg = ObjectConfig(
+        center=(0.2, 0.05, 0.2), rho=1000.0, E=4e4, nu=0.3, damping=10.0
+    )
+    obj, state = build_object(
+        ocfg, (0.3 * nodes).astype(np.float32),
+        surface.astype(np.int32), tets.astype(np.int32),
+    )
+    cfg = SimConfig(
+        dim=3, delta_time=5e-4, sim_count=10, auto_diff=False,
+        use_explicit_method=False, implicit_method=1, preconditioned=1,
+        g_dir=(0.0, -1.0, 0.0), objects=(ocfg,), blocks=(),
+    )
+    obstacles = Obstacles.from_configs((), 3)
+    frame = make_frame_fn(obj, cfg)
+    for _ in range(100):
+        state, _ = frame(state, obstacles)
+    p = np.asarray(state.pos)
+    assert np.isfinite(p).all()
+    assert abs(p.mean() - 0.26845533) < 5e-3
+    assert abs(p.std() - 0.14851882) < 5e-3
+    np.testing.assert_allclose(
+        p[0], (0.1984677, -0.0001941, 0.2024335), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        p[5], (0.5024207, -0.0001942, 0.5269114), atol=1e-2
+    )
+
+
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_golden_trajectory(name):
     cfg = default_sim_config(**OVERRIDES[name])
