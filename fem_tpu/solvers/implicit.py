@@ -457,17 +457,22 @@ def implicit_velocity_solve(
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 
     if element_backend == "pallas" and not robust:
-        from fem_tpu.ops.pallas_kernels import hessian_blocks_pallas
+        # Fused kernel: K blocks + rhs force columns share the F chain and
+        # the X-plane gather (one dispatch instead of two per substep).
+        from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
 
-        K = hessian_blocks_pallas(
+        K, force_cols = hessian_and_force_pallas(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
             obj.mu, obj.s_lambda,
         )
+        f = assemble_for(obj, element_contrib_full(force_cols), axis_name)
+        b = state.vel + dt * f / obj.mass[:, None]
     else:
         K = hessian_blocks(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
             obj.mu, obj.s_lambda, robust,
         )
+        b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
     use_mxu = (
         operator_mode in ("mxu", "auto")
         and axis_name is None
@@ -479,7 +484,6 @@ def implicit_velocity_solve(
         )
     else:
         apply_a = make_system_apply(obj, K, dt, axis_name)
-    b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
 
     if method == JACOBI_METHOD:
         if jacobi_sweep == "serial":

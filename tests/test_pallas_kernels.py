@@ -77,6 +77,32 @@ def test_pallas_implicit_force_columns_match_xla():
         )
 
 
+def test_pallas_fused_hessian_and_force_match_split():
+    """The fused K+force kernel must reproduce both split kernels exactly
+    (same formulas, shared F chain)."""
+    from fem_tpu.ops.pallas_kernels import (
+        hessian_and_force_pallas,
+        hessian_blocks_pallas,
+        implicit_force_columns_pallas,
+    )
+
+    for maker, scale in ((make_2d_object, 0.003), (two_tet_object, 0.02)):
+        cfg, obj, state = maker()
+        state = _perturbed(state, scale)
+        args = (
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+        k_fused, h_fused = hessian_and_force_pallas(*args)
+        np.testing.assert_array_equal(
+            np.asarray(k_fused), np.asarray(hessian_blocks_pallas(*args))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h_fused),
+            np.asarray(implicit_force_columns_pallas(*args)),
+        )
+
+
 def test_pallas_padding_lanes_are_zeroed():
     """Padded lanes (volume 0, F = I) must not contaminate real output."""
     cfg, obj, state = two_tet_object()
