@@ -176,6 +176,29 @@ def test_cli_resume_body_count_mismatch_rejected(tmp_path):
     assert rc == 3
 
 
+def test_cli_multibody_virtual_time_pacing_quirk(tmp_path, capsys):
+    """Reference main.py:113 advances virtual_time once per object per
+    frame — a 2-body scene reports 2x the wall-frame virtual time.
+    Replicated deliberately (PARITY.md)."""
+    cfg = _write_cfg(
+        tmp_path,
+        objects=[
+            {"id": 0, "center": [0.3, 0.8], "side_length": 0.1,
+             "subdivisions": 3},
+            {"id": 1, "center": [0.6, 0.6], "side_length": 0.1,
+             "subdivisions": 3},
+        ],
+        is_output_gif=False,
+        sim_count=10,
+    )
+    rc = cli.run(["--config", cfg, "--frames", "4", "--output",
+                  str(tmp_path / "out"), "--no-render", "--print-every", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 4 frames x 2 bodies x 10 substeps x 5e-4 = 0.040 virtual seconds.
+    assert "t=0.040s" in out
+
+
 def test_cli_multi_object_scene(tmp_path):
     cfg = _write_cfg(
         tmp_path,

@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 
 REF_SPOT = "/root/reference/obj/spot.obj"
+REF_SPOT100 = "/root/reference/obj/spot100.obj"
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(REF_SPOT), reason="reference spot.obj not available"
@@ -94,3 +95,23 @@ def test_real_spot_implicit_cg_run(spot_mesh):
     assert pos[:, 1].min() > -0.05  # resting on/above the floor
     v1 = total_volume(state)
     assert abs(v1 - v0) / v0 < 0.05, f"volume drift {(v1 - v0) / v0:.2%}"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_SPOT100), reason="spot100.obj not available"
+)
+def test_real_spot100_meshes_conformally():
+    """The reference's low-poly spot variant (119 v / 234 f) through the
+    conforming mesher: same contract, coarser geometry."""
+    from fem_tpu.models.mesh import (
+        _tet_quality, _tet_volumes, enclosed_volume, load_obj_file,
+        tetrahedralize,
+    )
+
+    v, f = load_obj_file(REF_SPOT100)
+    nodes, tets = tetrahedralize(v, f)
+    ev = enclosed_volume(v, f)
+    tv = float(_tet_volumes(nodes, tets).sum())
+    assert abs(tv - ev) / ev < 0.03, f"volume error {(tv - ev) / ev:.2%}"
+    np.testing.assert_array_equal(nodes[: v.shape[0]], v)
+    assert _tet_quality(nodes, tets).min() >= 0.0099
