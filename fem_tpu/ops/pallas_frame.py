@@ -65,16 +65,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fem_tpu.ops.pallas_kernels import (
-    _mat2_det,
-    _mat2_inv,
-    _mat2_mul,
-    _mat2_T,
-    _mat3_det,
-    _mat3_inv,
-    _mat3_mul,
-    _mat3_T,
-)
+from fem_tpu.ops.pallas_kernels import k_and_h_chain
 
 TILE_E = 128  # element lanes per mask tile (256 overflowed scoped VMEM)
 _HP = jax.lax.Precision.HIGHEST
@@ -88,12 +79,6 @@ MAX_PLANE_BYTES = 4 * 1024 * 1024
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _algebra(d: int):
-    if d == 3:
-        return _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
-    return _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
 
 
 def _frame_kernel(
@@ -129,7 +114,6 @@ def _frame_kernel(
 ):
     d2 = d * d
     n_tiles = e_pad // TILE_E
-    mul, det_fn, inv_fn, t_fn = _algebra(d)
     dt2 = dt * dt
     minv = minv_ref[0:1, :]  # (1, N_pad)
 
@@ -200,33 +184,13 @@ def _frame_kernel(
             ]
             v = vol_ref[0:1, pl.ds(lo, TILE_E)]
             valid = valid_ref[0:1, pl.ds(lo, TILE_E)]
-
-            f = mul(x, r)
-            det_f = det_fn(f)
-            f_inv = inv_fn(f, det_f)
-            f_inv_t = t_fn(f_inv)
-            # Hessian blocks (reference implicit.py:131-147, logJ clamp).
-            log_j = jnp.log(jnp.maximum(det_f, 1e-4))
-            term2 = mul(mul(f_inv_t, t_fn(r)), f_inv_t)
-            f_inv_r = mul(f_inv, r)
-            tr = sum(f_inv_r[i * d + i] for i in range(d))
-            blk = [
-                mu * r[i] + (mu - lam * log_j) * term2[i]
-                + lam * tr * f_inv_t[i]
-                for i in range(d2)
-            ]
-            k = mul(blk, t_fn(r))
+            # Shared parity-critical chain (single source of truth with the
+            # element kernels — ops/pallas_kernels.k_and_h_chain).
+            k, h = k_and_h_chain(x, r, d, mu, lam)
             k_ref[:, pl.ds(lo, TILE_E)] = jnp.concatenate(
                 [jnp.where(valid > 0, -v * k[i], 0.0) for i in range(d2)],
                 axis=0,
             )
-            # Implicit rhs force columns (implicit.py:87-88: λ/2·log det(FᵀF)).
-            log_gram = jnp.log(det_f * det_f)
-            p = [
-                mu * f[i] + (lam / 2.0 * log_gram - mu) * f_inv_t[i]
-                for i in range(d2)
-            ]
-            h = mul(p, t_fn(r))
             h = [jnp.where(valid > 0, -v * h[i], 0.0) for i in range(d2)]
             return scatter_cols(h, t, f_acc)
 
@@ -372,7 +336,7 @@ def _frame_kernel(
     resid_out[:] = resid_row
 
 
-def supports_fused_frame(obj, cfg, n_blocks: int) -> bool:
+def supports_fused_frame(obj, cfg) -> bool:
     """VMEM + semantics eligibility for the fused frame kernel."""
     from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD
 
@@ -480,46 +444,58 @@ def make_fused_frame_fn(obj, cfg):
     )
     interpret = jax.default_backend() != "tpu"
 
-    def _pack_state(arr):
-        out = jnp.zeros((8, n_pad), jnp.float32)
-        return out.at[:d, :n].set(arr.T)
-
     # Obstacles become static kernel constants; memoize the device→host
-    # fetch so the per-frame call never syncs (obstacle sets are fixed for a
-    # run — a fresh set just pays one fetch + one recompile).
-    _obstacle_memo: dict = {}
+    # fetch AND the jitted pack→kernel→unpack runner per obstacle set so the
+    # per-frame call neither syncs nor dispatches the ~15 pack/unpack ops
+    # eagerly (they would cost ~0.5 ms/frame on this 40 µs/op backend).  The
+    # memo value holds the arrays themselves — keying by id() alone risks
+    # CPython id reuse after GC returning stale geometry.
+    _runner_memo: dict = {}
 
-    def _static_obstacles(obstacles):
-        key = id(obstacles.centers)
-        if key not in _obstacle_memo:
-            _obstacle_memo[key] = (
-                tuple(
-                    tuple(float(c) for c in row)
-                    for row in np.asarray(obstacles.centers)
-                ),
-                tuple(float(r) for r in np.asarray(obstacles.radii)),
+    def _build_runner(centers, radii):
+        @jax.jit
+        def run(pos, vel, velg):
+            def pack(arr):
+                out = jnp.zeros((8, n_pad), jnp.float32)
+                return out.at[:d, :n].set(arr.T)
+
+            pos2, vel2, velg2, iters_row, resid_row = fused_frame(
+                pack(pos), pack(vel), pack(velg),
+                rinv_p, vol_p, valid_p, idx_p, minv_p,
+                d=d, dt=cfg.delta_time, sim_count=cfg.sim_count,
+                mu=obj.mu, lam=obj.s_lambda, damping=obj.damping,
+                g_dir=tuple(cfg.g_dir), centers=centers, radii=radii,
+                precond=cfg.preconditioned == 1, interpret=interpret,
             )
-        return _obstacle_memo[key]
+            return (
+                pos2[:d, :n].T, vel2[:d, :n].T, velg2[:d, :n].T,
+                iters_row[0, : cfg.sim_count].astype(jnp.int32),
+                resid_row[0, : cfg.sim_count],
+            )
+
+        return run
+
+    def _runner_for(obstacles):
+        key = (id(obstacles.centers), id(obstacles.radii))
+        if key not in _runner_memo:
+            centers = tuple(
+                tuple(float(c) for c in row)
+                for row in np.asarray(obstacles.centers)
+            )
+            radii = tuple(float(r) for r in np.asarray(obstacles.radii))
+            # Hold the arrays so their ids stay unique while memoized.
+            _runner_memo[key] = (
+                obstacles.centers, obstacles.radii,
+                _build_runner(centers, radii),
+            )
+        return _runner_memo[key][2]
 
     def frame(state, obstacles):
-        centers, radii = _static_obstacles(obstacles)
-        pos_p = _pack_state(state.pos)
-        vel_p = _pack_state(state.vel)
-        velg_p = _pack_state(state.vel_g)
-        pos2, vel2, velg2, iters_row, resid_row = fused_frame(
-            pos_p, vel_p, velg_p, rinv_p, vol_p, valid_p, idx_p, minv_p,
-            d=d, dt=cfg.delta_time, sim_count=cfg.sim_count,
-            mu=obj.mu, lam=obj.s_lambda, damping=obj.damping,
-            g_dir=tuple(cfg.g_dir), centers=centers, radii=radii,
-            precond=cfg.preconditioned == 1, interpret=interpret,
+        run = _runner_for(obstacles)
+        pos, vel, velg, iters, resid = run(state.pos, state.vel, state.vel_g)
+        new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
+        return new_state, StepAux(
+            solver_iterations=iters, solver_residual=resid
         )
-        new_state = state.replace(
-            pos=pos2[:d, :n].T, vel=vel2[:d, :n].T, vel_g=velg2[:d, :n].T,
-        )
-        aux = StepAux(
-            solver_iterations=iters_row[0, : cfg.sim_count].astype(jnp.int32),
-            solver_residual=resid_row[0, : cfg.sim_count],
-        )
-        return new_state, aux
 
     return frame

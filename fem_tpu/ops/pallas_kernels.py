@@ -239,6 +239,42 @@ def implicit_force_planar(
     )(x_planes, r_planes, v_plane)
 
 
+def k_and_h_chain(x, r, dim, mu, lam):
+    """Shared parity-critical element chain: implicit-system blocks K_e
+    (reference implicit.py:131-147, logJ clamp) AND rhs force columns
+    (implicit.py:87-88, λ/2·log det(FᵀF) form) from edge planes ``x`` and
+    ref_inv planes ``r`` (lists of (1, T) component rows).  Returns (k, h)
+    UNscaled — callers apply the −V scaling / padding masks.  Single source
+    of truth for the fused element kernel and the whole-frame kernel
+    (ops/pallas_frame.py) so the formulas cannot drift."""
+    d2 = dim * dim
+    if dim == 3:
+        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
+    else:
+        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+    f = mul(x, r)
+    det_f = det_fn(f)
+    f_inv = inv_fn(f, det_f)
+    f_inv_t = t_fn(f_inv)
+    r_t = t_fn(r)
+    log_j = jnp.log(jnp.maximum(det_f, 1e-4))
+    term2 = mul(mul(f_inv_t, r_t), f_inv_t)
+    f_inv_r = mul(f_inv, r)
+    tr = sum(f_inv_r[i * dim + i] for i in range(dim))
+    blk = [
+        mu * r[i] + (mu - lam * log_j) * term2[i] + lam * tr * f_inv_t[i]
+        for i in range(d2)
+    ]
+    k = mul(blk, r_t)
+    log_gram = jnp.log(det_f * det_f)
+    p = [
+        mu * f[i] + (lam / 2.0 * log_gram - mu) * f_inv_t[i]
+        for i in range(d2)
+    ]
+    h = mul(p, r_t)
+    return k, h
+
+
 def _hessian_and_force_kernel(x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam):
     """One tile emitting BOTH implicit-system blocks K_e and rhs force
     columns — they share the whole F/F⁻ᵀ/det chain and the X-plane gather.
@@ -249,40 +285,12 @@ def _hessian_and_force_kernel(x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam
     applies' serial dependency.  Kept as the default pallas path anyway:
     one kernel + one gather is simpler and strictly less work."""
     d2 = dim * dim
-    if dim == 3:
-        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
-    else:
-        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
-
     x = [x_ref[i : i + 1, :] for i in range(d2)]
     r = [r_ref[i : i + 1, :] for i in range(d2)]
     v = v_ref[0:1, :]
-
-    f = mul(x, r)
-    det_f = det_fn(f)
-    f_inv = inv_fn(f, det_f)
-    f_inv_t = t_fn(f_inv)
-    r_t = t_fn(r)
-    # K blocks (reference implicit.py:131-147, logJ clamp).
-    log_j = jnp.log(jnp.maximum(det_f, 1e-4))
-    term2 = mul(mul(f_inv_t, r_t), f_inv_t)
-    f_inv_r = mul(f_inv, r)
-    tr = sum(f_inv_r[i * dim + i] for i in range(dim))
-    blk = [
-        mu * r[i] + (mu - lam * log_j) * term2[i] + lam * tr * f_inv_t[i]
-        for i in range(d2)
-    ]
-    k = mul(blk, r_t)
+    k, h = k_and_h_chain(x, r, dim, mu, lam)
     for i in range(d2):
         k_out[i : i + 1, :] = -v * k[i]
-    # Force columns (implicit.py:87-88: λ/2·log det(FᵀF) form).
-    log_gram = jnp.log(det_f * det_f)
-    p = [
-        mu * f[i] + (lam / 2.0 * log_gram - mu) * f_inv_t[i]
-        for i in range(d2)
-    ]
-    h = mul(p, r_t)
-    for i in range(d2):
         h_out[i : i + 1, :] = -v * h[i]
 
 

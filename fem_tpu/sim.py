@@ -150,7 +150,7 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
             make_fused_frame_fn, supports_fused_frame,
         )
 
-        if not supports_fused_frame(obj, cfg, 0):
+        if not supports_fused_frame(obj, cfg):
             raise ValueError(
                 "frame_backend='fused' requested but this config/mesh "
                 "is not eligible (see ops/pallas_frame.py)"

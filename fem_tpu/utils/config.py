@@ -103,11 +103,12 @@ class SimConfig:
     # deterministic parallel variant (extension): O(E) matrix-free per
     # iteration, typically needing more iterations per solve.
     jacobi_sweep: str = "serial"
-    # Frame execution: "auto" runs the whole frame (sim_count substeps of
+    # Frame execution: "auto"/"ops" run the lax.scan op-composed path;
+    # "fused" (opt-in) runs the whole frame (sim_count substeps of
     # K-assembly → rhs → reference CG → implicit advection) as ONE fused
-    # Pallas kernel on TPU when eligible (ops/pallas_frame.py: implicit CG,
-    # reference Hessian, neo-Hookean, non-robust, VMEM-sized mesh), else the
-    # lax.scan op-composed path; "fused"/"ops" force one.
+    # Pallas kernel (ops/pallas_frame.py) — parity-exact, but measured 4.8×
+    # slower on this backend (no Mosaic gather primitive → one-hot matmul
+    # gathers), so it is never auto-selected.
     frame_backend: str = "auto"
     # Matrix-free operator execution: "auto" picks the MXU edge-matrix
     # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this

@@ -82,16 +82,16 @@ def test_fused_frame_eligibility_gates():
         g_dir=(0.0, -1.0, 0.0),
         objects=(ObjectConfig(center=(0.0, 0.0, 0.0)),),
     )
-    assert supports_fused_frame(obj, SimConfig(**base), 0)
+    assert supports_fused_frame(obj, SimConfig(**base))
     assert not supports_fused_frame(
-        obj, SimConfig(**{**base, "implicit_method": 0}), 0
+        obj, SimConfig(**{**base, "implicit_method": 0})
     )
     assert not supports_fused_frame(
-        obj, SimConfig(**{**base, "use_explicit_method": True}), 0
+        obj, SimConfig(**{**base, "use_explicit_method": True})
     )
     assert not supports_fused_frame(
-        obj, SimConfig(**{**base, "robust_inversion": True}), 0
+        obj, SimConfig(**{**base, "robust_inversion": True})
     )
     assert not supports_fused_frame(
-        obj, SimConfig(**{**base, "hessian": "exact_jvp"}), 0
+        obj, SimConfig(**{**base, "hessian": "exact_jvp"})
     )
