@@ -326,7 +326,7 @@ def points_inside_mesh_robust(
 # ---------------------------------------------------------------------------
 
 # Bump when tetrahedralization/collapse algorithms change (cache key salt).
-_MESHER_VERSION = "v3-conforming-shell"
+_MESHER_VERSION = "v4-tetgen-quality-bounds"
 
 
 def _tet_cache_path(
@@ -523,7 +523,11 @@ def collapse_slivers(
     # A few slivers can be irreducible by edge collapse (each collapse may
     # create a new one); the shared drop-only cleanup removes them (orphan-
     # guarded) and enforces the protected-vertex contract loudly.
-    return _drop_bad_tets_protected(pts, tets, quality_min, protected_count)
+    q = _tet_quality(pts, tets)
+    bad = np.where(q < quality_min)[0]
+    return _drop_bad_tets_protected(
+        pts, tets, bad[np.argsort(q[bad])], protected_count
+    )
 
 
 # Deterministic strictly-interior barycentric sample set for the tet
@@ -561,6 +565,92 @@ def enclosed_volume(vertices: np.ndarray, faces: np.ndarray) -> float:
     return float(
         np.einsum("fi,fi->f", p[:, 0], np.cross(p[:, 1], p[:, 2])).sum() / 6.0
     )
+
+
+def _tet_min_dihedral_deg(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Minimum dihedral angle per tet, degrees (tetgen's ``mindihedral``
+    quality measure, reference object.py:143)."""
+    p = pts[tets]
+    faces = [(0, 1, 2, 3), (0, 1, 3, 2), (0, 2, 3, 1), (1, 2, 3, 0)]
+    normals = []
+    for a, b, c, o in faces:
+        n = np.cross(p[:, b] - p[:, a], p[:, c] - p[:, a])
+        n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-300)
+        s = np.sign(np.einsum("ei,ei->e", n, p[:, o] - p[:, a]))
+        normals.append(n * -s[:, None])  # outward
+    mins = np.full(tets.shape[0], np.inf)
+    for f1 in range(4):
+        for f2 in range(f1 + 1, 4):
+            cosang = np.einsum("ei,ei->e", normals[f1], normals[f2])
+            ang = np.pi - np.arccos(np.clip(cosang, -1.0, 1.0))
+            mins = np.minimum(mins, ang)
+    return np.degrees(mins)
+
+
+def _tet_radius_edge_ratio(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Circumradius / shortest edge per tet (tetgen's ``minratio`` bound)."""
+    p = pts[tets]
+    cc, ok = _tet_circumcenters(p)
+    radius = np.linalg.norm(cc - p[:, 0], axis=1)
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    emin = np.min(
+        [np.linalg.norm(p[:, a] - p[:, b], axis=1) for a, b in pairs], axis=0
+    )
+    ratio = radius / np.maximum(emin, 1e-300)
+    ratio[~ok] = np.inf  # degenerate (coplanar) tets: unbounded circumsphere
+    return ratio
+
+
+def _closest_points_on_surface(
+    points: np.ndarray, vertices: np.ndarray, faces: np.ndarray
+) -> np.ndarray:
+    """Exact closest point on a triangle surface for each query: plane
+    projection when its barycentrics are non-negative, else the closest of
+    the three clamped edge projections.  Vectorized over faces per query
+    (query counts are small — rejected refinement candidates)."""
+    a = vertices[faces[:, 0]]
+    b = vertices[faces[:, 1]]
+    c = vertices[faces[:, 2]]
+    ab, ac, bc = b - a, c - a, c - b
+    n = np.cross(ab, ac)
+    nn = np.maximum(np.einsum("fi,fi->f", n, n), 1e-300)
+
+    def _seg(p, s0, sv):
+        t = np.clip(
+            np.einsum("fi,fi->f", p[None, :] - s0, sv)
+            / np.maximum(np.einsum("fi,fi->f", sv, sv), 1e-300),
+            0.0, 1.0,
+        )
+        return s0 + t[:, None] * sv
+
+    out = np.empty_like(points)
+    for i, p in enumerate(points):
+        ap = p[None, :] - a
+        proj = p[None, :] - (np.einsum("fi,fi->f", ap, n) / nn)[:, None] * n
+        # Barycentrics of the plane projection.
+        v0, v1 = ab, ac
+        v2 = proj - a
+        d00 = np.einsum("fi,fi->f", v0, v0)
+        d01 = np.einsum("fi,fi->f", v0, v1)
+        d11 = np.einsum("fi,fi->f", v1, v1)
+        d20 = np.einsum("fi,fi->f", v2, v0)
+        d21 = np.einsum("fi,fi->f", v2, v1)
+        den = np.maximum(d00 * d11 - d01 * d01, 1e-300)
+        w1 = (d11 * d20 - d01 * d21) / den
+        w2 = (d00 * d21 - d01 * d20) / den
+        inside = (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1)
+        e1, e2, e3 = _seg(p, a, ab), _seg(p, a, ac), _seg(p, b, bc)
+        de = np.stack([
+            np.linalg.norm(e1 - p, axis=1),
+            np.linalg.norm(e2 - p, axis=1),
+            np.linalg.norm(e3 - p, axis=1),
+        ])
+        edge_best = np.take_along_axis(
+            np.stack([e1, e2, e3]), de.argmin(0)[None, :, None], axis=0
+        )[0]
+        cand = np.where(inside[:, None], proj, edge_best)
+        out[i] = cand[np.argmin(np.linalg.norm(cand - p[None, :], axis=1))]
+    return out
 
 
 def _tet_circumcenters(p: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -601,7 +691,9 @@ def delaunay_tetrahedralize(
     faces: np.ndarray,
     interior_spacing: Optional[float] = None,
     quality_min: float = 0.01,
-    refine_rounds: int = 8,
+    refine_rounds: int = 12,
+    min_dihedral_deg: float = 10.0,  # tetgen mindihedral (object.py:143)
+    max_radius_edge: float = 5.0,  # tetgen minratio (object.py:143)
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Surface-conforming native mesher (replaces tetgen, reference
     object.py:143).  Contract matched to tetgen's: every input surface vertex
@@ -629,6 +721,11 @@ def delaunay_tetrahedralize(
          circumcenter empties the offending circumsphere), rejecting
          candidates outside the surface or crowding existing points, and
          re-run steps 2-3 until clean or ``refine_rounds`` exhausted.
+         The quality criterion combines the scale-invariant V/L³ floor (the
+         implicit-stability requirement) with **tetgen's own bounds** —
+         ``mindihedral=10°`` and radius-edge ``minratio=5.0``, the exact
+         parameters of the reference's tetgen call (object.py:143) — so the
+         output satisfies the same quality contract.
          Replaces surface-damaging edge collapse as the primary quality tool.
       4. Orphan rescue: any surface vertex left tet-less re-adds its
          highest-fraction incident tet (massless particles are forbidden).
@@ -686,6 +783,23 @@ def delaunay_tetrahedralize(
     min_sep = 0.15 * interior_spacing if interior_spacing > 0 else (
         0.15 * float(np.median(elen))
     )
+    def bad_tets(inside):
+        """Below-quality indices (worst first) under the COMBINED criterion:
+        the scale-invariant V/L³ floor (the stability requirement) AND
+        tetgen's own quality bounds — ``mindihedral=10°``/``minratio=5.0``
+        (reference object.py:143), so the output satisfies the same quality
+        contract as the reference's tetgen call."""
+        q = _tet_quality(pts, inside)
+        dih = _tet_min_dihedral_deg(pts, inside)
+        ratio = _tet_radius_edge_ratio(pts, inside)
+        bad_mask = (
+            (q < quality_min)
+            | (dih < min_dihedral_deg)
+            | (ratio > max_radius_edge)
+        )
+        bad = np.where(bad_mask)[0]
+        return bad[np.argsort(q[bad])]  # worst shape first
+
     frac_of = _FracCache(vertices, faces)
     n_rounds = max(refine_rounds, 1)
     for rnd in range(n_rounds):
@@ -695,8 +809,7 @@ def delaunay_tetrahedralize(
         vol = _tet_volumes(pts, tets)
         keep &= vol > 1e-12 * scale  # drop exactly-degenerate slivers
         inside = tets[keep]
-        q = _tet_quality(pts, inside)
-        bad = np.where(q < quality_min)[0]
+        bad = bad_tets(inside)
         if bad.size == 0 or rnd == n_rounds - 1:
             # No bad tets, or no further round would triangulate new points —
             # candidate insertion on the last round would be wasted work.
@@ -704,7 +817,19 @@ def delaunay_tetrahedralize(
         cand, ok = _tet_circumcenters(pts[inside[bad]])
         cand = cand[ok]
         if cand.shape[0]:
-            cand = cand[points_inside_mesh_robust(cand, vertices, faces)]
+            ins = points_inside_mesh_robust(cand, vertices, faces)
+            outside = cand[~ins]
+            cand = cand[ins]
+            if outside.shape[0]:
+                # tetgen-style boundary Steiner points: a flat boundary tet's
+                # circumcenter lies beyond the surface; project it ONTO the
+                # surface instead of rejecting it (rejection stalls
+                # refinement on coarse surfaces — measured −47% volume on
+                # the 8-vertex cube when the stalled tets were then dropped).
+                cand = np.vstack([
+                    cand,
+                    _closest_points_on_surface(outside, vertices, faces),
+                ])
         if cand.shape[0]:
             d, _ = cKDTree(pts).query(cand)
             cand = cand[d > min_sep]
@@ -732,19 +857,32 @@ def delaunay_tetrahedralize(
     # Step 5: drop-only cleanup.  Edge collapse here would move refinement
     # points into the (protected) surface and cascade new slivers — measured
     # ~3× tet loss; the stragglers refinement could not fix hold ≲0.03% of
-    # the volume, so dropping them (orphan-guarded) is strictly safer.
-    return _drop_bad_tets_protected(pts, tets[keep], quality_min, n_surface)
+    # the volume, so dropping them (orphan- AND volume-budget-guarded,
+    # cheapest volume first) is strictly safer.  Any bad tet the budget
+    # refuses to drop stays — tetgen's -q bounds are best-effort too.
+    final = tets[keep]
+    bad = bad_tets(final)
+    vols = _tet_volumes(pts, final)
+    bad = bad[np.argsort(vols[bad])]  # cheapest volume first
+    return _drop_bad_tets_protected(
+        pts, final, bad, n_surface,
+        max_drop_volume=0.005 * float(vols.sum()),
+    )
 
 
 def _drop_bad_tets_protected(
     pts: np.ndarray,
     tets: np.ndarray,
-    quality_min: float,
+    bad: np.ndarray,
     protected_count: int,
+    max_drop_volume: float = np.inf,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Drop below-quality tets unless the drop would orphan a protected
-    (surface) vertex, then compact the vertex numbering (protected vertices
-    first, verbatim).
+    """Drop the tets listed in ``bad`` (indices into ``tets``, in the
+    caller's preferred drop order) unless the drop would orphan a protected
+    (surface) vertex or the cumulative dropped volume would exceed
+    ``max_drop_volume`` (a conformity guard — dropping below-quality tets
+    must never eat the body), then compact the vertex numbering (protected
+    vertices first, verbatim).
 
     Raises ``ValueError`` if any protected vertex would be lost — a silently
     dropped surface vertex would shift every downstream vertex index and
@@ -752,18 +890,21 @@ def _drop_bad_tets_protected(
     """
     protected = np.zeros(pts.shape[0], bool)
     protected[:protected_count] = True
-    q = _tet_quality(pts, tets)
-    bad = np.where(q < quality_min)[0]
     if bad.size:
+        vols = _tet_volumes(pts, tets)
         usage = np.zeros(pts.shape[0], np.int64)
         np.add.at(usage, tets.reshape(-1), 1)
         drop = np.zeros(tets.shape[0], bool)
-        for t in bad[np.argsort(q[bad])]:  # worst first
+        dropped_volume = 0.0
+        for t in bad:
+            if dropped_volume + vols[t] > max_drop_volume:
+                continue
             quad = tets[t]
             prot = quad[protected[quad]]
             if np.all(usage[prot] > 1):
                 drop[t] = True
                 usage[quad] -= 1
+                dropped_volume += float(vols[t])
         tets = tets[~drop]
     used = np.unique(tets.reshape(-1))
     n_protected_used = int(np.searchsorted(used, protected_count))

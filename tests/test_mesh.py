@@ -182,10 +182,12 @@ def test_delaunay_mesh_quality():
 def test_mesher_surface_conformity():
     """The tetgen-contract criteria (reference object.py:143): meshed volume
     within 1% of the surface-enclosed volume, every input surface vertex
-    present verbatim (first, in input order), element quality at threshold —
-    on both the cube and the spot blob."""
+    present verbatim (first, in input order), element quality at the V/L³
+    stability floor AND tetgen's own bounds (mindihedral=10°, radius-edge
+    minratio=5.0) — on both the cube and the spot blob."""
     from fem_tpu.models.mesh import (
-        _tet_quality, _tet_volumes, enclosed_volume, load_obj_file,
+        _tet_min_dihedral_deg, _tet_quality, _tet_radius_edge_ratio,
+        _tet_volumes, enclosed_volume, load_obj_file,
     )
     import os
 
@@ -208,6 +210,8 @@ def test_mesher_surface_conformity():
         assert nodes.shape[0] >= n
         np.testing.assert_array_equal(nodes[:n], np.asarray(v, np.float64))
         assert _tet_quality(nodes, tets).min() >= 0.0099
+        assert _tet_min_dihedral_deg(nodes, tets).min() >= 9.99
+        assert _tet_radius_edge_ratio(nodes, tets).max() <= 5.01
 
 
 def test_collapse_slivers_protects_surface_vertices():
