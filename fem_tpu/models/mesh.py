@@ -220,6 +220,9 @@ def points_inside_mesh(
 ) -> np.ndarray:
     """Boolean inside test by +z ray-crossing parity, fully vectorized.
 
+    Uses the native C++ grid-accelerated kernel when available
+    (``fem_native.cpp::ray_parity_inside`` — bit-identical arithmetic, ~100×
+    faster at mesher workloads); the numpy path below is the fallback.
     ~50× cheaper per point·face pair than the solid-angle winding number;
     used by the tetrahedralizer for the large point sets (interior Steiner
     candidates, tet classification samples).  Points exactly on edges are
@@ -233,6 +236,11 @@ def points_inside_mesh(
     """
     if points.shape[0] == 0:
         return np.zeros((0,), bool)
+    from fem_tpu.utils.native_ext import native_points_inside
+
+    native = native_points_inside(points, vertices, faces)
+    if native is not None:
+        return native
     tri = vertices[faces]  # (F, 3, 3)
     # Spatial sort of the queries (16-bit interleaved Morton code on xy).
     lo, hi = points.min(0), points.max(0)

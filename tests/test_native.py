@@ -63,6 +63,42 @@ def test_native_extract_surface_matches_numpy():
 
 
 @needs_native
+def test_native_ray_parity_matches_numpy_bitexact():
+    """ray_parity_inside is the mesher classifier's hot loop; its grid-culled
+    C++ path must agree with the numpy path on every point (the arithmetic is
+    identical by construction, so the assertion is exact equality)."""
+    import unittest.mock as mock
+
+    import fem_tpu.utils.native_ext as ne
+    from fem_tpu.models.mesh import points_inside_mesh
+    from fem_tpu.utils.native_ext import native_points_inside
+
+    v, f = _cube()
+    rng = np.random.default_rng(7)
+    # Random points straddling the surface + points exactly on the boundary
+    # grid (degenerate shadows) + far-outside points (grid clamp path).
+    pts = np.concatenate([
+        rng.uniform(-0.3, 1.3, (5000, 3)),
+        rng.integers(0, 2, (200, 3)).astype(np.float64),
+        rng.uniform(5.0, 6.0, (50, 3)),
+    ])
+    nat = native_points_inside(pts, v, f)
+    with mock.patch.object(ne, "native_points_inside", lambda *a: None):
+        ref = points_inside_mesh(pts, v, f)
+    np.testing.assert_array_equal(nat, ref)
+
+
+@needs_native
+def test_native_ray_parity_empty_faces():
+    from fem_tpu.utils.native_ext import native_points_inside
+
+    v = np.zeros((0, 3))
+    f = np.zeros((0, 3), np.int64)
+    out = native_points_inside(np.random.default_rng(0).normal(size=(10, 3)), v, f)
+    assert out.shape == (10,) and not out.any()
+
+
+@needs_native
 def test_native_nearest_vertex():
     rng = np.random.default_rng(0)
     targets = rng.normal(size=(50, 3))
