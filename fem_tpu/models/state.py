@@ -54,6 +54,10 @@ class FemObject:
     # (solvers/implicit.py:build_edge_matrix); attached at build time for
     # small meshes, None otherwise.
     edge_matrix: jnp.ndarray = None
+    # Element-block partition for the blocked MXU operator mode
+    # (ops/blocking.py) — attached at build time for large 3D meshes where
+    # the dense edge matrix would not fit, None otherwise.
+    blocking: "Blocking" = None
     # --- static metadata ---
     # "gather" (default, single-chip) or "segment" (used under shard_map
     # where each shard owns an element slice and psum-reduces).
@@ -135,6 +139,12 @@ def build_object(
     pos = vertices.astype(np.float32) + np.asarray(cfg.center, np.float32)
     ref_inv, volume, mass = init_element_data(pos, element_indices, cfg.rho)
     n = pos.shape[0]
+    small_mesh = element_indices.shape[0] * d * n <= 16_000_000
+    blocking = None
+    if d == 3 and not small_mesh:
+        from fem_tpu.ops.blocking import build_blocking
+
+        blocking = build_blocking(element_indices, ref_inv, volume, pos)
     obj = FemObject(
         element_indices=jnp.asarray(element_indices.astype(np.int32)),
         ref_inv=jnp.asarray(ref_inv),
@@ -149,9 +159,10 @@ def build_object(
         # crossover to bandwidth-bound is above 16M entries (64 MB).
         edge_matrix=(
             jnp.asarray(build_edge_matrix(element_indices, n))
-            if element_indices.shape[0] * d * n <= 16_000_000
+            if small_mesh
             else None
         ),
+        blocking=blocking,
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

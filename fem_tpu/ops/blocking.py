@@ -1,0 +1,328 @@
+# coding=utf-8
+"""Block-partitioned MXU operator for the implicit system (large meshes).
+
+The matrix-free graph operator (solvers/implicit.py:graph_block_apply) is
+bandwidth-pathological on TPU at large mesh sizes: its gather/scatter moves
+(E·(d+1)) rows of d floats — far below the (8, 128) tile granularity — and
+measured ~1.7 GB/s effective on a 68k-tet mesh (5.4 ms per apply).  The dense
+edge-matrix MXU mode (build_edge_matrix) fixes that but costs O(E·d·N) HBM,
+untenable beyond ~16M entries.
+
+This module is the TPU-idiomatic middle: partition elements into **locality
+blocks** (Morton-ordered greedy packing) such that each block's elements touch
+at most ``Pb`` distinct particles, then the incidence operator restricted to a
+block is a small dense ±1 matrix S_b of shape (Eb·d, Pb) — and the element-
+Laplacian product G(K)·x = Σ_b S_bᵀ·(K_b ∘ (S_b·x_b)) becomes B batched MXU
+matmuls.  S_b is never materialized in HBM: each Pallas grid step rebuilds it
+in VMEM from two (Eb·d,) local-slot index vectors via an iota comparison
+(3 KB of indices instead of 393 KB of one-hot floats per block), so the HBM
+traffic per apply is just the K planes + the block-gathered x.
+
+Measured on TPU v5e (68,508 tets / 12,037 particles): 0.62 ms per operator
+apply vs 5.36 ms for the graph operator (8.6×), parity 8e-8.
+
+Semantics are exactly the reference's decoupled-block system (reference
+solver/implicit.py:141-194, see ops/element.hessian_blocks); this is a pure
+execution-strategy change, selected via ``operator_mode="blocked"`` (auto for
+large single-chip meshes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@struct.dataclass
+class Blocking:
+    """Element-block partition + block-ordered element arrays.
+
+    The element arrays here are *padded copies* in block order (row b·Eb+e is
+    block b's e-th element); padded slots replicate the mesh's element 0 with
+    ``volume = 0`` so the shared element kernels produce finite zeros for
+    them (an all-zero padded element would put F = 0 → log det = -inf → NaN
+    through the force chain even at volume 0).
+    """
+
+    block_particles: jnp.ndarray  # (B, Pb) int32 global particle ids, 0-padded
+    plus: jnp.ndarray  # (B, Eb·d, 1) int32 local slot receiving +1 per row
+    minus: jnp.ndarray  # (B, Eb·d, 1) int32 local slot receiving −1 per row
+    element_indices: jnp.ndarray  # (B·Eb, d+1) int32 block-ordered, padded
+    ref_inv: jnp.ndarray  # (B·Eb, d, d)
+    volume: jnp.ndarray  # (B·Eb,) — 0 on padded slots
+    num_blocks: int = struct.field(pytree_node=False, default=0)
+    eb: int = struct.field(pytree_node=False, default=0)
+    pb: int = struct.field(pytree_node=False, default=0)
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Sort key: 3-axis interleaved 10-bit Morton code of element centroids —
+    consecutive elements are spatially adjacent, so greedy packing yields
+    blocks with small particle perimeters (high Pb fill)."""
+    lo, hi = centroids.min(0), centroids.max(0)
+    q = ((centroids - lo) / np.maximum(hi - lo, 1e-30) * 1023).astype(
+        np.uint64
+    )
+
+    def spread(x):
+        x = (x | (x << 32)) & 0x1F00000000FFFF
+        x = (x | (x << 16)) & 0x1F0000FF0000FF
+        x = (x | (x << 8)) & 0x100F00F00F00F00F
+        x = (x | (x << 4)) & 0x10C30C30C30C30C3
+        x = (x | (x << 2)) & 0x1249249249249249
+        return x
+
+    code = spread(q[:, 0])
+    for k in range(1, centroids.shape[1]):
+        code = code | (spread(q[:, k]) << k)
+    return np.argsort(code, kind="stable")
+
+
+def build_blocking(
+    element_indices: np.ndarray,
+    ref_inv: np.ndarray,
+    volume: np.ndarray,
+    rest_pos: np.ndarray,
+    eb: int = 256,
+    pb: int = 128,
+) -> Blocking:
+    """Host-side partitioner: Morton-order elements, greedily pack runs into
+    blocks capped at ``eb`` elements / ``pb`` distinct particles.  Runs once
+    at load (O(E) python; ~0.4 s at 68k tets)."""
+    idx = np.asarray(element_indices, np.int64)
+    e_cnt, dp1 = idx.shape
+    d = dp1 - 1
+    order = _morton_order(np.asarray(rest_pos)[idx].mean(1))
+
+    blocks = []
+    cur: list = []
+    cur_parts: set = set()
+    for ei in order:
+        new = cur_parts | set(idx[ei].tolist())
+        if len(cur) + 1 > eb or len(new) > pb:
+            blocks.append((cur, sorted(cur_parts)))
+            cur, cur_parts = [ei], set(idx[ei].tolist())
+        else:
+            cur.append(ei)
+            cur_parts = new
+    if cur:
+        blocks.append((cur, sorted(cur_parts)))
+
+    b_cnt = len(blocks)
+    r = eb * d
+    blk_parts = np.zeros((b_cnt, pb), np.int32)
+    plus = np.zeros((b_cnt, r), np.int32)
+    minus = np.zeros((b_cnt, r), np.int32)
+    # Padded element slots replicate element 0 (finite geometry) at volume 0;
+    # their plus == minus == 0 makes the corresponding S rows exactly zero.
+    blk_elems = np.zeros((b_cnt, eb), np.int64)
+    vol_b = np.zeros((b_cnt, eb), np.float32)
+    for b, (els, parts) in enumerate(blocks):
+        lmap = {p: i for i, p in enumerate(parts)}
+        blk_parts[b, : len(parts)] = parts
+        for k, ei in enumerate(els):
+            blk_elems[b, k] = ei
+            vol_b[b, k] = volume[ei]
+            l0 = lmap[idx[ei, 0]]
+            for j in range(d):
+                plus[b, k * d + j] = lmap[idx[ei, j + 1]]
+                minus[b, k * d + j] = l0
+    flat = blk_elems.reshape(-1)
+    return Blocking(
+        block_particles=jnp.asarray(blk_parts),
+        plus=jnp.asarray(plus.reshape(b_cnt, r, 1)),
+        minus=jnp.asarray(minus.reshape(b_cnt, r, 1)),
+        element_indices=jnp.asarray(
+            np.asarray(element_indices, np.int32)[flat]
+        ),
+        ref_inv=jnp.asarray(np.asarray(ref_inv)[flat]),
+        volume=jnp.asarray(vol_b.reshape(-1)),
+        num_blocks=b_cnt,
+        eb=eb,
+        pb=pb,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _build_s(plus, minus, r: int, pb: int) -> jnp.ndarray:
+    """The block incidence matrix S_b (r, pb) rebuilt in VMEM: row e·d+j has
+    +1 at the local slot of vertex j+1 and −1 at the slot of vertex 0
+    (padded rows have plus == minus → exactly zero)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, pb), 1)
+    return (col == plus).astype(jnp.float32) - (col == minus).astype(
+        jnp.float32
+    )
+
+
+def _matvec_kernel(
+    plus_ref, minus_ref, xbt_ref, kp_ref, out_ref, *, dim, transpose_k
+):
+    """One block of yᵀ = S_bᵀ·(K_b ∘ (S_b·x_b)) with S built in-VMEM.
+
+    Layouts: xbt (d, Pb) — components on sublanes; kp (d², R) planes with
+    kp[i·d+k, e·d+j] = K_e[i, k]; out (d, Pb).
+    """
+    r, pb = plus_ref.shape[1], xbt_ref.shape[2]
+    s = _build_s(plus_ref[0], minus_ref[0], r, pb)
+    hp = jax.lax.Precision.HIGHEST
+    # sT (d, R): column e·d+j holds the edge-difference vector s_j of elem e.
+    st = jax.lax.dot_general(
+        xbt_ref[0], s, (((1,), (1,)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32,
+    )
+    kp = kp_ref[0]
+    rows = []
+    for i in range(dim):
+        acc = None
+        for k in range(dim):
+            kidx = (k * dim + i) if transpose_k else (i * dim + k)
+            term = kp[kidx, :] * st[k, :]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    t = jnp.stack(rows, 0)  # (d, R): column e·d+j = K_e @ s_j
+    out_ref[0] = jax.lax.dot_general(
+        t, s, (((1,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32,
+    )
+
+
+def _scatter_kernel(plus_ref, minus_ref, t_ref, out_ref):
+    """One block of the assembly yᵀ = S_bᵀ·t — scatter per-element columns
+    (t[:, e·d+j] to local vertex j+1, −Σ_j to vertex 0) as one MXU matmul."""
+    r, pb = plus_ref.shape[1], out_ref.shape[2]
+    s = _build_s(plus_ref[0], minus_ref[0], r, pb)
+    out_ref[0] = jax.lax.dot_general(
+        t_ref[0], s, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "transpose_k"))
+def _blocked_matvec_call(
+    blocking: Blocking, kplane: jnp.ndarray, xbt: jnp.ndarray,
+    dim: int, transpose_k: bool,
+) -> jnp.ndarray:
+    b, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
+    r = eb * dim
+    spec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _matvec_kernel, dim=dim, transpose_k=transpose_k
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec(r, 1), spec(r, 1), spec(dim, pb), spec(dim * dim, r)],
+        out_specs=spec(dim, pb),
+        out_shape=jax.ShapeDtypeStruct((b, dim, pb), jnp.float32),
+        interpret=_interpret(),
+    )(blocking.plus, blocking.minus, xbt, kplane)
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _blocked_scatter_call(
+    blocking: Blocking, t_planes: jnp.ndarray, dim: int
+) -> jnp.ndarray:
+    b, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
+    r = eb * dim
+    spec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=(b,),
+        in_specs=[spec(r, 1), spec(r, 1), spec(dim, r)],
+        out_specs=spec(dim, pb),
+        out_shape=jax.ShapeDtypeStruct((b, dim, pb), jnp.float32),
+        interpret=_interpret(),
+    )(blocking.plus, blocking.minus, t_planes)
+
+
+# ---------------------------------------------------------------------------
+# Host-facing wrappers
+# ---------------------------------------------------------------------------
+
+def make_kplane(blocking: Blocking, k_flat: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """(B·Eb, d, d) K blocks → (B, d², Eb·d) planes with the component pair
+    (i, k) on sublane i·d+k, replicated ×d along lanes so the kernel's
+    per-row multiply needs no in-kernel lane expansion."""
+    b, eb = blocking.num_blocks, blocking.eb
+    kp = (
+        k_flat.reshape(b, eb, dim, dim)
+        .transpose(0, 2, 3, 1)
+        .reshape(b, dim * dim, eb)
+    )
+    return jnp.repeat(kp, dim, axis=2)
+
+
+def blocked_gather(x: jnp.ndarray, blocking: Blocking) -> jnp.ndarray:
+    """(N, d) → (B, d, Pb) block-local transposed copies (duplicating shared
+    halo particles)."""
+    return jnp.transpose(x[blocking.block_particles], (0, 2, 1))
+
+
+def blocked_scatter_sum(
+    yt: jnp.ndarray, blocking: Blocking, num_particles: int
+) -> jnp.ndarray:
+    """(B, d, Pb) block partials → (N, d) via segment-sum over the block→
+    global particle map (halo contributions add; padded slots add 0 to
+    particle 0)."""
+    d = yt.shape[1]
+    return jax.ops.segment_sum(
+        jnp.transpose(yt, (0, 2, 1)).reshape(-1, d),
+        blocking.block_particles.reshape(-1),
+        num_segments=num_particles,
+    )
+
+
+def blocked_graph_apply(
+    blocking: Blocking,
+    kplane: jnp.ndarray,
+    x: jnp.ndarray,
+    num_particles: int,
+    dim: int,
+    transpose_k: bool = False,
+) -> jnp.ndarray:
+    """G(K)·x (graph_block_apply semantics) through the blocked MXU path."""
+    xbt = blocked_gather(x, blocking)
+    yt = _blocked_matvec_call(blocking, kplane, xbt, dim, transpose_k)
+    return blocked_scatter_sum(yt, blocking, num_particles)
+
+
+def blocked_assemble(
+    blocking: Blocking,
+    cols_flat: jnp.ndarray,
+    num_particles: int,
+    dim: int,
+) -> jnp.ndarray:
+    """Assembly of per-element columns (B·Eb, d, d) → (N, d), the blocked
+    equivalent of ``assemble_for(obj, element_contrib_full(cols))``: local
+    vertex j+1 receives column j, vertex 0 receives −Σ_j (reference scatter,
+    solver/explicit.py:42-49)."""
+    b, eb = blocking.num_blocks, blocking.eb
+    # t planes (B, d, Eb·d): column e·d+j = cols[e][:, j].
+    t = (
+        cols_flat.reshape(b, eb, dim, dim)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, dim, eb * dim)
+    )
+    yt = _blocked_scatter_call(blocking, t, dim)
+    return blocked_scatter_sum(yt, blocking, num_particles)

@@ -113,7 +113,11 @@ class SimConfig:
     # Matrix-free operator execution: "auto" picks the MXU edge-matrix
     # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this
     # backend) when the dense S fits (small meshes, single chip), else the
-    # gather/einsum/assembly graph chain; "graph"/"mxu" force one.
+    # block-partitioned MXU operator (ops/blocking.py — in-VMEM one-hot
+    # incidence per locality block, measured 8.6× over the graph chain at
+    # 68k tets) when a blocking is attached (large 3D meshes, CG only),
+    # else the gather/einsum/assembly graph chain; "graph"/"mxu"/"blocked"
+    # force one.
     operator_mode: str = "auto"
 
     def __post_init__(self):

@@ -1,0 +1,193 @@
+# coding=utf-8
+"""Block-partitioned MXU operator (ops/blocking.py) vs the graph operator.
+
+The blocked mode is an execution-strategy change only — every test here pins
+it against the graph path, which is itself validated against the dense oracle
+in tests/test_implicit.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.models.mesh import delaunay_tetrahedralize
+from fem_tpu.models.state import build_object
+from fem_tpu.ops.assembly import assemble_for, element_contrib_full
+from fem_tpu.ops.blocking import (
+    Blocking,
+    blocked_assemble,
+    blocked_graph_apply,
+    build_blocking,
+    make_kplane,
+)
+from fem_tpu.ops.element import hessian_blocks, implicit_force_columns
+from fem_tpu.ops import smallmat as sm
+from fem_tpu.solvers.implicit import (
+    graph_block_apply,
+    implicit_velocity_solve,
+)
+from fem_tpu.utils.config import ObjectConfig
+
+DT = 5e-4
+
+
+def _cube_mesh(spacing=0.4):
+    v = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ],
+        np.float64,
+    )
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+            [0, 4, 7], [0, 7, 3], [1, 2, 6], [1, 6, 5],
+        ],
+        np.int64,
+    )
+    nodes, tets = delaunay_tetrahedralize(v, f, spacing)
+    return nodes, f, tets
+
+
+@pytest.fixture(scope="module")
+def blocked_obj():
+    nodes, f, tets = _cube_mesh()
+    cfg = ObjectConfig(obj="cube", center=(2.0, 2.0, 2.0))
+    obj, state = build_object(cfg, nodes.astype(np.float32), f, tets)
+    # Tiny caps so the small mesh still splits into several blocks with
+    # interspersed padding — the shape the production path sees at scale.
+    blk = build_blocking(
+        np.asarray(obj.element_indices),
+        np.asarray(obj.ref_inv),
+        np.asarray(obj.volume),
+        np.asarray(obj.rest_pos),
+        eb=8,
+        pb=16,
+    )
+    assert blk.num_blocks >= 3
+    return obj.replace(blocking=blk, edge_matrix=None), state
+
+
+def _deformed(state, seed=0):
+    rng = np.random.default_rng(seed)
+    return state.replace(
+        pos=state.pos + jnp.asarray(
+            rng.uniform(-0.02, 0.02, state.pos.shape).astype(np.float32)
+        ),
+        vel=jnp.asarray(
+            rng.uniform(-0.1, 0.1, state.pos.shape).astype(np.float32)
+        ),
+    )
+
+
+def test_blocked_matvec_matches_graph(blocked_obj):
+    obj, state = blocked_obj
+    state = _deformed(state)
+    blk = obj.blocking
+    K = hessian_blocks(
+        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda,
+    )
+    k_flat = hessian_blocks(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda,
+    )
+    x = state.vel
+    ref = graph_block_apply(obj, K, x)
+    got = blocked_graph_apply(
+        blk, make_kplane(blk, k_flat, 3), x, obj.particle_cnt, 3
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * float(
+        jnp.max(jnp.abs(ref))
+    ))
+
+
+def test_blocked_matvec_transpose_matches_blockwise_transpose(blocked_obj):
+    obj, state = blocked_obj
+    state = _deformed(state, seed=1)
+    blk = obj.blocking
+    k_flat = hessian_blocks(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda,
+    )
+    x = state.vel
+    # Gᵀ(K) = G(Kᵀ) (symmetric sparsity, transposed blocks).
+    ref = blocked_graph_apply(
+        blk, make_kplane(blk, sm.mT(k_flat), 3), x, obj.particle_cnt, 3
+    )
+    got = blocked_graph_apply(
+        blk, make_kplane(blk, k_flat, 3), x, obj.particle_cnt, 3,
+        transpose_k=True,
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6 * float(
+        jnp.max(jnp.abs(ref))
+    ))
+
+
+def test_blocked_assemble_matches_gather_assembly(blocked_obj):
+    obj, state = blocked_obj
+    state = _deformed(state, seed=2)
+    blk = obj.blocking
+    cols = implicit_force_columns(
+        state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda, False,
+    )
+    cols_b = implicit_force_columns(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda, False,
+    )
+    ref = assemble_for(obj, element_contrib_full(cols))
+    got = blocked_assemble(blk, cols_b, obj.particle_cnt, 3)
+    assert bool(jnp.isfinite(got).all())  # padded slots must stay finite
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * float(
+        jnp.max(jnp.abs(ref))
+    ))
+
+
+@pytest.mark.parametrize("preconditioned", [0, 1])
+def test_blocked_solve_matches_graph_solve(blocked_obj, preconditioned):
+    obj, state = blocked_obj
+    state = _deformed(state, seed=3)
+    ref_state, ref_aux = implicit_velocity_solve(
+        obj, state, DT, method=1, preconditioned=preconditioned,
+        operator_mode="graph",
+    )
+    got_state, got_aux = implicit_velocity_solve(
+        obj, state, DT, method=1, preconditioned=preconditioned,
+        operator_mode="blocked",
+    )
+    np.testing.assert_allclose(
+        got_state.vel, ref_state.vel, rtol=5e-4, atol=1e-6
+    )
+    # identical arithmetic semantics → iteration counts should agree or be
+    # within one step of each other (rounding in the residual)
+    assert abs(int(got_aux.iterations) - int(ref_aux.iterations)) <= 1
+
+
+def test_blocked_requires_blocking():
+    nodes, f, tets = _cube_mesh()
+    cfg = ObjectConfig(obj="cube", center=(2.0, 2.0, 2.0))
+    obj, state = build_object(cfg, nodes.astype(np.float32), f, tets)
+    assert obj.blocking is None  # small mesh: edge-matrix mode instead
+    with pytest.raises(ValueError, match="blocked"):
+        implicit_velocity_solve(
+            obj, state, DT, method=1, preconditioned=1,
+            operator_mode="blocked",
+        )
+
+
+def test_blocking_covers_every_element_once(blocked_obj):
+    obj, _ = blocked_obj
+    blk = obj.blocking
+    # Real (volume > 0) blocked slots biject onto the original elements.
+    vol_b = np.asarray(blk.volume)
+    real = vol_b > 0
+    assert real.sum() == obj.element_cnt
+    orig = np.sort(np.asarray(obj.element_indices), axis=1)
+    got = np.sort(np.asarray(blk.element_indices)[real], axis=1)
+    orig_keys = set(map(tuple, orig.tolist()))
+    got_keys = sorted(map(tuple, got.tolist()))
+    assert len(got_keys) == len(orig_keys) >= 1
+    assert set(got_keys) == orig_keys
