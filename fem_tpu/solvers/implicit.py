@@ -492,7 +492,6 @@ def implicit_velocity_solve(
         and axis_name is None
         and obj.blocking is not None
         and method == CONJUGATE_GRADIENT_METHOD
-        and (operator_mode == "blocked" or obj.edge_matrix is None)
     )
     if use_blocked:
         # Block-partitioned MXU operator (ops/blocking.py): K blocks and rhs

@@ -170,7 +170,8 @@ def test_blocked_requires_blocking():
     nodes, f, tets = _cube_mesh()
     cfg = ObjectConfig(obj="cube", center=(2.0, 2.0, 2.0))
     obj, state = build_object(cfg, nodes.astype(np.float32), f, tets)
-    assert obj.blocking is None  # small mesh: edge-matrix mode instead
+    assert obj.blocking is not None  # built for every 3D mesh
+    obj = obj.replace(blocking=None)
     with pytest.raises(ValueError, match="blocked"):
         implicit_velocity_solve(
             obj, state, DT, method=1, preconditioned=1,
