@@ -31,6 +31,31 @@ def analytic_energy_gradient(
     runs the fused VMEM kernel (ops/pallas_kernels.py) for the column math."""
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if axis_name is None and obj.blocking is not None:
+        # Blocked assembly (ops/blocking.py): the per-(element, vertex)-row
+        # scatter is the tiny-row access XLA moves at ~1.7 GB/s on TPU; the
+        # blocked scatter does it as one MXU dot per locality block + a
+        # B·Pb-row segment-sum.  Columns are computed on the block-ordered
+        # padded element copies, so results are identical up to summation
+        # order (tested vs the gather path in tests/test_blocked.py).
+        from fem_tpu.ops.blocking import blocked_assemble
+
+        blk = obj.blocking
+        if element_backend == "pallas":
+            from fem_tpu.ops.pallas_kernels import (
+                explicit_grad_columns_pallas,
+            )
+
+            cols = explicit_grad_columns_pallas(
+                pos, blk.element_indices, blk.ref_inv, blk.volume,
+                obj.mu, obj.s_lambda,
+            )
+        else:
+            cols = explicit_grad_columns(
+                pos, blk.element_indices, blk.ref_inv, blk.volume,
+                obj.mu, obj.s_lambda,
+            )
+        return blocked_assemble(blk, cols, obj.particle_cnt, obj.dim)
     if element_backend == "pallas":
         from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas
 
