@@ -77,6 +77,29 @@ def autodiff_energy_gradient(
     """∂U/∂x via reverse-mode AD — the exact contract of the reference's
     ``particles.pos.grad`` after the Taichi tape exits (main.py:107-110,
     consumed at solver/kinematic.py:16)."""
+    if axis_name is None and obj.blocking is not None:
+        # Split the chain at the edge matrices: U = Σ V·φ(X·R⁻¹) with
+        # X = (p_{j+1} − p_0) columns, so ∂U/∂p scatters ∂U/∂X columns in
+        # exactly the S pattern (column j → vertex j+1, −Σ → vertex 0) —
+        # assemble with the blocked MXU scatter instead of the tiny-row
+        # scatter-add jax.grad would emit for the position gather.
+        from fem_tpu.ops.assembly import gather_edge_diffs
+        from fem_tpu.ops.blocking import blocked_assemble
+        from fem_tpu.ops.element import energy_density
+        from fem_tpu.ops import smallmat as sm
+
+        blk = obj.blocking
+
+        def energy_from_x(x_mat):
+            f = sm.matmul(x_mat, blk.ref_inv)
+            return jnp.sum(
+                blk.volume
+                * energy_density(f, obj.mu, obj.s_lambda, obj.material)
+            )
+
+        x_mat = gather_edge_diffs(pos, blk.element_indices)
+        g_cols = jax.grad(energy_from_x)(x_mat)  # (B·Eb, d, d) = ∂U/∂X
+        return blocked_assemble(blk, g_cols, obj.particle_cnt, obj.dim)
 
     def energy(p):
         u = total_energy(

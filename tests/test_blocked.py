@@ -181,6 +181,19 @@ def test_explicit_gradient_uses_blocked_assembly(blocked_obj):
     ))
 
 
+def test_autodiff_gradient_uses_blocked_assembly(blocked_obj):
+    from fem_tpu.solvers.explicit import autodiff_energy_gradient
+
+    obj, state = blocked_obj
+    state = _deformed(state, seed=5)
+    ref = autodiff_energy_gradient(obj.replace(blocking=None), state.pos)
+    got = autodiff_energy_gradient(obj, state.pos)
+    assert bool(jnp.isfinite(got).all())
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * float(
+        jnp.max(jnp.abs(ref))
+    ))
+
+
 def test_blocked_requires_blocking():
     nodes, f, tets = _cube_mesh()
     cfg = ObjectConfig(obj="cube", center=(2.0, 2.0, 2.0))
