@@ -57,6 +57,11 @@ class Blocking:
     element_indices: jnp.ndarray  # (B·Eb, d+1) int32 block-ordered, padded
     ref_inv: jnp.ndarray  # (B·Eb, d, d)
     volume: jnp.ndarray  # (B·Eb,) — 0 on padded slots
+    # Dense per-block incidence / gather tables for the whole-solve fused CG
+    # kernel (ops/pallas_blocked_cg.py); None when the mesh exceeds its VMEM
+    # gate.  Static topology — safe as ordinary pytree leaves.
+    s_dense: jnp.ndarray = None  # (B, Eb·d, Pb) f32 or None
+    g_dense: jnp.ndarray = None  # (B, Pb, N_pad) f32 or None
     num_blocks: int = struct.field(pytree_node=False, default=0)
     eb: int = struct.field(pytree_node=False, default=0)
     pb: int = struct.field(pytree_node=False, default=0)
@@ -135,6 +140,18 @@ def build_blocking(
                 plus[b, k * d + j] = lmap[idx[ei, j + 1]]
                 minus[b, k * d + j] = l0
     flat = blk_elems.reshape(-1)
+    from fem_tpu.ops.pallas_blocked_cg import (
+        FUSED_MAX_BYTES, build_fused_tables, fused_tables_bytes,
+    )
+
+    n = rest_pos.shape[0]
+    s_dense = g_dense = None
+    if fused_tables_bytes(b_cnt, eb, pb, d, n) <= FUSED_MAX_BYTES:
+        s_np, g_np = build_fused_tables(
+            plus.reshape(b_cnt, r, 1), minus.reshape(b_cnt, r, 1),
+            blk_parts, n,
+        )
+        s_dense, g_dense = jnp.asarray(s_np), jnp.asarray(g_np)
     return Blocking(
         block_particles=jnp.asarray(blk_parts),
         plus=jnp.asarray(plus.reshape(b_cnt, r, 1)),
@@ -144,6 +161,8 @@ def build_blocking(
         ),
         ref_inv=jnp.asarray(np.asarray(ref_inv)[flat]),
         volume=jnp.asarray(vol_b.reshape(-1)),
+        s_dense=s_dense,
+        g_dense=g_dense,
         num_blocks=b_cnt,
         eb=eb,
         pb=pb,

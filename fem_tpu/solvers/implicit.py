@@ -487,8 +487,16 @@ def implicit_velocity_solve(
             "automatically for large 3D meshes, or via "
             "fem_tpu.ops.blocking.build_blocking)"
         )
+    if operator_mode == "fused" and (
+        obj.blocking is None or obj.blocking.s_dense is None
+    ):
+        raise ValueError(
+            "operator_mode='fused' requires obj.blocking with the dense "
+            "fused tables (built automatically when the mesh fits the "
+            "VMEM gate, ops/pallas_blocked_cg.FUSED_MAX_BYTES)"
+        )
     use_blocked = (
-        operator_mode in ("blocked", "auto")
+        operator_mode in ("blocked", "fused", "auto")
         and axis_name is None
         and obj.blocking is not None
         and method == CONJUGATE_GRADIENT_METHOD
@@ -515,6 +523,22 @@ def implicit_velocity_solve(
                 state.pos, blk.element_indices, blk.ref_inv, blk.volume,
                 obj.mu, obj.s_lambda, robust,
             )
+        use_fused = (
+            blk.s_dense is not None
+            and operator_mode in ("fused", "auto")
+            and (operator_mode == "fused" or jax.default_backend() == "tpu")
+        )
+        if use_fused:
+            # Whole-solve fused kernel (ops/pallas_blocked_cg.py): rhs
+            # assembly + reference CG in ONE device op — measured winner on
+            # the op-overhead-dominated relay backend at flagship sizes.
+            from fem_tpu.ops.pallas_blocked_cg import fused_blocked_cg_solve
+
+            vel_new, iters, residual = fused_blocked_cg_solve(
+                blk, k_flat, cols_flat, state.vel, obj.mass,
+                dim=obj.dim, dt=dt, preconditioned=preconditioned == 1,
+            )
+            return state.replace(vel=vel_new), ImplicitAux(iters, residual)
         from fem_tpu.ops.blocking import blocked_assemble
 
         f = blocked_assemble(blk, cols_flat, obj.particle_cnt, obj.dim)

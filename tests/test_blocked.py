@@ -166,6 +166,50 @@ def test_blocked_solve_matches_graph_solve(blocked_obj, preconditioned):
     assert abs(int(got_aux.iterations) - int(ref_aux.iterations)) <= 1
 
 
+@pytest.mark.parametrize("preconditioned", [0, 1])
+def test_fused_cg_solve_matches_blocked_solve(blocked_obj, preconditioned):
+    """Whole-solve Pallas kernel (ops/pallas_blocked_cg.py, interpret mode
+    on CPU) vs the op-composed blocked path: same CG semantics, one op."""
+    obj, state = blocked_obj
+    assert obj.blocking.s_dense is not None
+    state = _deformed(state, seed=7)
+    ref_state, ref_aux = implicit_velocity_solve(
+        obj, state, DT, method=1, preconditioned=preconditioned,
+        operator_mode="blocked",
+    )
+    got_state, got_aux = implicit_velocity_solve(
+        obj, state, DT, method=1, preconditioned=preconditioned,
+        operator_mode="fused",
+    )
+    np.testing.assert_allclose(
+        got_state.vel, ref_state.vel, rtol=5e-4, atol=1e-6
+    )
+    assert abs(int(got_aux.iterations) - int(ref_aux.iterations)) <= 1
+    assert bool(jnp.isfinite(jnp.asarray(got_aux.residual)))
+
+
+def test_fused_tables_semantics(blocked_obj):
+    """S/G dense tables reproduce the index-based gather/scatter exactly."""
+    from fem_tpu.ops.blocking import blocked_gather, blocked_scatter_sum
+
+    obj, state = blocked_obj
+    blk = obj.blocking
+    state = _deformed(state, seed=8)
+    x = np.asarray(state.vel)
+    g = np.asarray(blk.g_dense)[:, :, : obj.particle_cnt]
+    # gather: G_b · x == x[block_particles]
+    ref_gather = np.asarray(blocked_gather(state.vel, blk))  # (B, d, Pb)
+    got_gather = np.einsum("bpn,nd->bdp", g, x)
+    np.testing.assert_allclose(got_gather, ref_gather, atol=1e-6)
+    # scatter: Σ_b G_bᵀ · yt_b == segment-sum over block_particles
+    yt = np.asarray(ref_gather) * 0.5 + 1.0
+    ref_scatter = np.asarray(
+        blocked_scatter_sum(jnp.asarray(yt), blk, obj.particle_cnt)
+    )
+    got_scatter = np.einsum("bpn,bdp->nd", g, yt)
+    np.testing.assert_allclose(got_scatter, ref_scatter, rtol=1e-6, atol=1e-5)
+
+
 def test_explicit_gradient_uses_blocked_assembly(blocked_obj):
     from fem_tpu.solvers.explicit import analytic_energy_gradient
 
