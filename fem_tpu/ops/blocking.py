@@ -61,7 +61,7 @@ class Blocking:
     # kernel (ops/pallas_blocked_cg.py); None when the mesh exceeds its VMEM
     # gate.  Static topology — safe as ordinary pytree leaves.
     s_dense: jnp.ndarray = None  # (B, Eb·d, Pb) f32 or None
-    g_dense: jnp.ndarray = None  # (B, Pb, N_pad) f32 or None
+    g_dense: jnp.ndarray = None  # (B·Pb, N_pad) f32 flat one-hot or None
     num_blocks: int = struct.field(pytree_node=False, default=0)
     eb: int = struct.field(pytree_node=False, default=0)
     pb: int = struct.field(pytree_node=False, default=0)
@@ -151,7 +151,11 @@ def build_blocking(
             plus.reshape(b_cnt, r, 1), minus.reshape(b_cnt, r, 1),
             blk_parts, n,
         )
-        s_dense, g_dense = jnp.asarray(s_np), jnp.asarray(g_np)
+        # bf16 storage: 0/±1 are exact in bf16, the kernels' exact
+        # split-dot (pallas_blocked_cg._dot) consumes bf16 tables, and the
+        # VMEM footprint halves.
+        s_dense = jnp.asarray(s_np).astype(jnp.bfloat16)
+        g_dense = jnp.asarray(g_np).astype(jnp.bfloat16)
     return Blocking(
         block_particles=jnp.asarray(blk_parts),
         plus=jnp.asarray(plus.reshape(b_cnt, r, 1)),

@@ -30,8 +30,9 @@ solver/explicit.py:42-49 scatter) is folded into the same kernel.
 Size gate: S + G tables ≤ ``FUSED_MAX_BYTES`` of VMEM (the split S·G form
 is the low-rank factorization of the block rows of the global incidence
 matrix — both smaller and cheaper than the fused (R, N) form).  The block
-loop is python-unrolled (B is small under the gate), so no dynamic
-indexing layouts are needed in-kernel.
+loop is a ``fori_loop`` with dynamic leading-dim ref loads (an unrolled
+python loop spilled 128 MB of vregs); the gather/scatter one-hot is kept
+FLAT (B·Pb, N) so those two dots issue once per apply, not once per block.
 
 Selected via ``operator_mode="fused"`` (auto on TPU when the tables fit).
 """
@@ -85,91 +86,86 @@ def build_fused_tables(
         (plus[:, :, None] == slot).astype(np.float32)
         - (minus[:, :, None] == slot).astype(np.float32)
     )  # (B, R, Pb)
-    g = (bp[:, :, None] == np.arange(n_pad, dtype=np.int32)).astype(
-        np.float32
-    )  # (B, Pb, N_pad)
+    # G is stored FLAT (B·Pb, N_pad) so the per-apply block gather/scatter
+    # is ONE MXU dot each instead of one per block — the hot CG loop is
+    # dot-issue-bound, not FLOP-bound, on this hardware.
+    g = (
+        bp.reshape(-1)[:, None] == np.arange(n_pad, dtype=np.int32)
+    ).astype(np.float32)  # (B·Pb, N_pad)
     return s, g
 
 
 def _dot(a, b, contract):
-    return jax.lax.dot_general(
-        a, b, (contract, ((), ())), precision=_HP,
-        preferred_element_type=jnp.float32,
-    )
+    """EXACT f32 dot against a 0/±1 table, at bf16 single-pass speed ×3.
+
+    Every dot in these kernels has a one-hot/±1 incidence table on one
+    side, stored in bf16 (0/±1 are exact).  The value side is split into
+    three bf16 planes (a = a₁+a₂+a₃ captures all 24 mantissa bits); each
+    partial product against an exact-±1 weight is exact in bf16, and the
+    f32 accumulation reassembles the exact f32 result.  Measured: a
+    HIGHEST (6-pass f32) dot here costs ~2.5× the full substep time of
+    this 3-pass form — the one-hot dots' MXU weight volume is the hot
+    loop's entire cost (flagship 2,755 → ~6,900 steps/s at 1-pass; this
+    exact form keeps most of that win).
+    """
+    bb = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
+    a1 = a.astype(jnp.bfloat16)
+    r1 = a - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = None
+    for ai in (a1, a2, a3):
+        t = jax.lax.dot_general(
+            ai, bb, (contract, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    return acc
 
 
-def _fused_cg_kernel(
-    s_ref,  # (B, R, Pb)
-    g_ref,  # (B, Pb, N_pad)
-    kp_ref,  # (B, d², R) K planes (make_kplane layout)
-    tc_ref,  # (B, d, R) force-column planes (blocked_assemble layout)
-    vel_ref,  # (d_pad, N_pad) planar velocity
-    minv_ref,  # (1, N_pad) 1/mass, 0 in padding lanes
-    x_out_ref,  # (d_pad, N_pad)
-    it_out_ref,  # (1, 1) int32 SMEM
-    res_out_ref,  # (1, 1) f32 SMEM
-    *,
-    dim: int,
-    num_blocks: int,
-    dt: float,
-    preconditioned: bool,
-    max_iter: int,
-    tol: float,
+def block_g_apply(
+    kp_ref, s_ref, gall_ref, vb_scr, yt_scr, v, transpose_k, dim,
+    num_blocks, pb,
 ):
+    """Σ_b G_bᵀ·S_bᵀ·(K_b ∘ (S_b·G_b·v)) with VMEM-resident tables —
+    shared by the whole-solve and whole-frame kernels (``kp_ref`` may be an
+    input or a scratch ref).
+
+    The gather and scatter against the FLAT one-hot ``gall_ref``
+    (B·Pb, N) run as ONE MXU dot each; only the block-diagonal incidence
+    part loops (``fori_loop`` with dynamic leading-dim ref loads — an
+    unrolled python loop spills 128 MB of vregs here; see the register-
+    pressure note in CLAUDE.md).  Per-block slices go through the
+    (d, B·Pb) scratch refs via 128-aligned dynamic lane slices (Mosaic
+    lowers no dynamic_slice on *values*, only on refs)."""
     d = dim
-    minv = minv_ref[0:1, :]
-    vel = vel_ref[0:d, :]
+    vb_scr[0:d, :] = _dot(v, gall_ref[:, :], (((1,), (1,))))  # (d, B·Pb)
 
-    def g_apply(v, transpose_k):
-        """Σ_b G_bᵀ·S_bᵀ·(K_b ∘ (S_b·G_b·v)) — ``fori_loop`` over blocks
-        with dynamic leading-dim ref loads (an unrolled python loop spills
-        128 MB of vregs here; see the register-pressure note in CLAUDE.md)."""
+    def body(b, carry):
+        s = s_ref[b]  # (R, Pb)
+        kp = kp_ref[b]  # (d², R)
+        vb = vb_scr[0:d, pl.ds(b * pb, pb)]
+        st = _dot(vb, s, (((1,), (1,))))  # (d, R)
+        rows = []
+        for i in range(d):
+            t_i = None
+            for k in range(d):
+                kidx = (k * d + i) if transpose_k else (i * d + k)
+                term = kp[kidx, :] * st[k, :]
+                t_i = term if t_i is None else t_i + term
+            rows.append(t_i)
+        t = jnp.stack(rows, 0)  # (d, R)
+        yt_scr[0:d, pl.ds(b * pb, pb)] = _dot(t, s, (((1,), (0,))))
+        return carry
 
-        def body(b, acc):
-            g = g_ref[b]  # (Pb, N)
-            s = s_ref[b]  # (R, Pb)
-            kp = kp_ref[b]  # (d², R)
-            vb = _dot(v, g, (((1,), (1,))))  # (d, Pb)
-            st = _dot(vb, s, (((1,), (1,))))  # (d, R)
-            rows = []
-            for i in range(d):
-                t_i = None
-                for k in range(d):
-                    kidx = (k * d + i) if transpose_k else (i * d + k)
-                    term = kp[kidx, :] * st[k, :]
-                    t_i = term if t_i is None else t_i + term
-                rows.append(t_i)
-            t = jnp.stack(rows, 0)  # (d, R)
-            yt = _dot(t, s, (((1,), (0,))))  # (d, Pb)
-            return acc + _dot(yt, g, (((1,), (0,))))  # (d, N)
+    jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
+    return _dot(yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))))  # (d, N)
 
-        return jax.lax.fori_loop(0, num_blocks, body, jnp.zeros_like(v))
 
-    dt2 = dt * dt
-
-    def apply_a(v):
-        return v - dt2 * g_apply(v, False) * minv
-
-    def apply_at(v):
-        return v - dt2 * g_apply(v * minv, True)
-
-    # rhs assembly b = vel + dt·f/m with f = Σ_b G_bᵀ·S_bᵀ·t_b (the
-    # reference force scatter, solver/explicit.py:42-49, in block form).
-    def f_body(b, f):
-        yt = _dot(tc_ref[b], s_ref[b], (((1,), (0,))))  # (d, Pb)
-        return f + _dot(yt, g_ref[b], (((1,), (0,))))
-
-    f = jax.lax.fori_loop(0, num_blocks, f_body, jnp.zeros_like(vel))
-    b_vec = vel + dt * f * minv
-
-    if preconditioned:
-        operator = lambda v: apply_at(apply_a(v))
-        rhs = apply_at(b_vec)
-    else:
-        operator = apply_a
-        rhs = b_vec
-
-    x0 = b_vec  # reference: x₀ = b (implicit.py:314)
+def reference_cg_core(operator, rhs, x0, max_iter, tol):
+    """The reference CG loop (solver/implicit.py:289-341): absolute tol on
+    ‖r‖², ≤``max_iter``, no restart branch.  Returns (x, iterations, ‖r‖²).
+    Shared by the whole-solve and whole-frame kernels."""
     r0 = rhs - operator(x0)
     delta0 = jnp.sum(r0 * r0)
 
@@ -191,6 +187,69 @@ def _fused_cg_kernel(
     x, _, _, delta, it = jax.lax.while_loop(
         cond, body, (x0, r0, r0, delta0, jnp.int32(0))
     )
+    return x, it, delta
+
+
+def _fused_cg_kernel(
+    s_ref,  # (B, R, Pb)
+    gall_ref,  # (B·Pb, N_pad) flat gather one-hot
+    kp_ref,  # (B, d², R) K planes (make_kplane layout)
+    tc_ref,  # (B, d, R) force-column planes (blocked_assemble layout)
+    vel_ref,  # (d_pad, N_pad) planar velocity
+    minv_ref,  # (1, N_pad) 1/mass, 0 in padding lanes
+    x_out_ref,  # (d_pad, N_pad)
+    it_out_ref,  # (1, 1) int32 SMEM
+    res_out_ref,  # (1, 1) f32 SMEM
+    vb_scr,  # scratch (d, B·Pb) gathered operand
+    yt_scr,  # scratch (d, B·Pb) block partials
+    *,
+    dim: int,
+    num_blocks: int,
+    pb: int,
+    dt: float,
+    preconditioned: bool,
+    max_iter: int,
+    tol: float,
+):
+    d = dim
+    minv = minv_ref[0:1, :]
+    vel = vel_ref[0:d, :]
+
+    def g_apply(v, transpose_k):
+        return block_g_apply(
+            kp_ref, s_ref, gall_ref, vb_scr, yt_scr, v, transpose_k, d,
+            num_blocks, pb,
+        )
+
+    dt2 = dt * dt
+
+    def apply_a(v):
+        return v - dt2 * g_apply(v, False) * minv
+
+    def apply_at(v):
+        return v - dt2 * g_apply(v * minv, True)
+
+    # rhs assembly b = vel + dt·f/m with f = Σ_b G_bᵀ·S_bᵀ·t_b (the
+    # reference force scatter, solver/explicit.py:42-49, in block form).
+    def f_body(b, carry):
+        yt_scr[0:d, pl.ds(b * pb, pb)] = _dot(
+            tc_ref[b], s_ref[b], (((1,), (0,)))
+        )
+        return carry
+
+    jax.lax.fori_loop(0, num_blocks, f_body, jnp.int32(0))
+    f = _dot(yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))))
+    b_vec = vel + dt * f * minv
+
+    if preconditioned:
+        operator = lambda v: apply_at(apply_a(v))
+        rhs = apply_at(b_vec)
+    else:
+        operator = apply_a
+        rhs = b_vec
+
+    # reference: x₀ = b (implicit.py:314)
+    x, it, delta = reference_cg_core(operator, rhs, b_vec, max_iter, tol)
     x_out_ref[0:d, :] = x
     if d < x_out_ref.shape[0]:
         x_out_ref[d:, :] = jnp.zeros_like(x_out_ref[d:, :])
@@ -239,6 +298,7 @@ def fused_blocked_cg_solve(
         _fused_cg_kernel,
         dim=d,
         num_blocks=b_cnt,
+        pb=blocking.pb,
         dt=dt,
         preconditioned=preconditioned,
         max_iter=max_iter,
@@ -257,6 +317,13 @@ def fused_blocked_cg_solve(
             vspec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
     )(blocking.s_dense, blocking.g_dense, kplane, tcols, vel_p, minv)

@@ -1,0 +1,369 @@
+# coding=utf-8
+"""Whole-FRAME fused kernel for the 3D implicit-CG path: ``sim_count``
+substeps — element prep (K blocks + force columns), rhs assembly, the
+reference CG solve, and implicit advection/collision — as ONE Pallas op.
+
+This is the end state of the op-count reduction ladder measured in
+tools/profile_blocked.py: with the whole-solve kernel
+(ops/pallas_blocked_cg.py) the flagship substep still spends ~40% of its
+time in the XLA ops around the solve (element prep 52 µs, planarize/pack,
+advect) — each op costs ~µs-to-tens-of-µs of fixed overhead on this
+backend regardless of its work.  Folding the entire substep loop into one
+kernel leaves one fixed cost per *frame*.
+
+Everything irregular is again table-dots against the VMEM-resident block
+incidence S_b and gather one-hot G_b (see ops/pallas_blocked_cg.py):
+
+  * element edge matrices: X planes = (pos·G_bᵀ)·S_bᵀ, de-interleaved to
+    component-planar (d², Eb) via the static selection tensor P_j
+    (lane-map matmuls — Mosaic has no strided lane ops);
+  * the element chain K_e / force columns: ``k_and_h_chain``
+    (ops/pallas_kernels.py) — the same single source of truth as every
+    other element backend, so formulas cannot drift;
+  * K planes are written to a VMEM scratch once per substep and reused by
+    every CG iteration; the CG loop itself is
+    ``reference_cg_core`` / ``block_g_apply`` shared with the whole-solve
+    kernel;
+  * advection/collision (reference solver/implicit.py:407-438, incl. the
+    vel_g-not-zeroed-at-the-upper-wall quirk) is elementwise on the
+    (d, N) planes with the obstacle loop statically unrolled.
+
+An earlier whole-frame kernel over the *unblocked* element arrays
+(ops/pallas_frame.py) lost 4.8× to one-hot gathers at (E, N) scale; the
+block tables are what make this one win.  Eligibility: the fused tables
+fit VMEM (ops/pallas_blocked_cg.FUSED_MAX_BYTES), 3D, CG, non-robust —
+selected by ``frame_backend="auto"`` on TPU via sim.make_frame_fn.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fem_tpu.ops.pallas_blocked_cg import (
+    _dot,
+    _round_up,
+    block_g_apply,
+    reference_cg_core,
+)
+from fem_tpu.ops.pallas_kernels import k_and_h_chain
+
+
+def _frame_kernel(
+    s_ref,  # (B, R, Pb) block incidence
+    gall_ref,  # (B·Pb, N_pad) flat gather one-hot
+    rv_ref,  # (B, d², Eb) ref_inv component planes
+    vol_ref,  # (B, 1, Eb) element volumes (0 on padded slots)
+    pj_ref,  # (d, R, Eb) edge→element-plane selection (pj[j][e·d+j, e]=1)
+    psum_ref,  # (R, Eb) lane-repeat map (Σ_j pjᵀ)
+    pos_ref,  # (d_pad, N_pad) planar positions
+    vel_ref,  # (d_pad, N_pad)
+    velg_ref,  # (d_pad, N_pad)
+    minv_ref,  # (1, N_pad) 1/mass, 0 in padding lanes
+    cent_ref,  # (O, d) SMEM obstacle centers
+    rad_ref,  # (1, O) SMEM obstacle radii
+    pos_out,  # (d_pad, N_pad)
+    vel_out,
+    velg_out,
+    iters_out,  # (1, S_pad) f32 — per-substep CG iteration counts
+    res_out,  # (1, S_pad) f32 — per-substep final ‖r‖²
+    kp_scr,  # scratch (B, d², R) K planes
+    vb_scr,  # scratch (d, B·Pb) gathered operand
+    yt_scr,  # scratch (d, B·Pb) block partials
+    *,
+    dim: int,
+    num_blocks: int,
+    pb: int,
+    dt: float,
+    damping: float,
+    g_dir: Tuple[float, ...],
+    mu: float,
+    lam: float,
+    preconditioned: bool,
+    sim_count: int,
+    max_iter: int,
+    tol: float,
+    n_obstacles: int,
+):
+    d = dim
+    d2 = d * d
+    n_pad = pos_ref.shape[1]
+    s_pad = iters_out.shape[1]
+    minv = minv_ref[0:1, :]
+    dt2 = dt * dt
+    # Static f32 damping factor (matches the op-composed path's
+    # jnp.exp(-dt*damping) up to exp-implementation ulps).
+    import numpy as _np
+
+    decay = float(_np.float32(_np.exp(_np.float32(-dt * damping))))
+
+    def prep(pos):
+        """Fill kp_scr with this substep's K planes; return assembled
+        force f (d, N)."""
+        vb_scr[0:d, :] = _dot(pos, gall_ref[:, :], (((1,), (1,))))
+
+        def body(b, carry):
+            s = s_ref[b]
+            xb = vb_scr[0:d, pl.ds(b * pb, pb)]
+            st = _dot(xb, s, (((1,), (1,))))  # (d, R)
+            v = vol_ref[b][0:1, :]  # (1, Eb)
+            # Padded element slots have zero S rows → X = 0 → det F = 0 →
+            # NaN through the chain even at volume 0.  Give them X = I (any
+            # finite matrix works; the −V scaling zeroes the result exactly)
+            # — the op-composed path does the same by replicating element
+            # 0's geometry (ops/blocking.py Blocking docstring).
+            pad = (v == 0.0).astype(jnp.float32)  # (1, Eb)
+            x_rows = [None] * d2
+            for j in range(d):
+                xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))  # (d, Eb)
+                for i in range(d):
+                    row = xj[i : i + 1, :]
+                    if i == j:
+                        row = row + pad
+                    x_rows[i * d + j] = row
+            rv = rv_ref[b]  # (d², Eb)
+            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+            k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam)
+            krows = jnp.concatenate(
+                [-v * k[i] for i in range(d2)], axis=0
+            )  # (d², Eb)
+            kp_scr[b] = _dot(krows, psum_ref[:, :], (((1,), (1,))))  # (d², R)
+            tc = None
+            for j in range(d):
+                hj = jnp.concatenate(
+                    [-v * h[c * d + j] for c in range(d)], axis=0
+                )  # (d, Eb)
+                term = _dot(hj, pj_ref[j, :, :], (((1,), (1,))))  # (d, R)
+                tc = term if tc is None else tc + term
+            yt_scr[0:d, pl.ds(b * pb, pb)] = _dot(
+                tc, s, (((1,), (0,)))
+            )  # (d, Pb)
+            return carry
+
+        jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
+        return _dot(yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))))
+
+    def solve(pos, vel):
+        f = prep(pos)
+        b_vec = vel + dt * f * minv
+
+        def apply_a(v):
+            gx = block_g_apply(
+                kp_scr, s_ref, gall_ref, vb_scr, yt_scr, v, False, d,
+                num_blocks, pb,
+            )
+            return v - dt2 * gx * minv
+
+        def apply_at(v):
+            gz = block_g_apply(
+                kp_scr, s_ref, gall_ref, vb_scr, yt_scr, v * minv, True, d,
+                num_blocks, pb,
+            )
+            return v - dt2 * gz
+
+        if preconditioned:
+            operator = lambda v: apply_at(apply_a(v))
+            rhs = apply_at(b_vec)
+        else:
+            operator = apply_a
+            rhs = b_vec
+        # reference: x₀ = b (implicit.py:314)
+        return reference_cg_core(operator, rhs, b_vec, max_iter, tol)
+
+    def advect(pos, vel, velg):
+        """Reference implicit advection (solver/implicit.py:407-438)."""
+        grow = jnp.concatenate(
+            [
+                jnp.full((1, n_pad), 9.8 * g_dir[i] * dt, jnp.float32)
+                for i in range(d)
+            ],
+            axis=0,
+        )
+        velg = (velg + grow) * decay
+        vel = vel * decay
+        v = vel + velg
+
+        lower = (pos < 0.0) & (v < 0.0)
+        vel = jnp.where(lower, 0.0, vel)
+        velg = jnp.where(lower, 0.0, velg)
+        v = jnp.where(lower, 0.0, v)
+
+        upper = (pos > 1.0) & (v > 0.0)
+        vel = jnp.where(upper, 0.0, vel)
+        # Reference deliberately does NOT zero vel_g here (implicit.py:422).
+        v = jnp.where(upper, 0.0, v)
+
+        for o in range(n_obstacles):
+            radius = rad_ref[0, o]
+            c_col = jnp.concatenate(
+                [
+                    jnp.full((1, n_pad), cent_ref[o, i], jnp.float32)
+                    for i in range(d)
+                ],
+                axis=0,
+            )
+            disp = pos - c_col
+            dist_sq = jnp.sum(disp * disp, axis=0, keepdims=True)  # (1, N)
+            inside = dist_sq < radius * radius
+            toward = jnp.sum(v * (-disp), axis=0, keepdims=True) > 0.0
+            hit = inside & toward & (radius > 0.0)
+            denom = jnp.maximum(dist_sq, 1e-30)
+
+            def proj(u):
+                return (
+                    jnp.sum(u * disp, axis=0, keepdims=True) / denom
+                ) * disp
+
+            v = jnp.where(hit, v - proj(v), v)
+            vel = jnp.where(hit, vel - proj(vel), vel)
+            velg = jnp.where(hit, velg - proj(velg), velg)
+
+        return pos + v * dt, vel, velg
+
+    def substep(s, carry):
+        pos, vel, velg, itv, resv = carry
+        x, it, delta = solve(pos, vel)
+        pos, vel, velg = advect(pos, x, velg)
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) == s
+        ).astype(jnp.float32)
+        itv = itv + it.astype(jnp.float32) * mask
+        resv = resv + delta * mask
+        return pos, vel, velg, itv, resv
+
+    zeros_s = jnp.zeros((1, s_pad), jnp.float32)
+    pos, vel, velg, itv, resv = jax.lax.fori_loop(
+        0,
+        sim_count,
+        substep,
+        (
+            pos_ref[0:d, :],
+            vel_ref[0:d, :],
+            velg_ref[0:d, :],
+            zeros_s,
+            zeros_s,
+        ),
+    )
+    for ref, val in ((pos_out, pos), (vel_out, vel), (velg_out, velg)):
+        ref[0:d, :] = val
+        if d < ref.shape[0]:
+            ref[d:, :] = jnp.zeros_like(ref[d:, :])
+    iters_out[0:1, :] = itv
+    res_out[0:1, :] = resv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dim", "dt", "damping", "g_dir", "mu", "s_lambda",
+        "preconditioned", "sim_count", "max_iter", "tol",
+    ),
+)
+def fused_blocked_frame(
+    blocking,  # ops.blocking.Blocking with fused tables
+    pos: jnp.ndarray,  # (N, d)
+    vel: jnp.ndarray,  # (N, d)
+    vel_g: jnp.ndarray,  # (N, d)
+    mass: jnp.ndarray,  # (N,)
+    centers: jnp.ndarray,  # (O, d) obstacle centers
+    radii: jnp.ndarray,  # (O,)
+    *,
+    dim: int,
+    dt: float,
+    damping: float,
+    g_dir: Tuple[float, ...],
+    mu: float,
+    s_lambda: float,
+    preconditioned: bool,
+    sim_count: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+):
+    """One rendered frame (= ``sim_count`` implicit-CG substeps) as one
+    device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))."""
+    d = dim
+    d2 = d * d
+    n = pos.shape[0]
+    b_cnt, eb = blocking.num_blocks, blocking.eb
+    r = eb * d
+    n_pad = _round_up(n, 128)
+    s_pad = _round_up(max(int(sim_count), 1), 128)
+    d_pad = 8
+    n_obst = int(radii.shape[0])
+
+    # Static element planes: ref_inv components + volumes in block order.
+    rv = (
+        blocking.ref_inv.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
+    )  # (B, d², Eb)
+    vol = blocking.volume.reshape(b_cnt, 1, eb)
+    # Edge→plane selection tensors (static iota maps).
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, eb), 0)
+    ee = jax.lax.broadcasted_iota(jnp.int32, (r, eb), 1)
+    pj = jnp.stack(
+        [(rr == ee * d + j).astype(jnp.bfloat16) for j in range(d)], axis=0
+    )  # (d, R, Eb) — bf16 one-hot, consumed by the exact split-dot
+    psum = (rr // d == ee).astype(jnp.bfloat16)  # (R, Eb)
+
+    def planar(a):
+        return jnp.zeros((d_pad, n_pad), jnp.float32).at[:d, :n].set(a.T)
+
+    minv = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(1.0 / mass)
+
+    kernel = functools.partial(
+        _frame_kernel,
+        dim=d,
+        num_blocks=b_cnt,
+        pb=blocking.pb,
+        dt=dt,
+        damping=damping,
+        g_dir=tuple(g_dir),
+        mu=mu,
+        lam=s_lambda,
+        preconditioned=preconditioned,
+        sim_count=int(sim_count),
+        max_iter=max_iter,
+        tol=tol,
+        n_obstacles=n_obst,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pos_p, vel_p, velg_p, itv, resv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+        ),
+        in_specs=[vspec] * 10 + [sspec, sspec],
+        out_specs=(vspec,) * 3 + (vspec, vspec),
+        scratch_shapes=[
+            pltpu.VMEM((b_cnt, d2, r), jnp.float32),
+            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+        ],
+        # The resident tables + transients exceed the default 16 MB scoped
+        # VMEM cap; v5e has 128 MB of VMEM per core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        blocking.s_dense, blocking.g_dense, rv, vol, pj, psum,
+        planar(pos), planar(vel), planar(vel_g), minv,
+        centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
+    )
+    s = int(sim_count)
+    return (
+        pos_p[:d, :n].T,
+        vel_p[:d, :n].T,
+        velg_p[:d, :n].T,
+        itv[0, :s].astype(jnp.int32),
+        resv[0, :s],
+    )

@@ -135,6 +135,52 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
 # (10.5 ms vs 41 us) than the same kernel with the arrays passed as inputs.
 
 
+def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
+    """Eligibility for the whole-frame blocked kernel
+    (ops/pallas_blocked_frame.py): the 3D implicit-CG reference path with
+    the fused VMEM tables built, and no backend override that asks for a
+    different execution strategy."""
+    from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD
+
+    return (
+        obj.dim == 3
+        and not cfg.use_explicit_method
+        and not cfg.auto_diff
+        and cfg.implicit_method == CONJUGATE_GRADIENT_METHOD
+        and not cfg.robust_inversion
+        and cfg.hessian == "reference"
+        and cfg.operator_mode in ("auto", "fused")
+        and cfg.element_backend in ("auto", "pallas")
+        and cfg.solver_backend == "auto"
+        and obj.blocking is not None
+        and obj.blocking.s_dense is not None
+    )
+
+
+def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
+    """Frame function backed by the whole-frame fused kernel — ONE device op
+    per rendered frame (ops/pallas_blocked_frame.py)."""
+    from fem_tpu.ops.pallas_blocked_frame import fused_blocked_frame
+
+    @jax.jit
+    def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
+        pos, vel, velg, iters, res = fused_blocked_frame(
+            o.blocking, state.pos, state.vel, state.vel_g, o.mass,
+            obstacles.centers, obstacles.radii,
+            dim=o.dim, dt=cfg.delta_time, damping=o.damping,
+            g_dir=tuple(cfg.g_dir), mu=o.mu, s_lambda=o.s_lambda,
+            preconditioned=cfg.preconditioned == 1,
+            sim_count=cfg.sim_count,
+        )
+        new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
+        return new_state, StepAux(iters, res)
+
+    def frame(state: SimState, obstacles: Obstacles):
+        return frame_impl(obj, state, obstacles)
+
+    return frame
+
+
 def make_frame_fn(obj: FemObject, cfg: SimConfig):
     """Compiled function advancing one rendered frame (= ``sim_count``
     substeps under lax.scan).  Returns (state, StepAux stacked over substeps).
@@ -156,6 +202,23 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
                 "is not eligible (see ops/pallas_frame.py)"
             )
         return make_fused_frame_fn(obj, cfg)
+    if cfg.frame_backend == "blocked" or (
+        cfg.frame_backend == "auto"
+        and jax.default_backend() == "tpu"
+        and supports_blocked_frame(obj, cfg)
+    ):
+        # Whole-frame kernel — fastest measured flagship path (3,763 vs
+        # 3,599 steps/s for op-composed + whole-solve kernel, 2,069 for
+        # op-composed + grid kernels) once the one-hot dots run as exact
+        # bf16 split-dots (ops/pallas_blocked_cg._dot).
+        if cfg.frame_backend == "blocked" and not supports_blocked_frame(
+            obj, cfg
+        ):
+            raise ValueError(
+                "frame_backend='blocked' requested but this config/mesh "
+                "is not eligible (see ops/pallas_blocked_frame.py)"
+            )
+        return make_blocked_frame_fn(obj, cfg)
     kwargs = _cfg_kwargs(cfg)
 
     @jax.jit

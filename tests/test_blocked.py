@@ -196,17 +196,21 @@ def test_fused_tables_semantics(blocked_obj):
     blk = obj.blocking
     state = _deformed(state, seed=8)
     x = np.asarray(state.vel)
-    g = np.asarray(blk.g_dense)[:, :, : obj.particle_cnt]
-    # gather: G_b · x == x[block_particles]
+    b_cnt, pb = blk.num_blocks, blk.pb
+    g = np.asarray(blk.g_dense)[:, : obj.particle_cnt]  # (B·Pb, N)
+    # gather: G · x == x[block_particles]
     ref_gather = np.asarray(blocked_gather(state.vel, blk))  # (B, d, Pb)
-    got_gather = np.einsum("bpn,nd->bdp", g, x)
+    got_gather = np.einsum("pn,nd->pd", g, x).reshape(
+        b_cnt, pb, 3
+    ).transpose(0, 2, 1)
     np.testing.assert_allclose(got_gather, ref_gather, atol=1e-6)
-    # scatter: Σ_b G_bᵀ · yt_b == segment-sum over block_particles
+    # scatter: Gᵀ · yt_flat == segment-sum over block_particles
     yt = np.asarray(ref_gather) * 0.5 + 1.0
     ref_scatter = np.asarray(
         blocked_scatter_sum(jnp.asarray(yt), blk, obj.particle_cnt)
     )
-    got_scatter = np.einsum("bpn,bdp->nd", g, yt)
+    yt_flat = yt.transpose(0, 2, 1).reshape(b_cnt * pb, 3)
+    got_scatter = np.einsum("pn,pd->nd", g, yt_flat)
     np.testing.assert_allclose(got_scatter, ref_scatter, rtol=1e-6, atol=1e-5)
 
 

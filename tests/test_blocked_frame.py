@@ -1,0 +1,106 @@
+# coding=utf-8
+"""Whole-frame fused kernel (ops/pallas_blocked_frame.py) vs the op-composed
+frame: identical reference semantics, one device op per frame.
+
+Runs in Pallas interpret mode on CPU; the op-composed side is the path
+already validated against the dense oracle (tests/test_implicit.py) and the
+advect tests (tests/test_advect.py)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.models.state import Obstacles, build_object
+from fem_tpu.sim import make_frame_fn, supports_blocked_frame
+from fem_tpu.utils.config import BlockConfig, ObjectConfig, SimConfig
+from tests.test_blocked import _cube_mesh
+
+
+def _scene(damping=10.0):
+    nodes, f, tets = _cube_mesh(spacing=0.45)
+    # Unit-box-interior placement so walls and the obstacle both trigger.
+    nodes = nodes * 0.35
+    cfg_o = ObjectConfig(
+        obj="cube", center=(0.3, 0.45, 0.3), rho=1000.0,
+        E=4e4, nu=0.3, damping=damping,
+    )
+    obj, state = build_object(cfg_o, nodes.astype(np.float32), f, tets)
+    assert obj.blocking is not None and obj.blocking.s_dense is not None
+    obstacles = Obstacles.from_configs(
+        (BlockConfig(id=0, block_center=(0.45, 0.25, 0.45), block_radius=0.18),),
+        dim=3,
+    )
+    return obj, state, obstacles
+
+
+def _cfg(**kw):
+    base = dict(
+        dim=3,
+        delta_time=5e-4,
+        sim_count=4,
+        use_explicit_method=False,
+        auto_diff=False,
+        implicit_method=1,
+        preconditioned=1,
+        g_dir=(0.0, -1.0, 0.0),
+    )
+    base.update(kw)
+    return SimConfig(**base)
+
+
+@pytest.mark.parametrize("preconditioned", [0, 1])
+def test_blocked_frame_matches_op_composed(preconditioned):
+    obj, state0, obstacles = _scene()
+    cfg_ops = _cfg(preconditioned=preconditioned)
+    cfg_fused = dataclasses.replace(cfg_ops, frame_backend="blocked")
+    assert supports_blocked_frame(obj, cfg_fused)
+
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+
+    s_ref, s_got = state0, state0
+    for frame_i in range(6):
+        s_ref, aux_ref = ref_frame(s_ref, obstacles)
+        s_got, aux_got = got_frame(s_got, obstacles)
+        scale = float(jnp.max(jnp.abs(s_ref.pos)))
+        np.testing.assert_allclose(
+            np.asarray(s_got.pos), np.asarray(s_ref.pos),
+            rtol=0, atol=5e-5 * scale,
+            err_msg=f"pos diverged at frame {frame_i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.vel), np.asarray(s_ref.vel), atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.vel_g), np.asarray(s_ref.vel_g), atol=5e-4,
+        )
+    # aux shapes: per-substep iteration counts / residuals
+    assert np.asarray(aux_got.solver_iterations).shape == (cfg_ops.sim_count,)
+    it_ref = np.asarray(aux_ref.solver_iterations)
+    it_got = np.asarray(aux_got.solver_iterations)
+    assert np.all(np.abs(it_ref - it_got) <= 1), (it_ref, it_got)
+
+
+def test_blocked_frame_hits_walls_and_obstacle():
+    """The fused advect must reproduce collisions: after enough frames the
+    body rests on/around the obstacle or floor with finite state."""
+    obj, state, obstacles = _scene()
+    cfg = _cfg(frame_backend="blocked")
+    frame = make_frame_fn(obj, cfg)
+    for _ in range(30):
+        state, _ = frame(state, obstacles)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() > -0.05  # did not fall through the floor
+
+
+def test_blocked_frame_ineligible_configs_fall_back():
+    obj, state, obstacles = _scene()
+    assert not supports_blocked_frame(obj, _cfg(robust_inversion=True))
+    assert not supports_blocked_frame(obj, _cfg(implicit_method=0))
+    assert not supports_blocked_frame(obj, _cfg(use_explicit_method=True))
+    assert not supports_blocked_frame(obj, _cfg(operator_mode="graph"))
+    with pytest.raises(ValueError):
+        make_frame_fn(obj, _cfg(robust_inversion=True, frame_backend="blocked"))
