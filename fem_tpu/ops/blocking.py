@@ -180,10 +180,12 @@ def build_blocking(
 def _build_s(plus, minus, r: int, pb: int) -> jnp.ndarray:
     """The block incidence matrix S_b (r, pb) rebuilt in VMEM: row e·d+j has
     +1 at the local slot of vertex j+1 and −1 at the slot of vertex 0
-    (padded rows have plus == minus → exactly zero)."""
+    (padded rows have plus == minus → exactly zero).  bf16: 0/±1 are exact
+    and the exact split-dot (pallas_blocked_cg._dot) consumes it at 3
+    single-pass MXU dots instead of a 6-pass HIGHEST matmul."""
     col = jax.lax.broadcasted_iota(jnp.int32, (r, pb), 1)
-    return (col == plus).astype(jnp.float32) - (col == minus).astype(
-        jnp.float32
+    return (col == plus).astype(jnp.bfloat16) - (col == minus).astype(
+        jnp.bfloat16
     )
 
 
@@ -195,14 +197,12 @@ def _matvec_kernel(
     Layouts: xbt (d, Pb) — components on sublanes; kp (d², R) planes with
     kp[i·d+k, e·d+j] = K_e[i, k]; out (d, Pb).
     """
+    from fem_tpu.ops.pallas_blocked_cg import _dot
+
     r, pb = plus_ref.shape[1], xbt_ref.shape[2]
     s = _build_s(plus_ref[0], minus_ref[0], r, pb)
-    hp = jax.lax.Precision.HIGHEST
-    # sT (d, R): column e·d+j holds the edge-difference vector s_j of elem e.
-    st = jax.lax.dot_general(
-        xbt_ref[0], s, (((1,), (1,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32,
-    )
+    # st (d, R): column e·d+j holds the edge-difference vector s_j of elem e.
+    st = _dot(xbt_ref[0], s, (((1,), (1,))))
     kp = kp_ref[0]
     rows = []
     for i in range(dim):
@@ -213,22 +213,17 @@ def _matvec_kernel(
             acc = term if acc is None else acc + term
         rows.append(acc)
     t = jnp.stack(rows, 0)  # (d, R): column e·d+j = K_e @ s_j
-    out_ref[0] = jax.lax.dot_general(
-        t, s, (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32,
-    )
+    out_ref[0] = _dot(t, s, (((1,), (0,))))
 
 
 def _scatter_kernel(plus_ref, minus_ref, t_ref, out_ref):
     """One block of the assembly yᵀ = S_bᵀ·t — scatter per-element columns
     (t[:, e·d+j] to local vertex j+1, −Σ_j to vertex 0) as one MXU matmul."""
+    from fem_tpu.ops.pallas_blocked_cg import _dot
+
     r, pb = plus_ref.shape[1], out_ref.shape[2]
     s = _build_s(plus_ref[0], minus_ref[0], r, pb)
-    out_ref[0] = jax.lax.dot_general(
-        t_ref[0], s, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    out_ref[0] = _dot(t_ref[0], s, (((1,), (0,))))
 
 
 def _interpret() -> bool:

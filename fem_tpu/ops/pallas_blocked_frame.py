@@ -89,6 +89,7 @@ def _frame_kernel(
     max_iter: int,
     tol: float,
     n_obstacles: int,
+    robust: bool,
 ):
     d = dim
     d2 = d * d
@@ -128,7 +129,7 @@ def _frame_kernel(
                     x_rows[i * d + j] = row
             rv = rv_ref[b]  # (d², Eb)
             r_rows = [rv[i : i + 1, :] for i in range(d2)]
-            k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam)
+            k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust)
             krows = jnp.concatenate(
                 [-v * k[i] for i in range(d2)], axis=0
             )  # (d², Eb)
@@ -261,7 +262,7 @@ def _frame_kernel(
     jax.jit,
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda",
-        "preconditioned", "sim_count", "max_iter", "tol",
+        "preconditioned", "sim_count", "max_iter", "tol", "robust",
     ),
 )
 def fused_blocked_frame(
@@ -283,6 +284,7 @@ def fused_blocked_frame(
     sim_count: int,
     max_iter: int = 500,
     tol: float = 1e-5,
+    robust: bool = False,
 ):
     """One rendered frame (= ``sim_count`` implicit-CG substeps) as one
     device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))."""
@@ -329,6 +331,7 @@ def fused_blocked_frame(
         max_iter=max_iter,
         tol=tol,
         n_obstacles=n_obst,
+        robust=robust,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -239,14 +239,18 @@ def implicit_force_planar(
     )(x_planes, r_planes, v_plane)
 
 
-def k_and_h_chain(x, r, dim, mu, lam):
+def k_and_h_chain(x, r, dim, mu, lam, robust=False):
     """Shared parity-critical element chain: implicit-system blocks K_e
     (reference implicit.py:131-147, logJ clamp) AND rhs force columns
     (implicit.py:87-88, λ/2·log det(FᵀF) form) from edge planes ``x`` and
     ref_inv planes ``r`` (lists of (1, T) component rows).  Returns (k, h)
     UNscaled — callers apply the −V scaling / padding masks.  Single source
     of truth for the fused element kernel and the whole-frame kernel
-    (ops/pallas_frame.py) so the formulas cannot drift."""
+    (ops/pallas_frame.py) so the formulas cannot drift.
+
+    ``robust=True`` applies the robust_inversion extension exactly as the
+    XLA path does (ops/element.py, smallmat.safe_inv): sign-preserving
+    |det| ≥ 1e-6 clamp inside F⁻¹ and gram-det ≥ 1e-8 in the rhs log."""
     d2 = dim * dim
     if dim == 3:
         mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
@@ -254,7 +258,12 @@ def k_and_h_chain(x, r, dim, mu, lam):
         mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
     f = mul(x, r)
     det_f = det_fn(f)
-    f_inv = inv_fn(f, det_f)
+    if robust:
+        sign = jnp.where(det_f < 0, -1.0, 1.0)
+        det_inv = sign * jnp.maximum(jnp.abs(det_f), 1e-6)
+    else:
+        det_inv = det_f
+    f_inv = inv_fn(f, det_inv)
     f_inv_t = t_fn(f_inv)
     r_t = t_fn(r)
     log_j = jnp.log(jnp.maximum(det_f, 1e-4))
@@ -266,7 +275,10 @@ def k_and_h_chain(x, r, dim, mu, lam):
         for i in range(d2)
     ]
     k = mul(blk, r_t)
-    log_gram = jnp.log(det_f * det_f)
+    gram = det_f * det_f
+    if robust:
+        gram = jnp.maximum(gram, 1e-8)
+    log_gram = jnp.log(gram)
     p = [
         mu * f[i] + (lam / 2.0 * log_gram - mu) * f_inv_t[i]
         for i in range(d2)
@@ -275,7 +287,9 @@ def k_and_h_chain(x, r, dim, mu, lam):
     return k, h
 
 
-def _hessian_and_force_kernel(x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam):
+def _hessian_and_force_kernel(
+    x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam, robust=False
+):
     """One tile emitting BOTH implicit-system blocks K_e and rhs force
     columns — they share the whole F/F⁻ᵀ/det chain and the X-plane gather.
 
@@ -288,14 +302,14 @@ def _hessian_and_force_kernel(x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam
     x = [x_ref[i : i + 1, :] for i in range(d2)]
     r = [r_ref[i : i + 1, :] for i in range(d2)]
     v = v_ref[0:1, :]
-    k, h = k_and_h_chain(x, r, dim, mu, lam)
+    k, h = k_and_h_chain(x, r, dim, mu, lam, robust)
     for i in range(d2):
         k_out[i : i + 1, :] = -v * k[i]
         h_out[i : i + 1, :] = -v * h[i]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mu", "s_lambda", "interpret")
+    jax.jit, static_argnames=("mu", "s_lambda", "interpret", "robust")
 )
 def hessian_and_force_planar(
     x_planes: jnp.ndarray,
@@ -304,6 +318,7 @@ def hessian_and_force_planar(
     mu: float,
     s_lambda: float,
     interpret: bool = False,
+    robust: bool = False,
 ):
     d2, e_pad = x_planes.shape
     dim = 3 if d2 == 9 else 2
@@ -312,7 +327,8 @@ def hessian_and_force_planar(
         (rows, TILE_E), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _hessian_and_force_kernel, dim=dim, mu=mu, lam=s_lambda
+        _hessian_and_force_kernel, dim=dim, mu=mu, lam=s_lambda,
+        robust=robust,
     )
     return pl.pallas_call(
         kernel,
@@ -334,6 +350,7 @@ def hessian_and_force_pallas(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    robust: bool = False,
 ):
     """Fused (K blocks, implicit force columns) — one X-plane gather and one
     kernel for what the split variants do in two of each."""
@@ -342,7 +359,7 @@ def hessian_and_force_pallas(
     )
     interpret = jax.default_backend() != "tpu"
     k, h = hessian_and_force_planar(
-        x_planes, r_planes, v_plane, mu, s_lambda, interpret
+        x_planes, r_planes, v_plane, mu, s_lambda, interpret, robust
     )
     return (
         k[:, :e].T.reshape(e, d, d),

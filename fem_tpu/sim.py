@@ -147,7 +147,6 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and not cfg.use_explicit_method
         and not cfg.auto_diff
         and cfg.implicit_method == CONJUGATE_GRADIENT_METHOD
-        and not cfg.robust_inversion
         and cfg.hessian == "reference"
         and cfg.operator_mode in ("auto", "fused")
         and cfg.element_backend in ("auto", "pallas")
@@ -171,6 +170,7 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
             g_dir=tuple(cfg.g_dir), mu=o.mu, s_lambda=o.s_lambda,
             preconditioned=cfg.preconditioned == 1,
             sim_count=cfg.sim_count,
+            robust=cfg.robust_inversion,
         )
         new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
         return new_state, StepAux(iters, res)

@@ -507,12 +507,12 @@ def implicit_velocity_solve(
         # element arrays, so no element-order permutation is ever applied on
         # device.  Same solve semantics; execution strategy only.
         blk = obj.blocking
-        if element_backend == "pallas" and not robust:
+        if element_backend == "pallas":
             from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
 
             k_flat, cols_flat = hessian_and_force_pallas(
                 state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda,
+                obj.mu, obj.s_lambda, robust,
             )
         else:
             k_flat = hessian_blocks(
@@ -555,14 +555,14 @@ def implicit_velocity_solve(
             res.iterations, res.residual
         )
 
-    if element_backend == "pallas" and not robust:
+    if element_backend == "pallas":
         # Fused kernel: K blocks + rhs force columns share the F chain and
         # the X-plane gather (one dispatch instead of two per substep).
         from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
 
         K, force_cols = hessian_and_force_pallas(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda,
+            obj.mu, obj.s_lambda, robust,
         )
         f = assemble_for(obj, element_contrib_full(force_cols), axis_name)
         b = state.vel + dt * f / obj.mass[:, None]

@@ -98,9 +98,29 @@ def test_blocked_frame_hits_walls_and_obstacle():
 
 def test_blocked_frame_ineligible_configs_fall_back():
     obj, state, obstacles = _scene()
-    assert not supports_blocked_frame(obj, _cfg(robust_inversion=True))
+    assert supports_blocked_frame(obj, _cfg(robust_inversion=True))
     assert not supports_blocked_frame(obj, _cfg(implicit_method=0))
     assert not supports_blocked_frame(obj, _cfg(use_explicit_method=True))
     assert not supports_blocked_frame(obj, _cfg(operator_mode="graph"))
     with pytest.raises(ValueError):
-        make_frame_fn(obj, _cfg(robust_inversion=True, frame_backend="blocked"))
+        make_frame_fn(obj, _cfg(implicit_method=0, frame_backend="blocked"))
+
+
+def test_blocked_frame_robust_matches_op_composed():
+    """robust_inversion extension through the whole-frame kernel (and the
+    now-ungated Pallas prep) vs the XLA robust path."""
+    obj, state0, obstacles = _scene()
+    cfg_ops = _cfg(robust_inversion=True, operator_mode="blocked",
+                   element_backend="xla")
+    cfg_fused = _cfg(robust_inversion=True, frame_backend="blocked")
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+    s_ref, s_got = state0, state0
+    for _ in range(5):
+        s_ref, _ = ref_frame(s_ref, obstacles)
+        s_got, _ = got_frame(s_got, obstacles)
+    scale = float(jnp.max(jnp.abs(s_ref.pos)))
+    np.testing.assert_allclose(
+        np.asarray(s_got.pos), np.asarray(s_ref.pos),
+        rtol=0, atol=5e-5 * scale,
+    )

@@ -22,6 +22,14 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--spacing", type=float, default=0.035)
+    p.add_argument("--dt", type=float, default=2.5e-4,
+                   help="substep dt.  The config default 5e-4 is MARGINALLY "
+                        "unstable at ~68k tets under pure reference "
+                        "semantics (kappa = dt^2*||K||/m approaches 1 for "
+                        "the decoupled-Hessian implicit integrator as "
+                        "element size shrinks; the sim NaNs ~0.2s after "
+                        "impact, robust_inversion does not help).  2.5e-4 "
+                        "is stable through t>=1.2s at spacing 0.04.")
     p.add_argument("--seconds", type=float, default=0.5)
     p.add_argument("--warm-seconds", type=float, default=0.6,
                    help="simulate through the floor impact first so the "
@@ -58,7 +66,7 @@ def main():
 
     implicit = args.method == "implicit_cg"
     cfg = SimConfig(
-        dim=3, sim_count=10, auto_diff=False,
+        dim=3, sim_count=10, auto_diff=False, delta_time=args.dt,
         use_explicit_method=not implicit,
         implicit_method=1, preconditioned=1,
         g_dir=(0.0, -1.0, 0.0), robust_inversion=args.robust_inversion,
