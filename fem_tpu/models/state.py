@@ -140,15 +140,15 @@ def build_object(
     ref_inv, volume, mass = init_element_data(pos, element_indices, cfg.rho)
     n = pos.shape[0]
     small_mesh = element_indices.shape[0] * d * n <= 16_000_000
-    blocking = None
-    if d == 3:
-        # Blocked MXU operator (ops/blocking.py): measured fastest implicit
-        # apply at EVERY 3D size tried (2,776 vs 922 steps/s on the 4k-tet
-        # flagship vs the mxu mode; 7.3× vs graph at 68k tets) — built for
-        # all 3D meshes and preferred by operator_mode="auto" (CG solves).
-        from fem_tpu.ops.blocking import build_blocking
+    # Blocked MXU operator (ops/blocking.py): measured fastest implicit
+    # apply at EVERY 3D size tried (2,776 vs 922 steps/s on the 4k-tet
+    # flagship vs the mxu mode; 7.3× vs graph at 68k tets) — built for
+    # all meshes and preferred by operator_mode="auto" (CG solves).  The
+    # machinery is dimension-generic; 2D gets the same fused-kernel
+    # eligibility (triangles: d+1 = 3 vertices, R = Eb·2).
+    from fem_tpu.ops.blocking import build_blocking
 
-        blocking = build_blocking(element_indices, ref_inv, volume, pos)
+    blocking = build_blocking(element_indices, ref_inv, volume, pos)
     obj = FemObject(
         element_indices=jnp.asarray(element_indices.astype(np.int32)),
         ref_inv=jnp.asarray(ref_inv),

@@ -80,6 +80,9 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         # path never uses the dense edge matrix, so drop it (it would need a
         # PartitionSpec otherwise).
         padded = padded.replace(edge_matrix=None)
+    # The sharded path uses the segment-sum assembly, never the single-chip
+    # blocked operator — drop its tables so they need no PartitionSpec.
+    padded = padded.replace(blocking=None)
     local_cnt = padded.element_cnt // n_shards
 
     state_spec = SimState(pos=P(), vel=P(), vel_g=P(), force=P(),
@@ -157,7 +160,9 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
     batch-mesh size) and unbatched obstacles.
     """
     n_elem_shards = mesh.shape[AXIS]
-    padded = pad_elements(obj, n_elem_shards).replace(edge_matrix=None)
+    padded = pad_elements(obj, n_elem_shards).replace(
+        edge_matrix=None, blocking=None
+    )
     local_cnt = padded.element_cnt // n_elem_shards
 
     state_spec = SimState(

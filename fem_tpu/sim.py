@@ -143,7 +143,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD
 
     return (
-        obj.dim == 3
+        obj.dim in (2, 3)
         and not cfg.use_explicit_method
         and not cfg.auto_diff
         and cfg.implicit_method == CONJUGATE_GRADIENT_METHOD

@@ -106,6 +106,47 @@ def test_blocked_frame_ineligible_configs_fall_back():
         make_frame_fn(obj, _cfg(implicit_method=0, frame_backend="blocked"))
 
 
+def test_blocked_frame_2d_matches_op_composed():
+    """2D triangles through the whole-frame kernel (dimension-generic
+    chain: d+1 = 3 vertices, R = Eb·2) vs the op-composed 2D frame."""
+    from fem_tpu.models.mesh import construct_2d_mesh
+
+    cfg_o = ObjectConfig(
+        subdivisions=6, side_length=0.3, center=(0.35, 0.55),
+        rho=1000.0, E=4e4, nu=0.3, damping=10.0,
+    )
+    verts, faces, elems = construct_2d_mesh(cfg_o)
+    obj, state0 = build_object(cfg_o, verts, faces, elems)
+    assert obj.blocking is not None and obj.blocking.s_dense is not None
+    obstacles = Obstacles.from_configs(
+        (BlockConfig(id=0, block_center=(0.5, 0.3), block_radius=0.12),),
+        dim=2,
+    )
+    cfg_ops = SimConfig(
+        dim=2, delta_time=5e-4, sim_count=4, use_explicit_method=False,
+        auto_diff=False, implicit_method=1, preconditioned=1,
+        g_dir=(0.0, -1.0), operator_mode="blocked",
+    )
+    cfg_fused = dataclasses.replace(
+        cfg_ops, operator_mode="auto", frame_backend="blocked"
+    )
+    assert supports_blocked_frame(obj, cfg_fused)
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+    s_ref, s_got = state0, state0
+    for _ in range(6):
+        s_ref, aux_ref = ref_frame(s_ref, obstacles)
+        s_got, aux_got = got_frame(s_got, obstacles)
+    scale = float(jnp.max(jnp.abs(s_ref.pos)))
+    np.testing.assert_allclose(
+        np.asarray(s_got.pos), np.asarray(s_ref.pos),
+        rtol=0, atol=5e-5 * scale,
+    )
+    it_ref = np.asarray(aux_ref.solver_iterations)
+    it_got = np.asarray(aux_got.solver_iterations)
+    assert np.all(np.abs(it_ref - it_got) <= 1), (it_ref, it_got)
+
+
 def test_blocked_frame_robust_matches_op_composed():
     """robust_inversion extension through the whole-frame kernel (and the
     now-ungated Pallas prep) vs the XLA robust path."""
