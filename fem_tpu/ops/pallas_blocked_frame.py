@@ -54,6 +54,22 @@ from fem_tpu.ops.pallas_blocked_cg import (
 from fem_tpu.ops.pallas_kernels import k_and_h_chain
 
 
+
+
+def _pad_x_rows(r_rows, dim):
+    """Rest edge-matrix rows X_rest = (R⁻¹)⁻¹ for padded element slots:
+    padding with ANY fixed matrix must keep the whole chain finite, and the
+    explicit chain's UNclamped log(det F) (parity) NaNs unless det F > 0 —
+    X_rest gives F = I exactly."""
+    from fem_tpu.ops.pallas_kernels import (
+        _mat2_det, _mat2_inv, _mat3_det, _mat3_inv,
+    )
+
+    if dim == 3:
+        return _mat3_inv(r_rows, _mat3_det(r_rows))
+    return _mat2_inv(r_rows, _mat2_det(r_rows))
+
+
 def _frame_kernel(
     s_ref,  # (B, R, Pb) block incidence
     gall_ref,  # (B·Pb, N_pad) flat gather one-hot
@@ -114,21 +130,21 @@ def _frame_kernel(
             st = _dot(xb, s, (((1,), (1,))))  # (d, R)
             v = vol_ref[b][0:1, :]  # (1, Eb)
             # Padded element slots have zero S rows → X = 0 → det F = 0 →
-            # NaN through the chain even at volume 0.  Give them X = I (any
-            # finite matrix works; the −V scaling zeroes the result exactly)
-            # — the op-composed path does the same by replicating element
-            # 0's geometry (ops/blocking.py Blocking docstring).
+            # NaN through the chain even at volume 0.  Substitute the rest
+            # edge matrix (F = I; the −V scaling zeroes the result exactly)
+            # — the op-composed path replicates element 0's geometry the
+            # same way (ops/blocking.py Blocking docstring).
             pad = (v == 0.0).astype(jnp.float32)  # (1, Eb)
+            rv = rv_ref[b]  # (d², Eb)
+            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+            xp = _pad_x_rows(r_rows, d)
             x_rows = [None] * d2
             for j in range(d):
                 xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))  # (d, Eb)
                 for i in range(d):
-                    row = xj[i : i + 1, :]
-                    if i == j:
-                        row = row + pad
-                    x_rows[i * d + j] = row
-            rv = rv_ref[b]  # (d², Eb)
-            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+                    x_rows[i * d + j] = (
+                        xj[i : i + 1, :] + pad * xp[i * d + j]
+                    )
             k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust)
             krows = jnp.concatenate(
                 [-v * k[i] for i in range(d2)], axis=0
@@ -370,3 +386,214 @@ def fused_blocked_frame(
         itv[0, :s].astype(jnp.int32),
         resv[0, :s],
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit / autodiff whole-frame kernel
+# ---------------------------------------------------------------------------
+
+def _explicit_frame_kernel(
+    s_ref,  # (B, R, Pb)
+    gall_ref,  # (B·Pb, N_pad)
+    rv_ref,  # (B, d², Eb)
+    vol_ref,  # (B, 1, Eb)
+    pj_ref,  # (d, R, Eb)
+    pos_ref,  # (d_pad, N_pad)
+    vel_ref,  # (d_pad, N_pad)
+    minv_ref,  # (1, N_pad)
+    cent_ref,  # (O, d) SMEM
+    rad_ref,  # (1, O) SMEM
+    pos_out,
+    vel_out,
+    vb_scr,  # scratch (d, B·Pb)
+    yt_scr,  # scratch (d, B·Pb)
+    *,
+    dim: int,
+    num_blocks: int,
+    pb: int,
+    dt: float,
+    damping: float,
+    g_dir: Tuple[float, ...],
+    mu: float,
+    lam: float,
+    sim_count: int,
+    n_obstacles: int,
+):
+    """The explicit/autodiff substep loop (reference solver/explicit.py +
+    kinematic.py:14-45) as one device op: per substep, assemble the energy
+    gradient via the blocked tables, then the kinematic update with sticky
+    walls and sequential circle projections."""
+    from fem_tpu.ops.pallas_kernels import grad_cols_chain
+
+    d = dim
+    d2 = d * d
+    n_pad = pos_ref.shape[1]
+    minv = minv_ref[0:1, :]
+    import numpy as _np
+
+    decay = float(_np.float32(_np.exp(_np.float32(-dt * damping))))
+
+    def gradient(pos):
+        """Assembled +∂U/∂x (d, N) — the reference's particles.force."""
+        vb_scr[0:d, :] = _dot(pos, gall_ref[:, :], (((1,), (1,))))
+
+        def body(b, carry):
+            s = s_ref[b]
+            xb = vb_scr[0:d, pl.ds(b * pb, pb)]
+            st = _dot(xb, s, (((1,), (1,))))  # (d, R)
+            v = vol_ref[b][0:1, :]
+            pad = (v == 0.0).astype(jnp.float32)
+            rv = rv_ref[b]
+            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+            xp = _pad_x_rows(r_rows, d)
+            x_rows = [None] * d2
+            for j in range(d):
+                xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))
+                for i in range(d):
+                    x_rows[i * d + j] = (
+                        xj[i : i + 1, :] + pad * xp[i * d + j]
+                    )
+            h = grad_cols_chain(x_rows, r_rows, d, mu, lam)
+            tc = None
+            for j in range(d):
+                hj = jnp.concatenate(
+                    [v * h[c * d + j] for c in range(d)], axis=0
+                )
+                term = _dot(hj, pj_ref[j, :, :], (((1,), (1,))))
+                tc = term if tc is None else tc + term
+            yt_scr[0:d, pl.ds(b * pb, pb)] = _dot(tc, s, (((1,), (0,))))
+            return carry
+
+        jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
+        return _dot(yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))))
+
+    def kinematic(pos, vel, grad):
+        """Reference kinematic.py:14-45 on (d, N) planes."""
+        grow = jnp.concatenate(
+            [
+                jnp.full((1, n_pad), 9.8 * g_dir[i], jnp.float32)
+                for i in range(d)
+            ],
+            axis=0,
+        )
+        vel = vel + (grow - grad * minv) * dt
+        vel = vel * decay
+        vel = jnp.where((pos < 0.0) & (vel < 0.0), 0.0, vel)
+        vel = jnp.where((pos > 1.0) & (vel > 0.0), 0.0, vel)
+        for o in range(n_obstacles):
+            radius = rad_ref[0, o]
+            c_col = jnp.concatenate(
+                [
+                    jnp.full((1, n_pad), cent_ref[o, i], jnp.float32)
+                    for i in range(d)
+                ],
+                axis=0,
+            )
+            disp = pos - c_col
+            dist_sq = jnp.sum(disp * disp, axis=0, keepdims=True)
+            inside = dist_sq < radius * radius
+            toward = jnp.sum(vel * (-disp), axis=0, keepdims=True) > 0.0
+            hit = inside & toward & (radius > 0.0)
+            coeff = jnp.sum(vel * disp, axis=0, keepdims=True) / jnp.maximum(
+                dist_sq, 1e-30
+            )
+            vel = jnp.where(hit, vel - coeff * disp, vel)
+        return pos + vel * dt, vel
+
+    def substep(s, carry):
+        pos, vel = carry
+        grad = gradient(pos)
+        return kinematic(pos, vel, grad)
+
+    pos, vel = jax.lax.fori_loop(
+        0, sim_count, substep, (pos_ref[0:d, :], vel_ref[0:d, :])
+    )
+    for ref, val in ((pos_out, pos), (vel_out, vel)):
+        ref[0:d, :] = val
+        if d < ref.shape[0]:
+            ref[d:, :] = jnp.zeros_like(ref[d:, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dim", "dt", "damping", "g_dir", "mu", "s_lambda", "sim_count",
+    ),
+)
+def fused_explicit_frame(
+    blocking,
+    pos: jnp.ndarray,  # (N, d)
+    vel: jnp.ndarray,  # (N, d)
+    mass: jnp.ndarray,  # (N,)
+    centers: jnp.ndarray,  # (O, d)
+    radii: jnp.ndarray,  # (O,)
+    *,
+    dim: int,
+    dt: float,
+    damping: float,
+    g_dir: Tuple[float, ...],
+    mu: float,
+    s_lambda: float,
+    sim_count: int,
+):
+    """One explicit/autodiff rendered frame as one device op.
+    Returns (pos', vel')."""
+    d = dim
+    d2 = d * d
+    n = pos.shape[0]
+    b_cnt, eb = blocking.num_blocks, blocking.eb
+    r = eb * d
+    n_pad = _round_up(n, 128)
+    d_pad = 8
+    n_obst = int(radii.shape[0])
+
+    rv = blocking.ref_inv.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
+    vol = blocking.volume.reshape(b_cnt, 1, eb)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, eb), 0)
+    ee = jax.lax.broadcasted_iota(jnp.int32, (r, eb), 1)
+    pj = jnp.stack(
+        [(rr == ee * d + j).astype(jnp.bfloat16) for j in range(d)], axis=0
+    )
+
+    def planar(a):
+        return jnp.zeros((d_pad, n_pad), jnp.float32).at[:d, :n].set(a.T)
+
+    minv = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(1.0 / mass)
+
+    kernel = functools.partial(
+        _explicit_frame_kernel,
+        dim=d,
+        num_blocks=b_cnt,
+        pb=blocking.pb,
+        dt=dt,
+        damping=damping,
+        g_dir=tuple(g_dir),
+        mu=mu,
+        lam=s_lambda,
+        sim_count=int(sim_count),
+        n_obstacles=n_obst,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pos_p, vel_p = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        ),
+        in_specs=[vspec] * 8 + [sspec, sspec],
+        out_specs=(vspec, vspec),
+        scratch_shapes=[
+            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        blocking.s_dense, blocking.g_dense, rv, vol, pj,
+        planar(pos), planar(vel), minv,
+        centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
+    )
+    return pos_p[:d, :n].T, vel_p[:d, :n].T

@@ -98,18 +98,17 @@ def _mat2_T(m):
 
 # --- the fused kernel ------------------------------------------------------
 
-def _grad_cols_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
-    """One tile: read X, R⁻¹, V planes; write H = V·P(F)·R⁻ᵀ planes."""
+def grad_cols_chain(x, r, dim, mu, lam):
+    """Shared explicit-path gradient chain: H = P(F)·R⁻ᵀ with the
+    reference's UNclamped log (solver/explicit.py:23-49 — NaN for inverted
+    elements is parity).  Returns h UNscaled; callers apply +V.  Single
+    source of truth for the tiled element kernel and the whole-frame
+    explicit kernel (ops/pallas_blocked_frame.py)."""
     d2 = dim * dim
     if dim == 3:
         mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
     else:
         mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
-
-    x = [x_ref[i : i + 1, :] for i in range(d2)]
-    r = [r_ref[i : i + 1, :] for i in range(d2)]
-    v = v_ref[0:1, :]
-
     f = mul(x, r)  # deformation gradient
     det_f = det_fn(f)
     f_inv_t = t_fn(inv_fn(f, det_f))
@@ -117,7 +116,16 @@ def _grad_cols_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
     p = [
         mu * f[i] + (lam * log_j - mu) * f_inv_t[i] for i in range(d2)
     ]
-    h = mul(p, t_fn(r))  # P @ R⁻ᵀ
+    return mul(p, t_fn(r))  # P @ R⁻ᵀ
+
+
+def _grad_cols_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
+    """One tile: read X, R⁻¹, V planes; write H = V·P(F)·R⁻ᵀ planes."""
+    d2 = dim * dim
+    x = [x_ref[i : i + 1, :] for i in range(d2)]
+    r = [r_ref[i : i + 1, :] for i in range(d2)]
+    v = v_ref[0:1, :]
+    h = grad_cols_chain(x, r, dim, mu, lam)
     for i in range(d2):
         out_ref[i : i + 1, :] = v * h[i]
 

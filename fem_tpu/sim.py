@@ -156,6 +156,50 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     )
 
 
+def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
+    """Eligibility for the explicit/autodiff whole-frame kernel
+    (ops/pallas_blocked_frame.fused_explicit_frame): the neo-Hookean
+    gradient chain with the fused VMEM tables built."""
+    return (
+        obj.dim in (2, 3)
+        and (cfg.use_explicit_method or cfg.auto_diff)
+        and obj.material == "neo_hookean"
+        and cfg.element_backend in ("auto", "pallas")
+        and obj.blocking is not None
+        and obj.blocking.s_dense is not None
+    )
+
+
+def make_explicit_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
+    """Explicit/autodiff frame as ONE device op (analytic gradient chain —
+    mathematically identical to the autodiff path; ulp-level association
+    differences only)."""
+    from fem_tpu.ops.pallas_blocked_frame import fused_explicit_frame
+
+    @jax.jit
+    def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
+        pos, vel = fused_explicit_frame(
+            o.blocking, state.pos, state.vel, o.mass,
+            obstacles.centers, obstacles.radii,
+            dim=o.dim, dt=cfg.delta_time, damping=o.damping,
+            g_dir=tuple(cfg.g_dir), mu=o.mu, s_lambda=o.s_lambda,
+            sim_count=cfg.sim_count,
+        )
+        new_state = state.replace(
+            pos=pos, vel=vel, force=jnp.zeros_like(pos)
+        )
+        aux = StepAux(
+            jnp.zeros((cfg.sim_count,), jnp.int32),
+            jnp.zeros((cfg.sim_count,), jnp.float32),
+        )
+        return new_state, aux
+
+    def frame(state: SimState, obstacles: Obstacles):
+        return frame_impl(obj, state, obstacles)
+
+    return frame
+
+
 def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
     """Frame function backed by the whole-frame fused kernel — ONE device op
     per rendered frame (ops/pallas_blocked_frame.py)."""
@@ -219,6 +263,21 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
                 "is not eligible (see ops/pallas_blocked_frame.py)"
             )
         return make_blocked_frame_fn(obj, cfg)
+    if cfg.frame_backend == "blocked_explicit" or (
+        cfg.frame_backend == "auto"
+        and jax.default_backend() == "tpu"
+        and supports_explicit_blocked_frame(obj, cfg)
+    ):
+        if (
+            cfg.frame_backend == "blocked_explicit"
+            and not supports_explicit_blocked_frame(obj, cfg)
+        ):
+            raise ValueError(
+                "frame_backend='blocked_explicit' requested but this "
+                "config/mesh is not eligible (see "
+                "ops/pallas_blocked_frame.py)"
+            )
+        return make_explicit_blocked_frame_fn(obj, cfg)
     kwargs = _cfg_kwargs(cfg)
 
     @jax.jit

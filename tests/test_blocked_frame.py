@@ -13,7 +13,11 @@ import numpy as np
 import pytest
 
 from fem_tpu.models.state import Obstacles, build_object
-from fem_tpu.sim import make_frame_fn, supports_blocked_frame
+from fem_tpu.sim import (
+    make_frame_fn,
+    supports_blocked_frame,
+    supports_explicit_blocked_frame,
+)
 from fem_tpu.utils.config import BlockConfig, ObjectConfig, SimConfig
 from tests.test_blocked import _cube_mesh
 
@@ -164,4 +168,73 @@ def test_blocked_frame_robust_matches_op_composed():
     np.testing.assert_allclose(
         np.asarray(s_got.pos), np.asarray(s_ref.pos),
         rtol=0, atol=5e-5 * scale,
+    )
+
+
+@pytest.mark.parametrize("method", ["explicit", "autodiff"])
+def test_explicit_blocked_frame_matches_op_composed(method):
+    """Explicit/autodiff whole-frame kernel vs the op-composed frame.  The
+    kernel uses the analytic gradient chain for both dispatches — the
+    autodiff path's jax.grad computes the same formula up to association
+    order, so tolerances are slightly looser there."""
+    obj, state0, obstacles = _scene()
+    cfg_ops = _cfg(
+        use_explicit_method=(method == "explicit"),
+        auto_diff=(method == "autodiff"),
+        implicit_method=0, preconditioned=0,
+    )
+    cfg_fused = dataclasses.replace(
+        cfg_ops, frame_backend="blocked_explicit"
+    )
+    assert supports_explicit_blocked_frame(obj, cfg_fused)
+    assert not supports_blocked_frame(obj, cfg_fused)
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+    s_ref, s_got = state0, state0
+    for frame_i in range(6):
+        s_ref, _ = ref_frame(s_ref, obstacles)
+        s_got, _ = got_frame(s_got, obstacles)
+        scale = float(jnp.max(jnp.abs(s_ref.pos)))
+        np.testing.assert_allclose(
+            np.asarray(s_got.pos), np.asarray(s_ref.pos),
+            rtol=0, atol=1e-4 * scale,
+            err_msg=f"pos diverged at frame {frame_i} ({method})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.vel), np.asarray(s_ref.vel), atol=2e-3,
+        )
+
+
+def test_explicit_blocked_frame_2d():
+    from fem_tpu.models.mesh import construct_2d_mesh
+
+    cfg_o = ObjectConfig(
+        subdivisions=6, side_length=0.3, center=(0.35, 0.55),
+        rho=1000.0, E=4e4, nu=0.3, damping=10.0,
+    )
+    verts, faces, elems = construct_2d_mesh(cfg_o)
+    obj, state0 = build_object(cfg_o, verts, faces, elems)
+    obstacles = Obstacles.from_configs(
+        (BlockConfig(id=0, block_center=(0.5, 0.3), block_radius=0.12),),
+        dim=2,
+    )
+    cfg_ops = SimConfig(
+        dim=2, delta_time=5e-4, sim_count=4, use_explicit_method=False,
+        auto_diff=True, implicit_method=0, preconditioned=0,
+        g_dir=(0.0, -1.0),
+    )
+    cfg_fused = dataclasses.replace(
+        cfg_ops, frame_backend="blocked_explicit"
+    )
+    assert supports_explicit_blocked_frame(obj, cfg_fused)
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+    s_ref, s_got = state0, state0
+    for _ in range(8):
+        s_ref, _ = ref_frame(s_ref, obstacles)
+        s_got, _ = got_frame(s_got, obstacles)
+    scale = float(jnp.max(jnp.abs(s_ref.pos)))
+    np.testing.assert_allclose(
+        np.asarray(s_got.pos), np.asarray(s_ref.pos),
+        rtol=0, atol=1e-4 * scale,
     )
