@@ -268,3 +268,39 @@ def test_blocking_covers_every_element_once(blocked_obj):
     got_keys = sorted(map(tuple, got.tolist()))
     assert len(got_keys) == len(orig_keys) >= 1
     assert set(got_keys) == orig_keys
+
+
+def test_split_dot_exactness():
+    """The bf16 split-dot (pallas_blocked_cg._dot) must reconstruct the
+    exact f32 product against 0/±1 tables: the table side is exact in
+    bf16 and the 3 bf16 planes of the value side cover all 24 mantissa
+    bits.  Checked against float64 matmul to ~1 ulp f32."""
+    from fem_tpu.ops.pallas_blocked_cg import _dot
+
+    rng = np.random.default_rng(42)
+    # adversarial values: wide exponent range + sign mixes
+    a = (rng.standard_normal((8, 256)) *
+         10.0 ** rng.uniform(-6, 6, (8, 256))).astype(np.float32)
+    table = rng.choice(
+        np.array([-1.0, 0.0, 1.0], np.float32), size=(128, 256),
+        p=[0.05, 0.9, 0.05],
+    )
+    got = np.asarray(_dot(jnp.asarray(a), jnp.asarray(table),
+                          (((1,), (1,)))))
+    want = a.astype(np.float64) @ table.astype(np.float64).T
+    # f32 accumulation error bound: ulp error relative to the sum of
+    # absolute terms (cancellation is inherent to ANY f32 dot, including
+    # a HIGHEST-precision matmul — the split must add no loss beyond it).
+    mag = np.abs(a).astype(np.float64) @ np.abs(table).astype(np.float64).T
+    err = np.abs(got - want)
+    assert np.all(err <= mag * 2 ** -18 + 1e-30), float(
+        (err / np.maximum(mag, 1e-30)).max()
+    )
+    # and a well-conditioned case must be near-exact relative to the value
+    b2 = np.asarray(
+        _dot(jnp.asarray(np.abs(a)), jnp.asarray(np.abs(table)),
+             (((1,), (1,))))
+    )
+    want2 = np.abs(a).astype(np.float64) @ np.abs(table).astype(np.float64).T
+    rel = np.abs(b2 - want2) / np.maximum(want2, 1e-30)
+    assert float(rel.max()) < 2e-6, float(rel.max())
