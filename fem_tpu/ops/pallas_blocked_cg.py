@@ -61,7 +61,9 @@ def _round_up(x: int, m: int) -> int:
 def fused_tables_bytes(num_blocks: int, eb: int, pb: int, d: int, n: int) -> int:
     r = eb * d
     n_pad = _round_up(n, 128)
-    return 4 * num_blocks * (r * pb + pb * n_pad)
+    # Tables are stored in bf16 (0/±1 are exact; consumed by the exact
+    # split-dot), so 2 bytes per entry.
+    return 2 * num_blocks * (r * pb + pb * n_pad)
 
 
 def build_fused_tables(
