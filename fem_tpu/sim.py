@@ -227,13 +227,19 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
 
 def make_frame_fn(obj: FemObject, cfg: SimConfig):
     """Compiled function advancing one rendered frame (= ``sim_count``
-    substeps under lax.scan).  Returns (state, StepAux stacked over substeps).
+    substeps).  Returns (state, StepAux stacked over substeps).
 
-    With ``frame_backend="fused"`` the whole frame runs as ONE fused Pallas
-    kernel instead — identical semantics, one device op per frame
-    (ops/pallas_frame.py).  Parity-exact but measured 4.8× slower on this
-    backend (no Mosaic gather primitive → one-hot matmul gathers, see the
-    module docstring), so "auto" resolves to the op-composed path.
+    Backend resolution (``frame_backend``):
+      * ``"auto"`` on TPU — the whole-frame BLOCKED kernels when eligible
+        (ops/pallas_blocked_frame.py: implicit-CG or explicit/autodiff as
+        ONE device op per frame over VMEM-resident block tables; the
+        fastest measured paths); otherwise the op-composed ``lax.scan``
+        frame.
+      * ``"blocked"`` / ``"blocked_explicit"`` — force those kernels
+        (ValueError if ineligible); used by CPU interpret-mode tests.
+      * ``"fused"`` — the earlier UNblocked whole-frame kernel
+        (ops/pallas_frame.py): parity-exact but 4.8× slower (O(E·N)
+        one-hot gathers); kept as a documented alternative.
     """
     if cfg.frame_backend == "fused":
         from fem_tpu.ops.pallas_frame import (

@@ -103,12 +103,14 @@ class SimConfig:
     # deterministic parallel variant (extension): O(E) matrix-free per
     # iteration, typically needing more iterations per solve.
     jacobi_sweep: str = "serial"
-    # Frame execution: "auto"/"ops" run the lax.scan op-composed path;
-    # "fused" (opt-in) runs the whole frame (sim_count substeps of
-    # K-assembly → rhs → reference CG → implicit advection) as ONE fused
-    # Pallas kernel (ops/pallas_frame.py) — parity-exact, but measured 4.8×
-    # slower on this backend (no Mosaic gather primitive → one-hot matmul
-    # gathers), so it is never auto-selected.
+    # Frame execution: "auto" picks the whole-frame BLOCKED kernels on TPU
+    # when eligible (ops/pallas_blocked_frame.py — the entire rendered
+    # frame as ONE device op over VMEM-resident block tables; fastest
+    # measured), else the lax.scan op-composed path.  "blocked" /
+    # "blocked_explicit" force those kernels (interpret mode off-TPU);
+    # "fused" (opt-in) is the earlier UNblocked whole-frame kernel
+    # (ops/pallas_frame.py) — parity-exact but 4.8× slower (O(E·N)
+    # one-hot gathers), kept as a documented alternative.
     frame_backend: str = "auto"
     # Matrix-free operator execution: "auto" picks the MXU edge-matrix
     # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this
