@@ -66,7 +66,7 @@ def bench_tpu(cfg, obj, state, obstacles, n_frames=30, warm_frames=60):
         s, aux = frame_fn(s, obstacles)
     _ = np.asarray(s.pos)  # hard sync before starting the clock
     rates = []
-    for _ in range(3):  # median of 3 windows (the relay's latency is noisy)
+    for _ in range(5):  # median of 5 windows (the relay's latency is noisy)
         t0 = time.perf_counter()
         for _ in range(n_frames):
             s, aux = frame_fn(s, obstacles)
@@ -173,7 +173,11 @@ def main():
             time.sleep(5)
     else:
         raise last_err
-    base_steps_per_s = dense_cpu_baseline(cfg, obj, state)
+    # The CPU denominator shares the host with other processes; take the
+    # best of 3 (generous to the baseline -> conservative speedup).
+    base_steps_per_s = max(
+        dense_cpu_baseline(cfg, obj, state) for _ in range(3)
+    )
     result = {
         "metric": "3d_spot_implicit_pcg_steps_per_s",
         "value": round(tpu_steps_per_s, 2),
