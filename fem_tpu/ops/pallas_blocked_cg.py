@@ -97,7 +97,7 @@ def build_fused_tables(
     return s, g
 
 
-def _dot(a, b, contract):
+def _dot(a, b, contract, planes: int = 3):
     """EXACT f32 dot against a 0/±1 table, at bf16 single-pass speed ×3.
 
     Every dot in these kernels has a one-hot/±1 incidence table on one
@@ -109,14 +109,21 @@ def _dot(a, b, contract):
     this 3-pass form — the one-hot dots' MXU weight volume is the hot
     loop's entire cost (flagship 2,755 → ~6,900 steps/s at 1-pass; this
     exact form keeps most of that win).
+
+    ``planes=2`` is the opt-in ``cg_fast_math`` mode: 16 captured mantissa
+    bits (~8e-6 relative error) at 2/3 the weight traffic — used ONLY for
+    CG operator applications (never for positions/forces, whose edge
+    differences cancel catastrophically).
     """
     bb = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
     a1 = a.astype(jnp.bfloat16)
     r1 = a - a1.astype(jnp.float32)
     a2 = r1.astype(jnp.bfloat16)
-    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = [a1, a2]
+    if planes >= 3:
+        parts.append((r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16))
     acc = None
-    for ai in (a1, a2, a3):
+    for ai in parts:
         t = jax.lax.dot_general(
             ai, bb, (contract, ((), ())),
             preferred_element_type=jnp.float32,
@@ -127,7 +134,7 @@ def _dot(a, b, contract):
 
 def block_g_apply(
     kp_ref, s_ref, gall_ref, vb_scr, yt_scr, v, transpose_k, dim,
-    num_blocks, pb,
+    num_blocks, pb, planes=3,
 ):
     """Σ_b G_bᵀ·S_bᵀ·(K_b ∘ (S_b·G_b·v)) with VMEM-resident tables —
     shared by the whole-solve and whole-frame kernels (``kp_ref`` may be an
@@ -141,13 +148,13 @@ def block_g_apply(
     (d, B·Pb) scratch refs via 128-aligned dynamic lane slices (Mosaic
     lowers no dynamic_slice on *values*, only on refs)."""
     d = dim
-    vb_scr[0:d, :] = _dot(v, gall_ref[:, :], (((1,), (1,))))  # (d, B·Pb)
+    vb_scr[0:d, :] = _dot(v, gall_ref[:, :], (((1,), (1,))), planes)
 
     def body(b, carry):
         s = s_ref[b]  # (R, Pb)
         kp = kp_ref[b]  # (d², R)
         vb = vb_scr[0:d, pl.ds(b * pb, pb)]
-        st = _dot(vb, s, (((1,), (1,))))  # (d, R)
+        st = _dot(vb, s, (((1,), (1,))), planes)  # (d, R)
         rows = []
         for i in range(d):
             t_i = None
@@ -157,11 +164,15 @@ def block_g_apply(
                 t_i = term if t_i is None else t_i + term
             rows.append(t_i)
         t = jnp.stack(rows, 0)  # (d, R)
-        yt_scr[0:d, pl.ds(b * pb, pb)] = _dot(t, s, (((1,), (0,))))
+        yt_scr[0:d, pl.ds(b * pb, pb)] = _dot(
+            t, s, (((1,), (0,))), planes
+        )
         return carry
 
     jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
-    return _dot(yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))))  # (d, N)
+    return _dot(
+        yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))), planes
+    )  # (d, N)
 
 
 def reference_cg_core(operator, rhs, x0, max_iter, tol):
@@ -212,15 +223,17 @@ def _fused_cg_kernel(
     preconditioned: bool,
     max_iter: int,
     tol: float,
+    fast_math: bool = False,
 ):
     d = dim
     minv = minv_ref[0:1, :]
     vel = vel_ref[0:d, :]
+    cg_planes = 2 if fast_math else 3
 
     def g_apply(v, transpose_k):
         return block_g_apply(
             kp_ref, s_ref, gall_ref, vb_scr, yt_scr, v, transpose_k, d,
-            num_blocks, pb,
+            num_blocks, pb, cg_planes,
         )
 
     dt2 = dt * dt
@@ -261,7 +274,9 @@ def _fused_cg_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dim", "dt", "preconditioned", "max_iter", "tol"),
+    static_argnames=(
+        "dim", "dt", "preconditioned", "max_iter", "tol", "fast_math",
+    ),
 )
 def fused_blocked_cg_solve(
     blocking,  # ops.blocking.Blocking with fused tables attached
@@ -275,9 +290,12 @@ def fused_blocked_cg_solve(
     preconditioned: bool,
     max_iter: int = 500,
     tol: float = 1e-5,
+    fast_math: bool = False,
 ):
     """Returns (vel_next (N, d), iterations, residual) — the whole implicit
-    velocity solve (rhs assembly + reference CG) as one device op."""
+    velocity solve (rhs assembly + reference CG) as one device op.
+    ``fast_math`` applies 2-plane split-dots to the CG operator only
+    (extension, ~8e-6 relative operator error; rhs/forces stay exact)."""
     from fem_tpu.ops.blocking import make_kplane
 
     d = dim
@@ -305,6 +323,7 @@ def fused_blocked_cg_solve(
         preconditioned=preconditioned,
         max_iter=max_iter,
         tol=tol,
+        fast_math=fast_math,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     x_p, it, res = pl.pallas_call(

@@ -106,6 +106,7 @@ def _frame_kernel(
     tol: float,
     n_obstacles: int,
     robust: bool,
+    fast_math: bool,
 ):
     d = dim
     d2 = d * d
@@ -169,17 +170,19 @@ def _frame_kernel(
         f = prep(pos)
         b_vec = vel + dt * f * minv
 
+        cg_planes = 2 if fast_math else 3
+
         def apply_a(v):
             gx = block_g_apply(
                 kp_scr, s_ref, gall_ref, vb_scr, yt_scr, v, False, d,
-                num_blocks, pb,
+                num_blocks, pb, cg_planes,
             )
             return v - dt2 * gx * minv
 
         def apply_at(v):
             gz = block_g_apply(
                 kp_scr, s_ref, gall_ref, vb_scr, yt_scr, v * minv, True, d,
-                num_blocks, pb,
+                num_blocks, pb, cg_planes,
             )
             return v - dt2 * gz
 
@@ -279,6 +282,7 @@ def _frame_kernel(
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda",
         "preconditioned", "sim_count", "max_iter", "tol", "robust",
+        "fast_math",
     ),
 )
 def fused_blocked_frame(
@@ -301,6 +305,7 @@ def fused_blocked_frame(
     max_iter: int = 500,
     tol: float = 1e-5,
     robust: bool = False,
+    fast_math: bool = False,
 ):
     """One rendered frame (= ``sim_count`` implicit-CG substeps) as one
     device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))."""
@@ -348,6 +353,7 @@ def fused_blocked_frame(
         tol=tol,
         n_obstacles=n_obst,
         robust=robust,
+        fast_math=fast_math,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -215,6 +215,7 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
             preconditioned=cfg.preconditioned == 1,
             sim_count=cfg.sim_count,
             robust=cfg.robust_inversion,
+            fast_math=cfg.cg_fast_math,
         )
         new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
         return new_state, StepAux(iters, res)

@@ -112,6 +112,11 @@ class SimConfig:
     # (ops/pallas_frame.py) — parity-exact but 4.8× slower (O(E·N)
     # one-hot gathers), kept as a documented alternative.
     frame_backend: str = "auto"
+    # Extension: 2-plane split-dots for the CG operator application inside
+    # the fused kernels (~8e-6 relative operator error, ~1/3 less MXU
+    # weight traffic in the hot loop).  Positions/forces/rhs stay exact.
+    # Off by default — parity runs use exact 3-plane dots.
+    cg_fast_math: bool = False
     # Matrix-free operator execution: "auto" picks the MXU edge-matrix
     # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this
     # backend) when the dense S fits (small meshes, single chip), else the
@@ -184,6 +189,7 @@ def parse_config(data: dict) -> SimConfig:
         hessian=str(data.get("hessian", "reference")),
         jacobi_sweep=str(data.get("jacobi_sweep", "serial")),
         frame_backend=str(data.get("frame_backend", "auto")),
+        cg_fast_math=bool(data.get("cg_fast_math", False)),
         operator_mode=str(data.get("operator_mode", "auto")),
     )
 

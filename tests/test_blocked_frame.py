@@ -238,3 +238,23 @@ def test_explicit_blocked_frame_2d():
         np.asarray(s_got.pos), np.asarray(s_ref.pos),
         rtol=0, atol=1e-4 * scale,
     )
+
+
+def test_blocked_frame_fast_math_close():
+    """cg_fast_math (2-plane CG-operator dots, extension) tracks the exact
+    path closely — the operator error is ~8e-6 relative; positions stay
+    within loose tolerance and the solve still converges."""
+    obj, state0, obstacles = _scene()
+    cfg_exact = _cfg(frame_backend="blocked")
+    cfg_fast = dataclasses.replace(cfg_exact, cg_fast_math=True)
+    f_exact = make_frame_fn(obj, cfg_exact)
+    f_fast = make_frame_fn(obj, cfg_fast)
+    s_e, s_f = state0, state0
+    for _ in range(6):
+        s_e, aux_e = f_exact(s_e, obstacles)
+        s_f, aux_f = f_fast(s_f, obstacles)
+    scale = float(jnp.max(jnp.abs(s_e.pos)))
+    np.testing.assert_allclose(
+        np.asarray(s_f.pos), np.asarray(s_e.pos), rtol=0, atol=2e-3 * scale,
+    )
+    assert np.asarray(aux_f.solver_iterations).max() < 400  # converges
