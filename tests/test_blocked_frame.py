@@ -258,3 +258,23 @@ def test_blocked_frame_fast_math_close():
         np.asarray(s_f.pos), np.asarray(s_e.pos), rtol=0, atol=2e-3 * scale,
     )
     assert np.asarray(aux_f.solver_iterations).max() < 400  # converges
+
+
+def test_flagship_config_is_whole_frame_eligible():
+    """The bench/entry flagship (demo_spot.json mesh + config) must remain
+    eligible for the whole-frame kernel — a silent eligibility regression
+    would quietly drop the headline path back to op-composed."""
+    import os
+
+    from fem_tpu.models.mesh import load_object_mesh
+    from fem_tpu.utils.config import read_config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    obj_path = os.path.join(here, "assets", "spot.obj")
+    if not os.path.exists(obj_path):
+        pytest.skip("assets not generated")
+    cfg = read_config(os.path.join(here, "configs", "demo_spot.json"))
+    ocfg = dataclasses.replace(cfg.objects[0], obj=obj_path)
+    v, f, e, _ = load_object_mesh(ocfg)
+    obj, _state = build_object(ocfg, v, f, e)
+    assert supports_blocked_frame(obj, cfg)
