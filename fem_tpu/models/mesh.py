@@ -55,6 +55,47 @@ def construct_2d_mesh(cfg: ObjectConfig) -> Tuple[np.ndarray, np.ndarray, np.nda
     return vertices.astype(np.float32), faces, faces.copy()
 
 
+def construct_3d_grid_mesh(
+    cfg: ObjectConfig,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Structured 3D tet mesh: a ``subdivisions``³ cube of cells, each split
+    into 6 tets by the Kuhn/Freudenthal triangulation (conforming across
+    cells).  Extension beyond the reference (which builds only 2D grids,
+    object.py:95-126; its 3D meshes come from tetgen) — gives tests and the
+    multi-chip dry run a deterministic tet mesh at any scale with no
+    tetrahedralizer in the loop.
+
+    Returns (vertices (N,3) f32, surface faces (M,3) i32, tets (E,4) i32).
+    """
+    side = cfg.side_length
+    sub = cfg.subdivisions
+    n1 = sub + 1
+    g = np.linspace(0.0, side, n1)
+    # vertex id (i, j, k) -> i*n1² + j*n1 + k
+    vertices = (
+        np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1)
+        .reshape(-1, 3)
+        .astype(np.float32)
+    )
+    corner = np.arange(sub)
+    base = (
+        corner[:, None, None] * n1 * n1
+        + corner[None, :, None] * n1
+        + corner[None, None, :]
+    ).reshape(-1)  # (sub³,) cell-origin vertex ids
+    step = np.array([n1 * n1, n1, 1], np.int64)  # +x, +y, +z vertex strides
+    import itertools
+
+    tet_list = []
+    for perm in itertools.permutations(range(3)):
+        # Kuhn simplex for this axis order: v0, v0+e_a, v0+e_a+e_b, v0+e_a+e_b+e_c
+        offs = np.cumsum([0, step[perm[0]], step[perm[1]], step[perm[2]]])
+        tet_list.append(base[:, None] + offs[None, :])
+    tets = np.concatenate(tet_list, axis=0).astype(np.int64)
+    surface, _ = extract_surface(vertices.astype(np.float64), tets)
+    return vertices, surface.astype(np.int32), tets.astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Native OBJ / STL readers (replacing trimesh/pyvista ingestion)
 # ---------------------------------------------------------------------------

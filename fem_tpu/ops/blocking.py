@@ -23,8 +23,11 @@ apply vs 5.36 ms for the graph operator (8.6×), parity 8e-8.
 
 Semantics are exactly the reference's decoupled-block system (reference
 solver/implicit.py:141-194, see ops/element.hessian_blocks); this is a pure
-execution-strategy change, selected via ``operator_mode="blocked"`` (auto for
-large single-chip meshes).
+execution-strategy change.  ``operator_mode="auto"`` prefers this operator
+for every CG solve (build_object attaches a Blocking to every mesh), both
+single-chip and sharded — under ``shard_map`` whole blocks partition across
+the device axis and one psum per apply completes the particle-space
+reduction (fem_tpu.parallel.sharding).
 """
 
 from __future__ import annotations
@@ -298,17 +301,25 @@ def blocked_gather(x: jnp.ndarray, blocking: Blocking) -> jnp.ndarray:
 
 
 def blocked_scatter_sum(
-    yt: jnp.ndarray, blocking: Blocking, num_particles: int
+    yt: jnp.ndarray,
+    blocking: Blocking,
+    num_particles: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """(B, d, Pb) block partials → (N, d) via segment-sum over the block→
     global particle map (halo contributions add; padded slots add 0 to
-    particle 0)."""
+    particle 0).  Under ``shard_map`` with blocks sharded over ``axis_name``
+    the local partials ``psum``-reduce over ICI — the multi-chip form of the
+    reference's atomic scatter (SURVEY §5)."""
     d = yt.shape[1]
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         jnp.transpose(yt, (0, 2, 1)).reshape(-1, d),
         blocking.block_particles.reshape(-1),
         num_segments=num_particles,
     )
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def blocked_graph_apply(
@@ -318,11 +329,14 @@ def blocked_graph_apply(
     num_particles: int,
     dim: int,
     transpose_k: bool = False,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """G(K)·x (graph_block_apply semantics) through the blocked MXU path."""
+    """G(K)·x (graph_block_apply semantics) through the blocked MXU path.
+    With ``axis_name``, ``blocking`` holds this shard's blocks and the result
+    is psum-reduced to the full replicated (N, d) product."""
     xbt = blocked_gather(x, blocking)
     yt = _blocked_matvec_call(blocking, kplane, xbt, dim, transpose_k)
-    return blocked_scatter_sum(yt, blocking, num_particles)
+    return blocked_scatter_sum(yt, blocking, num_particles, axis_name)
 
 
 def blocked_assemble(
@@ -330,6 +344,7 @@ def blocked_assemble(
     cols_flat: jnp.ndarray,
     num_particles: int,
     dim: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Assembly of per-element columns (B·Eb, d, d) → (N, d), the blocked
     equivalent of ``assemble_for(obj, element_contrib_full(cols))``: local
@@ -343,4 +358,47 @@ def blocked_assemble(
         .reshape(b, dim, eb * dim)
     )
     yt = _blocked_scatter_call(blocking, t, dim)
-    return blocked_scatter_sum(yt, blocking, num_particles)
+    return blocked_scatter_sum(yt, blocking, num_particles, axis_name)
+
+
+def pad_blocking(blocking: Blocking, multiple: int) -> Blocking:
+    """Pad the block count to a multiple of ``multiple`` so blocks shard
+    evenly across a device mesh axis (fem_tpu.parallel.sharding).
+
+    Padded blocks are *empty*: ``plus == minus == 0`` makes every S row
+    exactly zero, ``volume == 0`` zeroes all element contributions, their
+    element slots replicate element 0 (finite geometry — same padding
+    convention as :class:`Blocking` itself), and ``block_particles == 0``
+    scatter-adds exact zeros to particle 0.  The dense fused tables are
+    dropped — the whole-solve/whole-frame kernels are single-chip paths.
+    """
+    b = blocking.num_blocks
+    target = ((b + multiple - 1) // multiple) * multiple
+    pad = target - b
+    if pad == 0:
+        return blocking.replace(s_dense=None, g_dense=None)
+    eb, r = blocking.eb, blocking.plus.shape[1]
+
+    def pad0(x, rows):
+        return jnp.concatenate(
+            [x, jnp.zeros((rows,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    return blocking.replace(
+        block_particles=pad0(blocking.block_particles, pad),
+        plus=pad0(blocking.plus, pad),
+        minus=pad0(blocking.minus, pad),
+        element_indices=jnp.concatenate(
+            [
+                blocking.element_indices,
+                jnp.tile(blocking.element_indices[:1], (pad * eb, 1)),
+            ]
+        ),
+        ref_inv=jnp.concatenate(
+            [blocking.ref_inv, jnp.tile(blocking.ref_inv[:1], (pad * eb, 1, 1))]
+        ),
+        volume=pad0(blocking.volume, pad * eb),
+        s_dense=None,
+        g_dense=None,
+        num_blocks=target,
+    )

@@ -13,8 +13,15 @@ from fem_tpu.parallel.sharding import (
     make_sharded_substep_fn,
     pad_elements,
 )
+from fem_tpu.models.state import Obstacles
 from fem_tpu.sim import make_frame_fn, make_substep_fn
-from tests.utils import default_obstacles, default_sim_config, make_2d_object
+from tests.utils import (
+    default_obstacles,
+    default_sim_config,
+    default_sim_config_3d,
+    make_2d_object,
+    make_3d_object,
+)
 
 
 def test_eight_fake_devices_available():
@@ -102,6 +109,93 @@ def test_2d_mesh_batch_by_elements():
         np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
     )
     assert aux1.solver_iterations.shape == (4, 2)
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(auto_diff=False, use_explicit_method=True),
+        dict(auto_diff=True, use_explicit_method=True),
+        dict(auto_diff=False, use_explicit_method=False, implicit_method=1,
+             preconditioned=1),
+        dict(auto_diff=False, use_explicit_method=False, implicit_method=1,
+             preconditioned=0),
+        dict(auto_diff=False, use_explicit_method=False, implicit_method=0),
+    ],
+    ids=["explicit", "autodiff", "cg-precond", "cg-plain", "jacobi"],
+)
+def test_sharded_3d_tet_substep_matches_single_device(overrides):
+    """3D tet mesh under shard_map (SURVEY §5 'meshes that exceed one chip'
+    are exactly the 3D ones): every method variant must match the
+    single-device path.  The CG variants run the block-sharded MXU operator
+    (locality blocks partitioned whole across devices, ops/blocking.py)."""
+    cfg_all = default_sim_config_3d(sim_count=2, **overrides)
+    _, obj, state = make_3d_object(subdivisions=3)
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+
+    # Non-rest start so forces / CG iterations are non-trivial.
+    rng = np.random.default_rng(3)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.2, size=state.pos.shape).astype(np.float32)
+        )
+    )
+
+    single = make_substep_fn(obj, cfg_all)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+
+    s1, aux1 = single(state, obstacles)
+    s2, aux2 = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_3d_blocked_operator_is_used():
+    """The sharded implicit-CG path must keep the blocked tables (VERDICT r2:
+    parallel/sharding previously dropped them, falling back to the measured-
+    8.6x-slower graph operator)."""
+    from fem_tpu.parallel.sharding import _sharded_blocking
+
+    cfg_all = default_sim_config_3d(implicit_method=1, preconditioned=1)
+    _, obj, state = make_3d_object(subdivisions=4)
+    blk, spec, local_blocks = _sharded_blocking(obj, cfg_all, 8)
+    assert blk is not None
+    assert blk.num_blocks % 8 == 0
+    assert local_blocks == blk.num_blocks // 8
+    # Fused single-chip VMEM tables must be dropped from the sharded copy.
+    assert blk.s_dense is None and blk.g_dense is None
+    # Explicit configs do not carry blocked tables.
+    cfg_exp = default_sim_config_3d(use_explicit_method=True)
+    blk2, _, _ = _sharded_blocking(obj, cfg_exp, 8)
+    assert blk2 is None
+
+
+def test_sharded_3d_tet_frame_matches_single_device_cg():
+    """Whole-frame (lax.scan over substeps) sharded parity on a 3D tet mesh
+    through multiple substeps of preconditioned CG."""
+    cfg_all = default_sim_config_3d(
+        implicit_method=1, preconditioned=1, sim_count=3
+    )
+    _, obj, state = make_3d_object(subdivisions=3)
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+
+    rng = np.random.default_rng(7)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.2, size=state.pos.shape).astype(np.float32)
+        )
+    )
+    s1, _ = make_frame_fn(obj, cfg_all)(state, obstacles)
+    s2, _ = make_sharded_frame_fn(obj, cfg_all, mesh)(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_sharded_frame_matches_single_device_explicit():

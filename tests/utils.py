@@ -70,3 +70,51 @@ def default_obstacles(dim=2):
         ),
         dim,
     )
+
+
+def make_3d_object(subdivisions=4, side_length=0.2, center=(0.4, 0.6, 0.4),
+                   **mat):
+    """Structured 3D tet-grid body (construct_3d_grid_mesh — 6·sub³ tets)."""
+    from fem_tpu.models.mesh import construct_3d_grid_mesh
+
+    cfg = ObjectConfig(
+        center=center, side_length=side_length, subdivisions=subdivisions,
+        **mat
+    )
+    vertices, faces, elements = construct_3d_grid_mesh(cfg)
+    obj, state = build_object(cfg, vertices, faces, elements)
+    return cfg, obj, state
+
+
+def default_sim_config_3d(**overrides):
+    """3D counterpart of default_sim_config (demo_3d.json semantics: no
+    obstacle blocks, gravity -y)."""
+    base = dict(
+        dim=3,
+        delta_time=5e-4,
+        sim_count=10,
+        auto_diff=False,
+        use_explicit_method=False,
+        implicit_method=1,
+        preconditioned=1,
+        g_dir=(0.0, -1.0, 0.0),
+        objects=(ObjectConfig(center=(0.4, 0.6, 0.4)),),
+        blocks=(),
+    )
+    base.update(overrides)
+    return SimConfig(**base)
+
+
+def attach_edge_matrix(obj):
+    """Attach the dense MXU edge matrix (built on demand since build_object
+    only constructs it when operator_mode="mxu" is forced)."""
+    import jax.numpy as jnp
+
+    from fem_tpu.solvers.implicit import build_edge_matrix
+
+    return obj.replace(
+        edge_matrix=jnp.asarray(
+            build_edge_matrix(np.asarray(obj.element_indices),
+                              obj.particle_cnt)
+        )
+    )
