@@ -58,6 +58,13 @@ class FemObject:
     # (ops/blocking.py) — attached at build time for large 3D meshes where
     # the dense edge matrix would not fit, None otherwise.
     blocking: "Blocking" = None
+    # Block-sparse row plan for the serial Gauss–Seidel-style Jacobi sweep
+    # (ops/assembly.py::build_jacobi_plan): per-particle neighbor slots +
+    # per-element contribution scatter — lets the parity sweep run O(E)
+    # instead of materializing the reference's dense (N·d, N·d) system.
+    jacobi_nb: jnp.ndarray = None  # (N, max_nb) int32
+    jacobi_slots: jnp.ndarray = None  # (E, 4d) int32 flat (N·max_nb) indices
+    jacobi_coeff: jnp.ndarray = None  # (E, 4d) float32 ±1
     # --- static metadata ---
     # "gather" (default, single-chip) or "segment" (used under shard_map
     # where each shard owns an element slice and psum-reduces).
@@ -128,10 +135,16 @@ def build_object(
     vertices: np.ndarray,
     faces: np.ndarray,
     element_indices: np.ndarray,
+    operator_mode: str = "auto",
 ) -> Tuple[FemObject, SimState]:
     """Assemble a :class:`FemObject` + initial :class:`SimState` from mesh
     arrays (reference: Object.__init__ + particles_init, object.py:44-93,
-    337-343: ``pos = vertices + center``)."""
+    337-343: ``pos = vertices + center``).
+
+    ``operator_mode`` mirrors ``SimConfig.operator_mode``: the dense edge
+    matrix (O(E·d·N) HBM) is built only when ``"mxu"`` is explicitly forced —
+    "auto" always prefers the blocked operator, leaving the matrix dead
+    weight otherwise."""
     from fem_tpu.ops.assembly import build_gather_plan
     from fem_tpu.solvers.implicit import build_edge_matrix
 
@@ -140,6 +153,7 @@ def build_object(
     ref_inv, volume, mass = init_element_data(pos, element_indices, cfg.rho)
     n = pos.shape[0]
     small_mesh = element_indices.shape[0] * d * n <= 16_000_000
+    want_mxu = operator_mode == "mxu"
     # Blocked MXU operator (ops/blocking.py): measured fastest implicit
     # apply at EVERY 3D size tried (2,776 vs 922 steps/s on the 4k-tet
     # flagship vs the mxu mode; 7.3× vs graph at 68k tets) — built for
@@ -149,6 +163,9 @@ def build_object(
     from fem_tpu.ops.blocking import build_blocking
 
     blocking = build_blocking(element_indices, ref_inv, volume, pos)
+    from fem_tpu.ops.assembly import build_jacobi_plan
+
+    jac_nb, jac_slots, jac_coeff = build_jacobi_plan(element_indices, n)
     obj = FemObject(
         element_indices=jnp.asarray(element_indices.astype(np.int32)),
         ref_inv=jnp.asarray(ref_inv),
@@ -158,15 +175,17 @@ def build_object(
         faces=jnp.asarray(faces.astype(np.int32)),
         gather_idx=jnp.asarray(build_gather_plan(element_indices, n)),
         # Gate: S costs E·d·N f32 in HBM and 2 reads per operator apply;
-        # measured on TPU v5e the MXU mode still wins at 10.8M entries
-        # (43 MB, 1386 vs 1049 steps/s on the flagship frame) — the
-        # crossover to bandwidth-bound is above 16M entries (64 MB).
+        # viable below 16M entries (64 MB) and only built when the mxu
+        # mode is explicitly requested (the auto path runs blocked).
         edge_matrix=(
             jnp.asarray(build_edge_matrix(element_indices, n))
-            if small_mesh
+            if (want_mxu and small_mesh)
             else None
         ),
         blocking=blocking,
+        jacobi_nb=jnp.asarray(jac_nb),
+        jacobi_slots=jnp.asarray(jac_slots),
+        jacobi_coeff=jnp.asarray(jac_coeff),
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

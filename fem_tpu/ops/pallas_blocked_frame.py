@@ -29,10 +29,12 @@ incidence S_b and gather one-hot G_b (see ops/pallas_blocked_cg.py):
     (d, N) planes with the obstacle loop statically unrolled.
 
 An earlier whole-frame kernel over the *unblocked* element arrays
-(ops/pallas_frame.py) lost 4.8× to one-hot gathers at (E, N) scale; the
+(experiments/pallas_frame.py) lost 4.8× to one-hot gathers at (E, N) scale; the
 block tables are what make this one win.  Eligibility: the fused tables
-fit VMEM (ops/pallas_blocked_cg.FUSED_MAX_BYTES), 3D, CG, non-robust —
-selected by ``frame_backend="auto"`` on TPU via sim.make_frame_fn.
+fit VMEM (ops/pallas_blocked_cg.FUSED_MAX_BYTES), 2D or 3D, CG;
+``robust_inversion`` is supported in-kernel via the shared
+``k_and_h_chain`` robust flag — selected by ``frame_backend="auto"`` on
+TPU via sim.make_frame_fn.
 """
 
 from __future__ import annotations

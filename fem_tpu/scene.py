@@ -33,7 +33,10 @@ def load_scene(
         vertices, faces, elements, aux = load_object_mesh(
             ocfg, interior_spacing
         )
-        obj, state = build_object(ocfg, vertices, faces, elements)
+        obj, state = build_object(
+            ocfg, vertices, faces, elements,
+            operator_mode=cfg.operator_mode,
+        )
         print(f"Vertex count: {obj.particle_cnt}")  # parity: object.py:75-77
         print(f"Mesh count: {obj.mesh_cnt}")
         print(f"Element count: {obj.element_cnt}")

@@ -109,7 +109,7 @@ class SimConfig:
     # measured), else the lax.scan op-composed path.  "blocked" /
     # "blocked_explicit" force those kernels (interpret mode off-TPU);
     # "fused" (opt-in) is the earlier UNblocked whole-frame kernel
-    # (ops/pallas_frame.py) — parity-exact but 4.8× slower (O(E·N)
+    # (experiments/pallas_frame.py) — parity-exact but 4.8× slower (O(E·N)
     # one-hot gathers), kept as a documented alternative.
     frame_backend: str = "auto"
     # Extension: 2-plane split-dots for the CG operator application inside
@@ -117,14 +117,17 @@ class SimConfig:
     # weight traffic in the hot loop).  Positions/forces/rhs stay exact.
     # Off by default — parity runs use exact 3-plane dots.
     cg_fast_math: bool = False
-    # Matrix-free operator execution: "auto" picks the MXU edge-matrix
-    # formulation Sᵀ(K∘(Sx)) (3 ops per apply, measured 1.46x on this
-    # backend) when the dense S fits (small meshes, single chip), else the
-    # block-partitioned MXU operator (ops/blocking.py — in-VMEM one-hot
-    # incidence per locality block, measured 8.6× over the graph chain at
-    # 68k tets) when a blocking is attached (large 3D meshes, CG only),
-    # else the gather/einsum/assembly graph chain; "graph"/"mxu"/"blocked"
-    # force one.
+    # Matrix-free operator execution: "auto" prefers the block-partitioned
+    # MXU operator (ops/blocking.py — in-VMEM one-hot incidence per
+    # locality block, measured 8.6× over the graph chain at 68k tets;
+    # build_object attaches a Blocking to every mesh) for CG solves, both
+    # single-chip and sharded (whole blocks partitioned across devices,
+    # one psum per apply); the gather/einsum/assembly graph chain serves
+    # Jacobi and as the forced-"graph" fallback.  "mxu" forces the dense
+    # edge-matrix formulation Sᵀ(K∘(Sx)) (only reachable when forced —
+    # build_object constructs the O(E·d·N) S matrix just for that mode);
+    # "blocked" forces blocked; "fused" forces the whole-solve VMEM kernel
+    # (ops/pallas_blocked_cg.py, single-chip).
     operator_mode: str = "auto"
 
     def __post_init__(self):

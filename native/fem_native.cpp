@@ -232,7 +232,13 @@ void ray_parity_inside(const double *points, int64_t num_points,
             const int64_t f = bin[s];
             const double *b4 = &bb[4 * f];
             if (px < b4[0] || px > b4[1] || py < b4[2] || py > b4[3]) continue;
-            if (!(fzmax[f] > pz)) continue;  // ray is +z; face fully below
+            // Ray is +z; a face whose max z is not above pz cannot be hit.
+            // INTENTIONAL DEVIATION from the numpy fallback: numpy evaluates
+            // the barycentric z_hit for such faces too, and in a measure-zero
+            // rounding case z_hit could land just above pz while
+            // fzmax <= pz.  The mesher's generic pre-rotation keeps query
+            // points off such degeneracies; accepted for the ~6x cull win.
+            if (!(fzmax[f] > pz)) continue;
             const double *t = &fx[9 * f];
             const double x0 = t[0], y0 = t[1], z0 = t[2];
             const double x1 = t[3], y1 = t[4], z1 = t[5];

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from fem_tpu.ops.element import hessian_blocks
-from fem_tpu.ops.pallas_cg import cg_solve_pallas
+from fem_tpu.experiments.pallas_cg import cg_solve_pallas
 from fem_tpu.solvers.implicit import implicit_rhs, implicit_velocity_solve
 from tests.test_implicit import _perturbed
 from tests.utils import make_2d_object, two_tet_object
@@ -20,7 +20,10 @@ DT = 5e-4
     ids=["2d", "3d"],
 )
 def test_pallas_cg_matches_reference_solver(maker, scale, precond):
+    from tests.utils import attach_edge_matrix
+
     cfg, obj, state = maker()
+    obj = attach_edge_matrix(obj)
     state = _perturbed(state, scale)
     K = hessian_blocks(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
