@@ -93,6 +93,49 @@ def build_gather_plan(element_indices, num_particles: int):
     return plan.astype(np.int32)
 
 
+def build_jacobi_plan(element_indices, num_particles: int):
+    """Precompute the block-sparse row structure of the implicit system for
+    the serial Gauss–Seidel-style Jacobi sweep (solvers/implicit.py::
+    jacobi_solve_serial_sparse) — O(E) memory instead of the dense
+    (N·d, N·d) matrix the reference materializes (object.py:82-92).
+
+    Each element e (vertices v0, v1..vd) contributes its block K_e to 4·d
+    (row, col) pairs of the assembled graph Laplacian (reference scatter,
+    solver/implicit.py:151-181): (vi, vi, +), (vi, v0, −), (v0, vi, −),
+    (v0, v0, +) for each local i.  Unique pairs become per-row neighbor
+    slots ordered by ascending column id.
+
+    Returns (nb_ids (N, max_nb) int32 — neighbor particle id per slot,
+    padded with −1 (padded slots carry all-zero blocks; the clamped gather
+    they cause is multiplied by those zeros); slot_ids (E, 4d) int32 — flat
+    index into (N·max_nb) per contribution; coeff (E, 4d) float32 — ±1 per
+    contribution).  Host-side numpy, runs once at load.
+    """
+    import numpy as np
+
+    idx = np.asarray(element_indices, np.int64)
+    e_cnt, dp1 = idx.shape
+    d = dp1 - 1
+    v0 = np.repeat(idx[:, 0:1], d, axis=1)  # (E, d)
+    vi = idx[:, 1:]  # (E, d)
+    rows = np.concatenate([vi, vi, v0, v0], axis=1)  # (E, 4d)
+    cols = np.concatenate([vi, v0, vi, v0], axis=1)
+    ones = np.ones((e_cnt, d), np.float32)
+    coeff = np.concatenate([ones, -ones, -ones, ones], axis=1)
+    pairs = rows * np.int64(num_particles) + cols
+    uniq = np.unique(pairs)
+    urows = uniq // num_particles
+    counts = np.bincount(urows, minlength=num_particles)
+    max_nb = int(counts.max()) if counts.size else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(uniq.size) - starts[urows]
+    nb_ids = np.full((num_particles, max_nb), -1, np.int64)
+    nb_ids[urows, rank] = uniq % num_particles
+    pos = np.searchsorted(uniq, pairs.reshape(-1))
+    slot_ids = (urows[pos] * max_nb + rank[pos]).reshape(e_cnt, 4 * d)
+    return nb_ids.astype(np.int32), slot_ids.astype(np.int32), coeff
+
+
 def gather_assemble(
     contrib: jnp.ndarray, gather_idx: jnp.ndarray
 ) -> jnp.ndarray:

@@ -161,24 +161,33 @@ def make_mxu_system_apply(
 
 
 def make_blocked_system_apply(
-    obj: FemObject, k_flat: jnp.ndarray, dt: float
+    obj: FemObject, k_flat: jnp.ndarray, dt: float,
+    axis_name: str | None = None,
 ):
     """(apply_a, apply_at) through the block-partitioned MXU operator
     (ops/blocking.py) — ``k_flat`` is (B·Eb, d, d) in *block order* (i.e.
     computed on ``obj.blocking.element_indices``).  Same arithmetic as
-    :func:`make_system_apply`; measured 8.6× faster per apply at 68k tets."""
+    :func:`make_system_apply`; measured 8.6× faster per apply at 68k tets.
+
+    Under ``shard_map`` (``axis_name``) ``obj.blocking`` holds this shard's
+    locality blocks: each shard runs its S_b/K_b MXU dots locally and one
+    psum over the (N·d) particle space completes the product — the blocked
+    operator is first-class multi-chip, not a graph-operator fallback."""
     from fem_tpu.ops.blocking import blocked_graph_apply, make_kplane
 
     blk, d, n = obj.blocking, obj.dim, obj.particle_cnt
     kplane = make_kplane(blk, k_flat, d)
 
     def apply_a(x):
-        gx = blocked_graph_apply(blk, kplane, x, n, d, transpose_k=False)
+        gx = blocked_graph_apply(
+            blk, kplane, x, n, d, transpose_k=False, axis_name=axis_name
+        )
         return x - (dt * dt) * gx / obj.mass[:, None]
 
     def apply_at(y):
         gz = blocked_graph_apply(
-            blk, kplane, y / obj.mass[:, None], n, d, transpose_k=True
+            blk, kplane, y / obj.mass[:, None], n, d, transpose_k=True,
+            axis_name=axis_name,
         )
         return y - (dt * dt) * gz
 
@@ -417,6 +426,89 @@ def jacobi_solve_serial(
     return _jacobi_outer_loop(once, error, b, past_x, tol, max_iter)
 
 
+def sparse_system_rows(
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+) -> jnp.ndarray:
+    """Block-sparse rows of A = I − dt²M⁻¹K over the precomputed neighbor
+    slots (ops/assembly.py::build_jacobi_plan) — the O(E) replacement for
+    ``dense.assemble_dense_system`` in the serial Jacobi sweep.
+
+    Returns (N, max_nb, d, d): slot k of row i holds the block
+    A[i, nb_ids[i, k]] (zero on padded slots).  Under sharding each shard
+    scatters its elements' K into the global-static slot layout and a psum
+    completes the rows.
+    """
+    d, n = obj.dim, obj.particle_cnt
+    max_nb = obj.jacobi_nb.shape[1]
+    vals = K[:, None, :, :] * obj.jacobi_coeff[..., None, None]  # (E,4d,d,d)
+    acc = jax.ops.segment_sum(
+        vals.reshape(-1, d * d),
+        obj.jacobi_slots.reshape(-1),
+        num_segments=n * max_nb,
+    )
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
+    acc = acc.reshape(n, max_nb, d, d)
+    a = -(dt * dt) * acc / obj.mass[:, None, None, None]
+    # Padded slots carry nb_id −1, so the self test is exact for every row.
+    self_slot = (
+        obj.jacobi_nb == jnp.arange(n, dtype=obj.jacobi_nb.dtype)[:, None]
+    )
+    eye = jnp.eye(d, dtype=a.dtype)
+    return a + self_slot[..., None, None] * eye[None, None]
+
+
+def jacobi_solve_serial_sparse(
+    nb_ids: jnp.ndarray,  # (N, max_nb) int32 neighbor ids
+    blocks: jnp.ndarray,  # (N, max_nb, d, d) rows of A (sparse_system_rows)
+    b: jnp.ndarray,  # (N, d)
+    past_x: jnp.ndarray,  # (N, d)
+    omega: float = 0.75,
+    tol: float = 1e-5,
+    max_iter: int = 20000,
+) -> JacobiResult:
+    """Serial Gauss–Seidel-style weighted sweep over block-sparse rows —
+    identical sweep semantics to :func:`jacobi_solve_serial` (row i reads
+    values already updated this sweep for j < i, full old x_i in the row
+    residual, scalar diagonal added back, ω anchored on ``past_vec_x``;
+    reference implicit.py:391-404 serialization analysis in PARITY.md) at
+    O(E) per sweep instead of the dense O(N²·d²) row scan.  Summation runs
+    over neighbor slots in ascending column order; agreement with the dense
+    sweep is float-roundoff-level, pinned by test_implicit."""
+    n, d = b.shape
+    hp = jax.lax.Precision.HIGHEST
+    self_slot = nb_ids == jnp.arange(n, dtype=nb_ids.dtype)[:, None]
+    diag_blocks = jnp.sum(
+        jnp.where(self_slot[..., None, None], blocks, 0.0), axis=1
+    )  # (N, d, d) — see sparse_system_rows for why row 0's padding is safe
+    diag_kk = jnp.diagonal(diag_blocks, axis1=-2, axis2=-1)  # (N, d)
+    safe = jnp.abs(diag_kk) >= 1e-6
+    safe_diag = jnp.where(safe, diag_kk, 1.0)
+    row_ids = jnp.arange(n)
+
+    def once(x, past):
+        def row(xc, inp):
+            i, nb_i, bl_i, b_i, dg_i, sf_i, sd_i, past_i = inp
+            xn = xc[nb_i]  # (max_nb, d) current iterate incl. j<i updates
+            ax = jnp.einsum("kij,kj->i", bl_i, xn, precision=hp)
+            num = b_i - ax + dg_i * xc[i]
+            upd = omega * num / sd_i + (1.0 - omega) * past_i
+            return xc.at[i].set(jnp.where(sf_i, upd, 0.0)), None
+
+        x1, _ = jax.lax.scan(
+            row, x,
+            (row_ids, nb_ids, blocks, b, diag_kk, safe, safe_diag, past),
+        )
+        return x1
+
+    def error(x):
+        ax = jnp.einsum("nkij,nkj->ni", blocks, x[nb_ids], precision=hp)
+        r = b - ax
+        return jnp.sqrt(jnp.sum(r * r))
+
+    return _jacobi_outer_loop(once, error, b, past_x, tol, max_iter)
+
+
 # ---------------------------------------------------------------------------
 # Top-level implicit solve (implicit_solver_neo_hookean, implicit.py:201-223)
 # ---------------------------------------------------------------------------
@@ -497,7 +589,6 @@ def implicit_velocity_solve(
         )
     use_blocked = (
         operator_mode in ("blocked", "fused", "auto")
-        and axis_name is None
         and obj.blocking is not None
         and method == CONJUGATE_GRADIENT_METHOD
     )
@@ -525,6 +616,7 @@ def implicit_velocity_solve(
             )
         use_fused = (
             blk.s_dense is not None
+            and axis_name is None
             and operator_mode in ("fused", "auto")
             and (operator_mode == "fused" or jax.default_backend() == "tpu")
         )
@@ -541,9 +633,13 @@ def implicit_velocity_solve(
             return state.replace(vel=vel_new), ImplicitAux(iters, residual)
         from fem_tpu.ops.blocking import blocked_assemble
 
-        f = blocked_assemble(blk, cols_flat, obj.particle_cnt, obj.dim)
+        f = blocked_assemble(
+            blk, cols_flat, obj.particle_cnt, obj.dim, axis_name
+        )
         b = state.vel + dt * f / obj.mass[:, None]
-        apply_a, apply_at = make_blocked_system_apply(obj, k_flat, dt)
+        apply_a, apply_at = make_blocked_system_apply(
+            obj, k_flat, dt, axis_name
+        )
         if preconditioned == 1:
             operator = lambda v: apply_at(apply_a(v))
             rhs = apply_at(b)
@@ -586,13 +682,20 @@ def implicit_velocity_solve(
 
     if method == JACOBI_METHOD:
         if jacobi_sweep == "serial":
-            # Parity default: the serial Gauss–Seidel-style sweep needs the
-            # materialized rows; under sharding the per-shard partial grids
-            # psum to the full system inside assemble_dense_system.
-            from fem_tpu.solvers.dense import assemble_dense_system
+            # Parity default: serial Gauss–Seidel-style sweep.  Runs over
+            # block-sparse neighbor rows (O(E) per sweep) when the plan is
+            # attached; the dense row scan remains as fallback and as the
+            # cross-check target (test_implicit).
+            if obj.jacobi_nb is not None:
+                rows_a = sparse_system_rows(obj, K, dt, axis_name)
+                res = jacobi_solve_serial_sparse(
+                    obj.jacobi_nb, rows_a, b, state.jacobi_past_x
+                )
+            else:
+                from fem_tpu.solvers.dense import assemble_dense_system
 
-            a_dense = assemble_dense_system(obj, K, dt, axis_name)
-            res = jacobi_solve_serial(a_dense, b, state.jacobi_past_x)
+                a_dense = assemble_dense_system(obj, K, dt, axis_name)
+                res = jacobi_solve_serial(a_dense, b, state.jacobi_past_x)
         elif jacobi_sweep == "snapshot":
             diag = diagonal_blocks(obj, K, dt, axis_name)
             res = jacobi_solve(apply_a, diag, b, state.jacobi_past_x)

@@ -178,8 +178,11 @@ def test_mxu_operator_matches_graph():
     gather/scatter operator exactly (same linear map, MXU execution)."""
     import jax.numpy as jnp
 
+    from tests.utils import attach_edge_matrix
+
     for maker, scale in ((make_2d_object, 0.004), (two_tet_object, 0.03)):
         cfg, obj, state = maker()
+        obj = attach_edge_matrix(obj)
         state = _perturbed(state, scale)
         assert obj.edge_matrix is not None
         s1, _ = implicit_velocity_solve(
@@ -292,6 +295,59 @@ def test_jacobi_serial_matches_solution():
     np.testing.assert_allclose(
         np.asarray(new_state.vel), x_direct, rtol=5e-3, atol=5e-4
     )
+
+
+def test_jacobi_serial_sparse_matches_dense():
+    """The O(E) block-sparse serial sweep (jacobi_solve_serial_sparse — the
+    live path in implicit_velocity_solve) must match the dense row-scan
+    sweep (jacobi_solve_serial) on the real FEM system: identical
+    Gauss–Seidel read-order semantics, float-roundoff-level agreement."""
+    from fem_tpu.solvers.dense import assemble_dense_system
+    from fem_tpu.ops.element import hessian_blocks
+    from fem_tpu.solvers.implicit import (
+        jacobi_solve_serial,
+        jacobi_solve_serial_sparse,
+        sparse_system_rows,
+    )
+
+    for maker, scale in ((make_2d_object, 0.004), (two_tet_object, 0.03)):
+        cfg, obj, state = maker()
+        state = _perturbed(state, scale)
+        rng = np.random.default_rng(11)
+        past = jnp.asarray(
+            rng.normal(scale=0.01, size=state.pos.shape).astype(np.float32)
+        )
+        K = hessian_blocks(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda,
+        )
+        b = implicit_rhs(obj, state, DT)
+
+        # The sparse rows must reproduce the dense system entry-for-entry.
+        a_dense = assemble_dense_system(obj, K, DT)
+        rows_a = sparse_system_rows(obj, K, DT)
+        n, d = state.pos.shape
+        a_from_sparse = np.zeros((n, n, d, d), np.float32)
+        nb = np.asarray(obj.jacobi_nb)
+        for i in range(n):
+            for k, j in enumerate(nb[i]):
+                if j >= 0:
+                    a_from_sparse[i, j] = np.asarray(rows_a[i, k])
+        a_from_sparse = a_from_sparse.transpose(0, 2, 1, 3).reshape(
+            n * d, n * d
+        )
+        np.testing.assert_allclose(
+            a_from_sparse, np.asarray(a_dense), rtol=1e-6, atol=1e-7
+        )
+
+        res_d = jacobi_solve_serial(a_dense, b, past, max_iter=50)
+        res_s = jacobi_solve_serial_sparse(
+            obj.jacobi_nb, rows_a, b, past, max_iter=50
+        )
+        assert int(res_s.iterations) == int(res_d.iterations)
+        np.testing.assert_allclose(
+            np.asarray(res_s.x), np.asarray(res_d.x), rtol=1e-5, atol=1e-6
+        )
 
 
 def test_energy_rotation_invariance():
