@@ -7,7 +7,7 @@ each CG iteration through the op-composed blocked path costs ~110 µs, of
 which the useful arithmetic is microseconds — the rest is per-XLA-op
 overhead on this relay backend (gather 3 µs, Pallas matvec 26 µs, segment
 -sum 20 µs, × 2 applies per preconditioned iteration, + dots/axpys).  The
-earlier dense-S whole-solve kernel (ops/pallas_cg.py) could not hold the
+earlier dense-S whole-solve kernel (experiments/pallas_cg.py) could not hold the
 flagship mesh (S = E·d×N = 49 MB > VMEM gate) and lost its margin to
 per-call K-plane prep.
 

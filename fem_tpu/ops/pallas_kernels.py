@@ -254,7 +254,7 @@ def k_and_h_chain(x, r, dim, mu, lam, robust=False):
     ref_inv planes ``r`` (lists of (1, T) component rows).  Returns (k, h)
     UNscaled — callers apply the −V scaling / padding masks.  Single source
     of truth for the fused element kernel and the whole-frame kernel
-    (ops/pallas_frame.py) so the formulas cannot drift.
+    (experiments/pallas_frame.py) so the formulas cannot drift.
 
     ``robust=True`` applies the robust_inversion extension exactly as the
     XLA path does (ops/element.py, smallmat.safe_inv): sign-preserving

@@ -239,18 +239,18 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
       * ``"blocked"`` / ``"blocked_explicit"`` — force those kernels
         (ValueError if ineligible); used by CPU interpret-mode tests.
       * ``"fused"`` — the earlier UNblocked whole-frame kernel
-        (ops/pallas_frame.py): parity-exact but 4.8× slower (O(E·N)
+        (experiments/pallas_frame.py): parity-exact but 4.8× slower (O(E·N)
         one-hot gathers); kept as a documented alternative.
     """
     if cfg.frame_backend == "fused":
-        from fem_tpu.ops.pallas_frame import (
+        from fem_tpu.experiments.pallas_frame import (
             make_fused_frame_fn, supports_fused_frame,
         )
 
         if not supports_fused_frame(obj, cfg):
             raise ValueError(
                 "frame_backend='fused' requested but this config/mesh "
-                "is not eligible (see ops/pallas_frame.py)"
+                "is not eligible (see experiments/pallas_frame.py)"
             )
         return make_fused_frame_fn(obj, cfg)
     if cfg.frame_backend == "blocked" or (

@@ -1,5 +1,5 @@
 # coding=utf-8
-"""Parity of the fused whole-frame Pallas kernel (ops/pallas_frame.py)
+"""Parity of the fused whole-frame Pallas kernel (experiments/pallas_frame.py)
 against the op-composed lax.scan path — same reference semantics, one device
 op per frame.  Runs in interpret mode on CPU."""
 
@@ -74,7 +74,7 @@ def test_fused_frame_matches_scan_2d_with_obstacles():
 
 
 def test_fused_frame_eligibility_gates():
-    from fem_tpu.ops.pallas_frame import supports_fused_frame
+    from fem_tpu.experiments.pallas_frame import supports_fused_frame
 
     _, obj, _ = two_tet_object()
     base = dict(
