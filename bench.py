@@ -49,32 +49,68 @@ def build_flagship():
     return cfg, obj, state, obstacles
 
 
-def bench_tpu(cfg, obj, state, obstacles, n_frames=30, warm_frames=60):
+def _timed_window(frame_fn, s, obstacles, n_frames, sim_count):
+    """One measurement window ending in a device->host VALUE fetch.
+
+    MEASUREMENT NOTE: on this environment's relayed TPU backend,
+    jax.block_until_ready returns before execution actually completes, so
+    the timed region must end with a value fetch — the only reliable
+    completion barrier.  Frames still pipeline asynchronously inside the
+    loop (throughput, not latency, is measured).  Per-frame solver
+    iterations are collected as device arrays (no sync) and fetched after
+    the clock stops.
+    """
+    iter_handles = []
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        s, aux = frame_fn(s, obstacles)
+        iter_handles.append(aux.solver_iterations)
+    final_pos = np.asarray(s.pos)  # hard sync ends the timed region
+    rate = n_frames * sim_count / (time.perf_counter() - t0)
+    assert np.isfinite(final_pos).all(), "simulation diverged"
+    iters = float(np.mean([np.asarray(h).mean() for h in iter_handles]))
+    return s, rate, iters
+
+
+def bench_tpu(cfg, obj, state, obstacles):
+    """Measures the flagship throughput in TWO regimes (VERDICT r2 weak #1):
+
+    * **contact** (the headline): frames 60-100, where the body is in active
+      floor contact/deformation and CG does real work (~8-11 iters/substep
+      like the 68k-tet BASELINE row) — 4 windows of 10 frames;
+    * **settled**: frames 160+, the damped ring-down where the reference's
+      absolute CG tolerance exits after ~2 iterations — 5 windows of 30
+      frames (the regime round-2 numbers were measured in).
+
+    Returns (contact_rate, contact_iters, settled_rate, settled_iters),
+    window medians.
+    """
     from fem_tpu.sim import make_frame_fn
 
     frame_fn = make_frame_fn(obj, cfg)
-    # Compile, then advance past the initial free-fall so the measured regime
-    # includes real deformation (CG iteration counts at rest are ~0-2).
-    #
-    # MEASUREMENT NOTE: on this environment's relayed TPU backend,
-    # jax.block_until_ready returns before execution actually completes, so
-    # the timed region must end with a device->host VALUE fetch — the only
-    # reliable completion barrier.  Frames still pipeline asynchronously
-    # inside the loop (throughput, not latency, is measured).
-    s, aux = frame_fn(state, obstacles)
-    for _ in range(warm_frames):
-        s, aux = frame_fn(s, obstacles)
-    _ = np.asarray(s.pos)  # hard sync before starting the clock
-    rates = []
-    for _ in range(5):  # median of 5 windows (the relay's latency is noisy)
-        t0 = time.perf_counter()
-        for _ in range(n_frames):
-            s, aux = frame_fn(s, obstacles)
-        final_pos = np.asarray(s.pos)  # hard sync ends the timed region
-        rates.append(n_frames * cfg.sim_count / (time.perf_counter() - t0))
-    iters = float(np.asarray(aux.solver_iterations).sum())
-    assert np.isfinite(final_pos).all(), "simulation diverged"
-    return sorted(rates)[1], iters / cfg.sim_count
+    s, _ = frame_fn(state, obstacles)  # compile
+    for _ in range(59):  # free-fall: impact lands around frame ~60
+        s, _ = frame_fn(s, obstacles)
+    _ = np.asarray(s.pos)  # hard sync before starting any clock
+    contact = []
+    for _ in range(4):
+        s, rate, iters = _timed_window(frame_fn, s, obstacles, 10,
+                                       cfg.sim_count)
+        contact.append((rate, iters))
+    for _ in range(60):  # advance to the settled ring-down
+        s, _ = frame_fn(s, obstacles)
+    _ = np.asarray(s.pos)
+    settled = []
+    for _ in range(5):
+        s, rate, iters = _timed_window(frame_fn, s, obstacles, 30,
+                                       cfg.sim_count)
+        settled.append((rate, iters))
+    return (
+        float(np.median([c[0] for c in contact])),
+        float(np.median([c[1] for c in contact])),
+        float(np.median([c[0] for c in settled])),
+        float(np.median([c[1] for c in settled])),
+    )
 
 
 def dense_cpu_baseline(cfg, obj, state, n_steps=3):
@@ -165,7 +201,8 @@ def main():
     last_err = None
     for attempt in range(3):
         try:
-            tpu_steps_per_s, cg_iters = bench_tpu(cfg, obj, state, obstacles)
+            (tpu_steps_per_s, cg_iters, settled_steps_per_s,
+             settled_iters) = bench_tpu(cfg, obj, state, obstacles)
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             last_err = e
@@ -179,16 +216,22 @@ def main():
         dense_cpu_baseline(cfg, obj, state) for _ in range(3)
     )
     result = {
-        "metric": "3d_spot_implicit_pcg_steps_per_s",
+        "metric": "3d_spot_implicit_pcg_steps_per_s_contact",
         "value": round(tpu_steps_per_s, 2),
         "unit": "steps/s",
         "vs_baseline": round(tpu_steps_per_s / base_steps_per_s, 2),
     }
     print(json.dumps(result))
-    # Extra context on stderr (driver only parses stdout JSON).
+    # Extra context on stderr (driver only parses stdout JSON).  The
+    # headline value is measured INSIDE the contact regime where CG does
+    # real work; the settled ring-down median (round-2's regime) is
+    # reported alongside (see BASELINE.md "measurement regime").
     print(
         f"particles={obj.particle_cnt} elements={obj.element_cnt} "
-        f"cg_iters/substep={cg_iters:.1f} "
+        f"contact: cg_iters/substep={cg_iters:.1f} "
+        f"({tpu_steps_per_s:.0f} steps/s) | "
+        f"settled: cg_iters/substep={settled_iters:.1f} "
+        f"({settled_steps_per_s:.0f} steps/s) | "
         f"dense-numpy baseline={base_steps_per_s:.2f} steps/s",
         file=sys.stderr,
     )

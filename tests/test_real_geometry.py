@@ -115,3 +115,55 @@ def test_real_spot100_meshes_conformally():
     assert abs(tv - ev) / ev < 0.03, f"volume error {(tv - ev) / ev:.2%}"
     np.testing.assert_array_equal(nodes[: v.shape[0]], v)
     assert _tet_quality(nodes, tets).min() >= 0.0099
+
+
+def test_real_spot_demo_config_golden():
+    """Golden trajectory for the REAL-geometry flagship demo
+    (configs/demo_spot_real.json — the reference's own spot.obj at its own
+    demo_3d.json center [2,1,2], read in place).  Run test-local from a
+    lower drop with initial downward velocity so 30 frames cover floor
+    contact; values recorded on the CPU backend (v4 mesher, 7,721 tets /
+    1,708 particles — regenerate when the mesher version changes)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fem_tpu.scene import load_scene
+    from fem_tpu.sim import make_frame_fn
+    from fem_tpu.utils.config import read_config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = read_config(os.path.join(here, "configs", "demo_spot_real.json"))
+    assert cfg.objects[0].obj == REF_SPOT
+    assert cfg.objects[0].center == (2.0, 1.0, 2.0)  # reference demo_3d.json
+    ocfg = dataclasses.replace(cfg.objects[0], center=(2.0, 0.78, 2.0))
+    cfg = dataclasses.replace(cfg, objects=(ocfg,))
+    scene, obstacles = load_scene(cfg)
+    so = scene[0]
+    assert so.obj.particle_cnt == 1708 and so.obj.element_cnt == 7721
+    frame = make_frame_fn(so.obj, cfg)
+    state = so.state
+    vel0 = np.zeros((so.obj.particle_cnt, 3), np.float32)
+    vel0[:, 1] = -1.5
+    state = state.replace(vel=jnp.asarray(vel0))
+    rec = {}
+    for i in range(30):
+        state, aux = frame(state, obstacles)
+        if i in (14, 29):
+            rec[i] = (np.asarray(state.pos), np.asarray(aux.solver_iterations))
+    p14, it14 = rec[14]
+    p29, it29 = rec[29]
+    assert np.isfinite(p29).all()
+    # Floor contact engaged and the solver doing real work by frame 29.
+    assert p29[:, 1].min() < 1e-3
+    assert int(it29.max()) >= 3
+    assert abs(p14.mean() - 1.60355413) < 5e-3
+    assert abs(p14.std() - 0.76942104) < 5e-3
+    np.testing.assert_allclose(
+        p14[0], (1.5286682, 1.3774678, 1.8166082), atol=1e-2
+    )
+    assert abs(p29.mean() - 1.57765734) < 5e-3
+    assert abs(p29.std() - 0.79296809) < 5e-3
+    np.testing.assert_allclose(
+        p29[100], (1.7372546, 1.1541438, 1.8625411), atol=1e-2
+    )
