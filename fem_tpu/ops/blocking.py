@@ -65,6 +65,12 @@ class Blocking:
     # gate.  Static topology — safe as ordinary pytree leaves.
     s_dense: jnp.ndarray = None  # (B, Eb·d, Pb) f32 or None
     g_dense: jnp.ndarray = None  # (B·Pb, N_pad) f32 flat one-hot or None
+    # Per-particle incidence plan over the flat (B·Pb) block slots for
+    # gather-based assembly of block partials (ops/assembly.build_gather_plan
+    # on block_particles) — TPUs prefer gathers to scatters: measured
+    # 355 → ~80 µs vs the segment-sum scatter at 68k tets.  None under
+    # sharding (indices are global; the sharded path segment-sums + psums).
+    scatter_plan: jnp.ndarray = None  # (N, maxdeg) int32
     num_blocks: int = struct.field(pytree_node=False, default=0)
     eb: int = struct.field(pytree_node=False, default=0)
     pb: int = struct.field(pytree_node=False, default=0)
@@ -132,9 +138,11 @@ def build_blocking(
     # their plus == minus == 0 makes the corresponding S rows exactly zero.
     blk_elems = np.zeros((b_cnt, eb), np.int64)
     vol_b = np.zeros((b_cnt, eb), np.float32)
+    nparts = np.zeros((b_cnt,), np.int64)
     for b, (els, parts) in enumerate(blocks):
         lmap = {p: i for i, p in enumerate(parts)}
         blk_parts[b, : len(parts)] = parts
+        nparts[b] = len(parts)
         for k, ei in enumerate(els):
             blk_elems[b, k] = ei
             vol_b[b, k] = volume[ei]
@@ -148,6 +156,21 @@ def build_blocking(
     )
 
     n = rest_pos.shape[0]
+    # Gather plan over REAL block slots only (padded slots hold particle 0
+    # and would inflate its degree by thousands; their partials are exact
+    # zeros that the segment scatter adds but a gather may simply skip).
+    real = (np.arange(pb)[None, :] < nparts[:, None]).reshape(-1)
+    slot_rows = np.nonzero(real)[0]  # flat (B·Pb) row ids of real slots
+    slot_parts = blk_parts.reshape(-1)[real]
+    order = np.argsort(slot_parts, kind="stable")
+    counts = np.bincount(slot_parts, minlength=n)
+    maxdeg = int(counts.max()) if counts.size else 1
+    sentinel = b_cnt * pb
+    scatter_plan = np.full((n, maxdeg), sentinel, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ranks = np.arange(order.size) - starts[slot_parts[order]]
+    scatter_plan[slot_parts[order], ranks] = slot_rows[order]
+    scatter_plan = scatter_plan.astype(np.int32)
     s_dense = g_dense = None
     if fused_tables_bytes(b_cnt, eb, pb, d, n) <= FUSED_MAX_BYTES:
         s_np, g_np = build_fused_tables(
@@ -170,6 +193,7 @@ def build_blocking(
         volume=jnp.asarray(vol_b.reshape(-1)),
         s_dense=s_dense,
         g_dense=g_dense,
+        scatter_plan=jnp.asarray(scatter_plan),
         num_blocks=b_cnt,
         eb=eb,
         pb=pb,
@@ -312,8 +336,13 @@ def blocked_scatter_sum(
     the local partials ``psum``-reduce over ICI — the multi-chip form of the
     reference's atomic scatter (SURVEY §5)."""
     d = yt.shape[1]
+    rows = jnp.transpose(yt, (0, 2, 1)).reshape(-1, d)
+    if axis_name is None and blocking.scatter_plan is not None:
+        from fem_tpu.ops.assembly import gather_assemble
+
+        return gather_assemble(rows[:, None, :], blocking.scatter_plan)
     out = jax.ops.segment_sum(
-        jnp.transpose(yt, (0, 2, 1)).reshape(-1, d),
+        rows,
         blocking.block_particles.reshape(-1),
         num_segments=num_particles,
     )
@@ -376,7 +405,8 @@ def pad_blocking(blocking: Blocking, multiple: int) -> Blocking:
     target = ((b + multiple - 1) // multiple) * multiple
     pad = target - b
     if pad == 0:
-        return blocking.replace(s_dense=None, g_dense=None)
+        return blocking.replace(s_dense=None, g_dense=None,
+                                scatter_plan=None)
     eb, r = blocking.eb, blocking.plus.shape[1]
 
     def pad0(x, rows):
@@ -400,5 +430,6 @@ def pad_blocking(blocking: Blocking, multiple: int) -> Blocking:
         volume=pad0(blocking.volume, pad * eb),
         s_dense=None,
         g_dense=None,
+        scatter_plan=None,
         num_blocks=target,
     )

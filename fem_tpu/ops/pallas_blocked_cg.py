@@ -98,22 +98,36 @@ def build_fused_tables(
 
 
 def _dot(a, b, contract, planes: int = 3):
-    """EXACT f32 dot against a 0/±1 table, at bf16 single-pass speed ×3.
+    """EXACT f32 dot against a 0/±1 table at ~single-pass weight traffic.
 
     Every dot in these kernels has a one-hot/±1 incidence table on one
     side, stored in bf16 (0/±1 are exact).  The value side is split into
     three bf16 planes (a = a₁+a₂+a₃ captures all 24 mantissa bits); each
     partial product against an exact-±1 weight is exact in bf16, and the
-    f32 accumulation reassembles the exact f32 result.  Measured: a
-    HIGHEST (6-pass f32) dot here costs ~2.5× the full substep time of
-    this 3-pass form — the one-hot dots' MXU weight volume is the hot
-    loop's entire cost (flagship 2,755 → ~6,900 steps/s at 1-pass; this
-    exact form keeps most of that win).
+    f32 accumulation reassembles the exact f32 result.  Measured in round
+    2: a HIGHEST (6-pass f32) dot here costs ~2.5× the full substep time
+    of the 3-dot split form — the one-hot dots' MXU weight volume is the
+    hot loop's entire cost.
+
+    Round 3: the planes are STACKED along the value side's sublane axis
+    and issued as ONE dot_general — the table streams through the MXU
+    once instead of once per plane (the value side is a handful of
+    sublanes, far below the tile granularity, so the wider activation is
+    nearly free).  The per-plane partial products are recovered by static
+    sublane slices and added in the same (a₁+a₂)+a₃ order as the separate
+    dots — bit-identical results (parity drift exactly 0.0 over 100
+    flagship frames, measured).  Measured same-session A/B on a quiet
+    chip: flagship whole-frame kernel **3,919 → 5,684 settled steps/s
+    (+45%)** — the VMEM-table dots in the fused kernels ARE
+    stream-bound, and round 2's "3-pass structural floor" falls.  The
+    68k-tet op-composed blocked matvec gains only 364 → 321 µs/apply:
+    that kernel is MXU-pipeline-fill-bound per block, not stream-bound
+    (see BASELINE.md round-3 findings / tools/mfu.py).
 
     ``planes=2`` is the opt-in ``cg_fast_math`` mode: 16 captured mantissa
-    bits (~8e-6 relative error) at 2/3 the weight traffic — used ONLY for
-    CG operator applications (never for positions/forces, whose edge
-    differences cancel catastrophically).
+    bits (~8e-6 relative error) — used ONLY for CG operator applications
+    (never for positions/forces, whose edge differences cancel
+    catastrophically).
     """
     bb = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
     a1 = a.astype(jnp.bfloat16)
@@ -122,12 +136,17 @@ def _dot(a, b, contract, planes: int = 3):
     parts = [a1, a2]
     if planes >= 3:
         parts.append((r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16))
+    (ca,), _ = contract
+    assert ca == 1, "value side is always (rows, contract)"
+    rows = a.shape[0]
+    stacked = jnp.concatenate(parts, axis=0)  # (planes·rows, K)
+    out = jax.lax.dot_general(
+        stacked, bb, (contract, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     acc = None
-    for ai in parts:
-        t = jax.lax.dot_general(
-            ai, bb, (contract, ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    for i in range(len(parts)):
+        t = out[i * rows : (i + 1) * rows]
         acc = t if acc is None else acc + t
     return acc
 

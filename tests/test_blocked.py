@@ -204,14 +204,26 @@ def test_fused_tables_semantics(blocked_obj):
         b_cnt, pb, 3
     ).transpose(0, 2, 1)
     np.testing.assert_allclose(got_gather, ref_gather, atol=1e-6)
-    # scatter: Gᵀ · yt_flat == segment-sum over block_particles
+    # scatter: Gᵀ · yt_flat == gather-plan assembly == segment-sum.  Real
+    # kernel partials are EXACTLY ZERO on padded block slots (their S
+    # columns are all zero) — the invariant that lets the gather-plan path
+    # skip them; the synthetic yt must honor it.
     yt = np.asarray(ref_gather) * 0.5 + 1.0
+    bp = np.asarray(blk.block_particles)  # (B, Pb)
+    plan = np.asarray(blk.scatter_plan)
+    real = np.zeros((b_cnt * pb,), bool)
+    real[plan[plan < b_cnt * pb]] = True
+    yt *= real.reshape(b_cnt, pb)[:, None, :]
     ref_scatter = np.asarray(
         blocked_scatter_sum(jnp.asarray(yt), blk, obj.particle_cnt)
     )
     yt_flat = yt.transpose(0, 2, 1).reshape(b_cnt * pb, 3)
     got_scatter = np.einsum("pn,pd->nd", g, yt_flat)
     np.testing.assert_allclose(got_scatter, ref_scatter, rtol=1e-6, atol=1e-5)
+    # and the plain segment-sum agrees (the sharded path's form).
+    seg = np.zeros((obj.particle_cnt, 3))
+    np.add.at(seg, bp.reshape(-1), yt_flat)
+    np.testing.assert_allclose(seg, ref_scatter, rtol=1e-6, atol=1e-5)
 
 
 def test_explicit_gradient_uses_blocked_assembly(blocked_obj):

@@ -285,3 +285,29 @@ def test_stl_roundtrip(tmp_path):
     rv, rf = load_stl_file(str(path))
     assert rv.shape == (8, 3)
     assert rf.shape == (12, 3)
+
+
+def test_construct_3d_grid_mesh():
+    """Kuhn 6-tet cells: exact volume tiling, conforming (every interior
+    face shared by exactly 2 tets), closed oriented surface."""
+    import numpy as np
+
+    from fem_tpu.models.mesh import construct_3d_grid_mesh
+    from fem_tpu.utils.config import ObjectConfig
+
+    cfg = ObjectConfig(subdivisions=3, side_length=0.3)
+    v, f, t = construct_3d_grid_mesh(cfg)
+    assert t.shape == (6 * 27, 4)
+    assert v.shape == ((3 + 1) ** 3, 3)
+    p = v[t.astype(int)]
+    r = np.swapaxes(p[:, 1:, :] - p[:, 0:1, :], -1, -2)
+    vol = np.abs(np.linalg.det(r)) / 6.0
+    assert vol.min() > 0
+    np.testing.assert_allclose(vol.sum(), 0.3 ** 3, rtol=1e-5)
+    # Conformity: faces appear exactly once (boundary) or twice (interior).
+    local = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    faces = np.sort(t[:, local].reshape(-1, 3), axis=1)
+    _, counts = np.unique(faces, axis=0, return_counts=True)
+    assert set(counts.tolist()) <= {1, 2}
+    # Surface is closed: boundary face count matches extract_surface output.
+    assert (counts == 1).sum() == f.shape[0]
