@@ -253,6 +253,72 @@ def _scatter_kernel(plus_ref, minus_ref, t_ref, out_ref):
     out_ref[0] = _dot(t_ref[0], s, (((1,), (0,))))
 
 
+def _prep_kernel(
+    plus_ref,  # (1, R, 1)
+    minus_ref,  # (1, R, 1)
+    pj_ref,  # (d, R, Eb) edge→element-plane selection (block-independent)
+    psum_ref,  # (R, Eb) lane-repeat map
+    rv_ref,  # (1, d², Eb) ref_inv component planes
+    vol_ref,  # (1, 1, Eb) volumes (0 on padded slots)
+    xbt_ref,  # (1, d, Pb) block-gathered positions
+    *out_refs,  # implicit: (kp (1, d², R), yt (1, d, Pb)); explicit: (yt,)
+    dim: int,
+    mu: float,
+    lam: float,
+    robust: bool,
+    mode: str,
+):
+    """One block of element prep entirely in VMEM: edge matrices via
+    S_b·x_b MXU dots (no XLA row gather), the shared element chain, and the
+    outputs already in the layouts the blocked operator consumes — K planes
+    (make_kplane layout) and per-block force partials (blocked_scatter_sum
+    input).  Same per-block structure as the whole-frame kernel's ``prep``
+    (ops/pallas_blocked_frame.py), factored for meshes past the fused-table
+    VMEM gate and for the sharded path."""
+    from fem_tpu.ops.pallas_blocked_cg import _dot
+    from fem_tpu.ops.pallas_blocked_frame import _pad_x_rows
+    from fem_tpu.ops.pallas_kernels import grad_cols_chain, k_and_h_chain
+
+    d = dim
+    d2 = d * d
+    r, pb = plus_ref.shape[1], xbt_ref.shape[2]
+    s = _build_s(plus_ref[0], minus_ref[0], r, pb)
+    st = _dot(xbt_ref[0, :, :], s, (((1,), (1,))))  # (d, R)
+    v = vol_ref[0, :, :]  # (1, Eb)
+    # Padded element slots have zero S rows → X = 0 → NaN through the
+    # chain; substitute the rest edge matrix (F = I), volume 0 zeroes the
+    # result exactly (same convention as the whole-frame kernel).
+    pad = (v == 0.0).astype(jnp.float32)
+    rv = rv_ref[0, :, :]  # (d², Eb)
+    r_rows = [rv[i : i + 1, :] for i in range(d2)]
+    xp = _pad_x_rows(r_rows, d)
+    x_rows = [None] * d2
+    for j in range(d):
+        xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))  # (d, Eb)
+        for i in range(d):
+            x_rows[i * d + j] = xj[i : i + 1, :] + pad * xp[i * d + j]
+    if mode == "implicit":
+        kp_out, yt_out = out_refs
+        k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust)
+        krows = jnp.concatenate(
+            [-v * k[i] for i in range(d2)], axis=0
+        )  # (d², Eb)
+        kp_out[0] = _dot(krows, psum_ref[:, :], (((1,), (1,))))  # (d², R)
+        sign = -1.0
+    else:
+        (yt_out,) = out_refs
+        h = grad_cols_chain(x_rows, r_rows, d, mu, lam)
+        sign = 1.0
+    tc = None
+    for j in range(d):
+        hj = jnp.concatenate(
+            [sign * v * h[c * d + j] for c in range(d)], axis=0
+        )  # (d, Eb)
+        term = _dot(hj, pj_ref[j, :, :], (((1,), (1,))))  # (d, R)
+        tc = term if tc is None else tc + term
+    yt_out[0] = _dot(tc, s, (((1,), (0,))))  # (d, Pb)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -299,6 +365,88 @@ def _blocked_scatter_call(
         out_shape=jax.ShapeDtypeStruct((b, dim, pb), jnp.float32),
         interpret=_interpret(),
     )(blocking.plus, blocking.minus, t_planes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dim", "mu", "s_lambda", "robust", "mode")
+)
+def _blocked_prep_call(
+    blocking: Blocking, xbt: jnp.ndarray, dim: int, mu: float,
+    s_lambda: float, robust: bool, mode: str,
+):
+    b_cnt, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
+    d = dim
+    d2 = d * d
+    r = eb * d
+    rv = blocking.ref_inv.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
+    vol = blocking.volume.reshape(b_cnt, 1, eb)
+    # Static selection tensors (bf16 one-hots, consumed by the exact
+    # split-dot) — loop-invariant, hoisted by XLA out of any substep scan.
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, eb), 0)
+    ee = jax.lax.broadcasted_iota(jnp.int32, (r, eb), 1)
+    pj = jnp.stack(
+        [(rr == ee * d + j).astype(jnp.bfloat16) for j in range(d)], axis=0
+    )
+    psum = (rr // d == ee).astype(jnp.bfloat16)
+    spec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _prep_kernel, dim=d, mu=mu, lam=s_lambda, robust=robust, mode=mode
+    )
+    out_shape = [jax.ShapeDtypeStruct((b_cnt, d, pb), jnp.float32)]
+    out_specs = [spec(d, pb)]
+    if mode == "implicit":
+        out_shape.insert(0, jax.ShapeDtypeStruct((b_cnt, d2, r), jnp.float32))
+        out_specs.insert(0, spec(d2, r))
+    return pl.pallas_call(
+        kernel,
+        grid=(b_cnt,),
+        in_specs=[
+            spec(r, 1), spec(r, 1), whole(d, r, eb), whole(r, eb),
+            spec(d2, eb), spec(1, eb), spec(d, pb),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(blocking.plus, blocking.minus, pj, psum, rv, vol, xbt)
+
+
+def blocked_prep(
+    blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
+    s_lambda: float, robust: bool = False,
+):
+    """Implicit element prep through the block tables: returns
+    ``(kplane (B, d², R), yt (B, d, Pb))`` — K planes in the exact
+    :func:`make_kplane` layout and implicit force partials ready for
+    :func:`blocked_scatter_sum`.  Replaces, in one Pallas pass over blocks,
+    the E·(d+1)-row XLA edge gather + planar element kernel + K-plane
+    repack of the op-composed path (the gather alone measured ~1.4 ms per
+    substep at 68k tets).  Works per-shard under ``shard_map`` (blocking =
+    this shard's blocks; scatter psums)."""
+    xbt = blocked_gather(pos, blocking)
+    return _blocked_prep_call(
+        blocking, xbt, dim, float(mu), float(s_lambda), bool(robust),
+        "implicit",
+    )
+
+
+def blocked_grad_prep(
+    blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
+    s_lambda: float,
+):
+    """Explicit/analytic energy-gradient partials ``yt (B, d, Pb)`` through
+    the block tables (reference solver/explicit.py:23-49 chain with the
+    UNclamped log, +V scaling); feed to :func:`blocked_scatter_sum`."""
+    xbt = blocked_gather(pos, blocking)
+    (yt,) = _blocked_prep_call(
+        blocking, xbt, dim, float(mu), float(s_lambda), False, "explicit"
+    )
+    return yt
 
 
 # ---------------------------------------------------------------------------

@@ -233,10 +233,17 @@ class HeadlessRenderer:
                 imageio.mimsave(path, self.frames, fps=self.output_fps)
                 written.append(path)
             except Exception:
-                # No ffmpeg backend in this environment — fall back to the
-                # dependency-free MJPEG AVI writer (render/avi.py).
+                # No ffmpeg backend in this environment — write a true
+                # .mp4 with the dependency-free MJPEG muxer (render/mp4.py)
+                # plus an MJPEG AVI (render/avi.py) for maximal player
+                # coverage.  Reference parity: make_video(gif, mp4),
+                # render/render.py:22.
                 from fem_tpu.render.avi import write_mjpeg_avi
+                from fem_tpu.render.mp4 import write_mjpeg_mp4
 
+                path = os.path.join(self.output_dir, "video.mp4")
+                write_mjpeg_mp4(path, self.frames, fps=self.output_fps)
+                written.append(path)
                 path = os.path.join(self.output_dir, "video.avi")
                 write_mjpeg_avi(path, self.frames, fps=self.output_fps)
                 written.append(path)

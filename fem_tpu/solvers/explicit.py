@@ -42,19 +42,21 @@ def analytic_energy_gradient(
 
         blk = obj.blocking
         if element_backend == "pallas":
-            from fem_tpu.ops.pallas_kernels import (
-                explicit_grad_columns_pallas,
+            # Blocked in-VMEM prep (ops/blocking.blocked_grad_prep): edge
+            # matrices from S_b·x_b MXU dots instead of the E·(d+1)-row XLA
+            # gather, gradient partials emitted per block.
+            from fem_tpu.ops.blocking import (
+                blocked_grad_prep, blocked_scatter_sum,
             )
 
-            cols = explicit_grad_columns_pallas(
-                pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda,
+            yt = blocked_grad_prep(
+                blk, pos, obj.dim, obj.mu, obj.s_lambda
             )
-        else:
-            cols = explicit_grad_columns(
-                pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda,
-            )
+            return blocked_scatter_sum(yt, blk, obj.particle_cnt)
+        cols = explicit_grad_columns(
+            pos, blk.element_indices, blk.ref_inv, blk.volume,
+            obj.mu, obj.s_lambda,
+        )
         return blocked_assemble(blk, cols, obj.particle_cnt, obj.dim)
     if element_backend == "pallas":
         from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas

@@ -162,11 +162,13 @@ def make_mxu_system_apply(
 
 def make_blocked_system_apply(
     obj: FemObject, k_flat: jnp.ndarray, dt: float,
-    axis_name: str | None = None,
+    axis_name: str | None = None, kplane: jnp.ndarray | None = None,
 ):
     """(apply_a, apply_at) through the block-partitioned MXU operator
     (ops/blocking.py) — ``k_flat`` is (B·Eb, d, d) in *block order* (i.e.
-    computed on ``obj.blocking.element_indices``).  Same arithmetic as
+    computed on ``obj.blocking.element_indices``), or pass ``kplane``
+    (B, d², R) directly when the prep already produced the plane layout
+    (ops/blocking.blocked_prep).  Same arithmetic as
     :func:`make_system_apply`; measured 8.6× faster per apply at 68k tets.
 
     Under ``shard_map`` (``axis_name``) ``obj.blocking`` holds this shard's
@@ -176,7 +178,8 @@ def make_blocked_system_apply(
     from fem_tpu.ops.blocking import blocked_graph_apply, make_kplane
 
     blk, d, n = obj.blocking, obj.dim, obj.particle_cnt
-    kplane = make_kplane(blk, k_flat, d)
+    if kplane is None:
+        kplane = make_kplane(blk, k_flat, d)
 
     def apply_a(x):
         gx = blocked_graph_apply(
@@ -598,22 +601,6 @@ def implicit_velocity_solve(
         # element arrays, so no element-order permutation is ever applied on
         # device.  Same solve semantics; execution strategy only.
         blk = obj.blocking
-        if element_backend == "pallas":
-            from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
-
-            k_flat, cols_flat = hessian_and_force_pallas(
-                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda, robust,
-            )
-        else:
-            k_flat = hessian_blocks(
-                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda, robust,
-            )
-            cols_flat = implicit_force_columns(
-                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda, robust,
-            )
         use_fused = (
             blk.s_dense is not None
             and axis_name is None
@@ -626,20 +613,62 @@ def implicit_velocity_solve(
             # the op-overhead-dominated relay backend at flagship sizes.
             from fem_tpu.ops.pallas_blocked_cg import fused_blocked_cg_solve
 
+            if element_backend == "pallas":
+                from fem_tpu.ops.pallas_kernels import (
+                    hessian_and_force_pallas,
+                )
+
+                k_flat, cols_flat = hessian_and_force_pallas(
+                    state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+                    obj.mu, obj.s_lambda, robust,
+                )
+            else:
+                k_flat = hessian_blocks(
+                    state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+                    obj.mu, obj.s_lambda, robust,
+                )
+                cols_flat = implicit_force_columns(
+                    state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+                    obj.mu, obj.s_lambda, robust,
+                )
             vel_new, iters, residual = fused_blocked_cg_solve(
                 blk, k_flat, cols_flat, state.vel, obj.mass,
                 dim=obj.dim, dt=dt, preconditioned=preconditioned == 1,
             )
             return state.replace(vel=vel_new), ImplicitAux(iters, residual)
-        from fem_tpu.ops.blocking import blocked_assemble
+        if element_backend == "pallas":
+            # Blocked in-VMEM prep (ops/blocking.blocked_prep): edge
+            # matrices from S_b·x_b MXU dots — no E·(d+1)-row XLA gather —
+            # with K planes and force partials emitted directly in the
+            # layouts the operator consumes.
+            from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
 
-        f = blocked_assemble(
-            blk, cols_flat, obj.particle_cnt, obj.dim, axis_name
-        )
-        b = state.vel + dt * f / obj.mass[:, None]
-        apply_a, apply_at = make_blocked_system_apply(
-            obj, k_flat, dt, axis_name
-        )
+            kplane, yt = blocked_prep(
+                blk, state.pos, obj.dim, obj.mu, obj.s_lambda, robust
+            )
+            f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
+            b = state.vel + dt * f / obj.mass[:, None]
+            apply_a, apply_at = make_blocked_system_apply(
+                obj, None, dt, axis_name, kplane=kplane
+            )
+        else:
+            from fem_tpu.ops.blocking import blocked_assemble
+
+            k_flat = hessian_blocks(
+                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+                obj.mu, obj.s_lambda, robust,
+            )
+            cols_flat = implicit_force_columns(
+                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+                obj.mu, obj.s_lambda, robust,
+            )
+            f = blocked_assemble(
+                blk, cols_flat, obj.particle_cnt, obj.dim, axis_name
+            )
+            b = state.vel + dt * f / obj.mass[:, None]
+            apply_a, apply_at = make_blocked_system_apply(
+                obj, k_flat, dt, axis_name
+            )
         if preconditioned == 1:
             operator = lambda v: apply_at(apply_a(v))
             rhs = apply_at(b)

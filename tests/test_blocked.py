@@ -316,3 +316,115 @@ def test_split_dot_exactness():
     want2 = np.abs(a).astype(np.float64) @ np.abs(table).astype(np.float64).T
     rel = np.abs(b2 - want2) / np.maximum(want2, 1e-30)
     assert float(rel.max()) < 2e-6, float(rel.max())
+
+
+def test_blocked_prep_matches_op_composed_prep(blocked_obj):
+    """blocked_prep (ops/blocking.py): K planes + force partials computed
+    in-VMEM from S_b·x_b dots must match make_kplane(hessian_blocks) +
+    blocked_assemble(implicit_force_columns) to split-dot ulps."""
+    from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
+
+    obj, state = blocked_obj
+    state = _deformed(state, seed=9)
+    blk = obj.blocking
+    k_flat = hessian_blocks(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda,
+    )
+    cols_flat = implicit_force_columns(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda, False,
+    )
+    kp_ref = make_kplane(blk, k_flat, 3)
+    f_ref = blocked_assemble(blk, cols_flat, obj.particle_cnt, 3)
+    kp, yt = blocked_prep(blk, state.pos, 3, obj.mu, obj.s_lambda)
+    f_got = blocked_scatter_sum(yt, blk, obj.particle_cnt)
+    assert kp.shape == kp_ref.shape
+    assert bool(jnp.isfinite(kp).all()) and bool(jnp.isfinite(f_got).all())
+    np.testing.assert_allclose(
+        kp, kp_ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(kp_ref)))
+    )
+    np.testing.assert_allclose(
+        f_got, f_ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(f_ref)))
+    )
+
+
+def test_blocked_prep_robust_matches_op_composed_prep(blocked_obj):
+    from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
+
+    obj, state = blocked_obj
+    state = _deformed(state, seed=10)
+    blk = obj.blocking
+    k_flat = hessian_blocks(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda, True,
+    )
+    cols_flat = implicit_force_columns(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda, True,
+    )
+    kp_ref = make_kplane(blk, k_flat, 3)
+    f_ref = blocked_assemble(blk, cols_flat, obj.particle_cnt, 3)
+    kp, yt = blocked_prep(blk, state.pos, 3, obj.mu, obj.s_lambda, True)
+    f_got = blocked_scatter_sum(yt, blk, obj.particle_cnt)
+    np.testing.assert_allclose(
+        kp, kp_ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(kp_ref)))
+    )
+    np.testing.assert_allclose(
+        f_got, f_ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(f_ref)))
+    )
+
+
+def test_blocked_grad_prep_matches_op_composed(blocked_obj):
+    """blocked_grad_prep: explicit-chain gradient partials (UNclamped log,
+    +V scaling) vs explicit_grad_columns + blocked_assemble."""
+    from fem_tpu.ops.blocking import blocked_grad_prep, blocked_scatter_sum
+    from fem_tpu.ops.element import explicit_grad_columns
+
+    obj, state = blocked_obj
+    state = _deformed(state, seed=11)
+    blk = obj.blocking
+    g_cols = explicit_grad_columns(
+        state.pos, blk.element_indices, blk.ref_inv, blk.volume,
+        obj.mu, obj.s_lambda,
+    )
+    g_ref = blocked_assemble(blk, g_cols, obj.particle_cnt, 3)
+    yt = blocked_grad_prep(blk, state.pos, 3, obj.mu, obj.s_lambda)
+    g_got = blocked_scatter_sum(yt, blk, obj.particle_cnt)
+    assert bool(jnp.isfinite(g_got).all())
+    np.testing.assert_allclose(
+        g_got, g_ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(g_ref)))
+    )
+
+
+@pytest.mark.parametrize("preconditioned", [0, 1])
+def test_blocked_solve_pallas_prep_matches_xla_prep(blocked_obj, preconditioned):
+    """The full implicit solve through element_backend='pallas' (in-VMEM
+    blocked prep) vs the XLA-prep blocked path."""
+    obj, state = blocked_obj
+    state = _deformed(state, seed=12)
+    ref_state, ref_aux = implicit_velocity_solve(
+        obj, state, DT, method=1, preconditioned=preconditioned,
+        operator_mode="blocked", element_backend="xla",
+    )
+    got_state, got_aux = implicit_velocity_solve(
+        obj, state, DT, method=1, preconditioned=preconditioned,
+        operator_mode="blocked", element_backend="pallas",
+    )
+    np.testing.assert_allclose(
+        got_state.vel, ref_state.vel, rtol=5e-4, atol=1e-6
+    )
+    assert abs(int(got_aux.iterations) - int(ref_aux.iterations)) <= 1
+
+
+def test_explicit_gradient_pallas_backend_blocked(blocked_obj):
+    from fem_tpu.solvers.explicit import analytic_energy_gradient
+
+    obj, state = blocked_obj
+    state = _deformed(state, seed=13)
+    ref = analytic_energy_gradient(obj, state.pos, element_backend="xla")
+    got = analytic_energy_gradient(obj, state.pos, element_backend="pallas")
+    assert bool(jnp.isfinite(got).all())
+    np.testing.assert_allclose(
+        got, ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(ref)))
+    )

@@ -211,3 +211,33 @@ def test_sharded_frame_matches_single_device_explicit():
     np.testing.assert_allclose(
         np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_3d_pallas_prep_matches_single_device():
+    """element_backend='pallas' under shard_map: the in-VMEM blocked prep
+    (ops/blocking.blocked_prep, interpret mode on CPU) runs per-shard on
+    this shard's locality blocks and psums — must match the single-device
+    XLA-prep path."""
+    common = dict(sim_count=2, implicit_method=1, preconditioned=1)
+    cfg_all = default_sim_config_3d(element_backend="pallas", **common)
+    cfg_xla = default_sim_config_3d(element_backend="xla", **common)
+    _, obj, state = make_3d_object(subdivisions=3)
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+
+    rng = np.random.default_rng(5)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.2, size=state.pos.shape).astype(np.float32)
+        )
+    )
+    single = make_substep_fn(obj, cfg_xla)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+    s1, _ = single(state, obstacles)
+    s2, _ = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
+    )
