@@ -92,6 +92,29 @@ _BOX_EDGES = [
 ]  # reference render/render.py:59
 
 
+# Reference lighting (render/render.py:93-94): ambient 0.8, white point
+# light at (3.5, 3.5, 3.5); ti.ui's default mesh albedo is mid-gray.
+_AMBIENT = 0.8
+_LIGHT_POS = np.array([3.5, 3.5, 3.5])
+_ALBEDO = np.array([0.73, 0.73, 0.73])
+
+
+def _shade_faces(tris: np.ndarray) -> np.ndarray:
+    """Per-face Lambertian colors for (M, 3, 3) triangles: ambient 0.8 +
+    diffuse from the reference's point light, on a mid-gray albedo — the
+    headless counterpart of ``scene.mesh`` under the reference's lights."""
+    centers = tris.mean(axis=1)
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    l = _LIGHT_POS[None, :] - centers
+    l /= np.maximum(np.linalg.norm(l, axis=1, keepdims=True), 1e-12)
+    # Two-sided: surface orientation is CCW-outward from the mesher, but
+    # |cos| keeps interior-facing normals lit rather than black.
+    diff = np.abs(np.sum(n * l, axis=1))
+    lum = np.clip(_AMBIENT + diff, 0.0, 1.6) / 1.6
+    return np.clip(_ALBEDO[None, :] * lum[:, None], 0.0, 1.0)
+
+
 def render_frame_3d(
     pos,
     faces,
@@ -99,12 +122,16 @@ def render_frame_3d(
     elev: float = 15.0,
     azim: float = -80.0,
     box: Tuple[float, float] = (0.0, 5.0),
+    style: str = "shaded",
 ) -> np.ndarray:
-    """One RGB frame of the 3D scene: wireframe surface mesh + [0,5]³ box
-    lines (render/render.py:86-106).  ``pos``/``faces`` may be lists of
-    per-body arrays (the reference draws every object, render/render.py:97).
-    """
-    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+    """One RGB frame of the 3D scene: lit surface mesh with wireframe
+    overlay (the reference draws ``scene.mesh(..., show_wireframe=True)``
+    under ambient + point lighting, render/render.py:86-106) + [0,5]³ box
+    lines.  ``pos``/``faces`` may be lists of per-body arrays (the
+    reference draws every object, render/render.py:97).
+    ``style="wireframe"`` renders edges only (cheaper at very large
+    surface counts)."""
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection, Poly3DCollection
 
     bodies = (
         list(zip(pos, faces))
@@ -126,6 +153,17 @@ def render_frame_3d(
     )
     for body_pos, body_faces in bodies:
         if not body_faces.shape[0]:
+            continue
+        if style == "shaded":
+            tris = body_pos[body_faces]  # (M, 3, 3)
+            coll = Poly3DCollection(
+                tris,
+                facecolors=_shade_faces(tris),
+                edgecolors=(1.0, 1.0, 1.0, 0.25),
+                linewidths=0.2,
+                zsort="average",
+            )
+            ax.add_collection3d(coll)
             continue
         # Unique undirected edges: shared triangle edges drawn once (halves
         # the segment count, matplotlib's bottleneck at large meshes).
@@ -166,11 +204,13 @@ class HeadlessRenderer:
         output_fps: int = 60,
         is_output_gif: bool = False,
         camera: "Optional[Tuple[float, float]]" = None,
+        style: str = "shaded",
     ):
         import os
 
         self.dim = dim
         self.camera = camera  # (elev, azim) degrees; None = default view
+        self.style = style  # 3D: "shaded" (reference ti.ui look) | "wireframe"
         self.output_dir = output_dir
         self.output_fps = output_fps
         self.frame_time = 1.0 / output_fps
@@ -205,10 +245,11 @@ class HeadlessRenderer:
         else:
             if self.camera is not None:
                 frame = render_frame_3d(
-                    pos, faces, msgs, elev=self.camera[0], azim=self.camera[1]
+                    pos, faces, msgs, elev=self.camera[0],
+                    azim=self.camera[1], style=self.style,
                 )
             else:
-                frame = render_frame_3d(pos, faces, msgs)
+                frame = render_frame_3d(pos, faces, msgs, style=self.style)
         self.frames.append(frame)
         self.output_frame_cnt += 1
         return True

@@ -43,6 +43,9 @@ def run(argv=None) -> int:
                         help="NaN-guarded stepping + physics metrics per print")
     parser.add_argument("--trace", type=str, default=None,
                         help="capture a jax.profiler trace into this directory")
+    parser.add_argument("--wireframe", action="store_true",
+                        help="3D: edges only instead of the lit surface "
+                             "(reference scene.mesh show_wireframe look)")
     parser.add_argument("--camera", type=str, default=None,
                         help="3D camera as 'elev,azim' degrees (headless "
                              "replacement for the reference's interactive "
@@ -112,6 +115,7 @@ def run(argv=None) -> int:
         renderer = HeadlessRenderer(
             cfg.dim, args.output, cfg.output_fps, cfg.is_output_gif,
             camera=camera,
+            style="wireframe" if args.wireframe else "shaded",
         )
     os.makedirs(args.output, exist_ok=True)
 

@@ -158,3 +158,27 @@ def test_frame_pacing():
     assert r.maybe_capture(0.02, pos, faces, None, np.zeros((1, 2)),
                            np.zeros(1))
     assert r.output_frame_cnt == 1
+
+
+def test_render_frame_3d_shaded_vs_wireframe():
+    """Shaded 3D render (the reference's lit scene.mesh look): filled
+    surface pixels, brighter toward the light, distinct from the
+    wireframe style."""
+    from fem_tpu.render.raster import render_frame_3d
+
+    # A tetrahedron sitting mid-box.
+    pos = np.array(
+        [[2.0, 1.0, 2.0], [3.0, 1.0, 2.0], [2.5, 1.0, 3.0],
+         [2.5, 2.0, 2.4]],
+        np.float32,
+    )
+    faces = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [2, 0, 3]])
+    shaded = render_frame_3d(pos, faces)
+    wire = render_frame_3d(pos, faces, style="wireframe")
+    assert shaded.shape == wire.shape == (640, 640, 3)
+    # Filled gray interior: many near-gray pixels absent from the wireframe.
+    def gray_px(img):
+        r, g, b = img[..., 0].astype(int), img[..., 1].astype(int), img[..., 2].astype(int)
+        return int(((abs(r - g) < 12) & (abs(g - b) < 12) & (g > 60)).sum())
+
+    assert gray_px(shaded) > gray_px(wire) + 1000
