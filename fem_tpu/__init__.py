@@ -9,6 +9,14 @@ by weighted Jacobi or (preconditioned) conjugate gradient.
 """
 
 from fem_tpu.api import Simulation
+from fem_tpu.diff import (
+    DiffParams,
+    lame_from_young,
+    make_diff_rollout_fn,
+    make_diff_substep_fn,
+    params_from_object,
+    trajectory_loss_fn,
+)
 from fem_tpu.models.state import FemObject, Obstacles, SimState, build_object
 from fem_tpu.sim import make_frame_fn, make_substep_fn, substep
 from fem_tpu.utils.config import (
@@ -23,6 +31,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Simulation",
+    "DiffParams",
+    "lame_from_young",
+    "make_diff_rollout_fn",
+    "make_diff_substep_fn",
+    "params_from_object",
+    "trajectory_loss_fn",
     "FemObject",
     "Obstacles",
     "SimState",
