@@ -210,7 +210,9 @@ def test_fused_tables_semantics(blocked_obj):
     # skip them; the synthetic yt must honor it.
     yt = np.asarray(ref_gather) * 0.5 + 1.0
     bp = np.asarray(blk.block_particles)  # (B, Pb)
-    plan = np.asarray(blk.scatter_plan)
+    plan = np.asarray(blk.scatter_lo).reshape(-1)
+    if blk.scatter_hi is not None:
+        plan = np.concatenate([plan, np.asarray(blk.scatter_hi).reshape(-1)])
     real = np.zeros((b_cnt * pb,), bool)
     real[plan[plan < b_cnt * pb]] = True
     yt *= real.reshape(b_cnt, pb)[:, None, :]
@@ -428,3 +430,35 @@ def test_explicit_gradient_pallas_backend_blocked(blocked_obj):
     np.testing.assert_allclose(
         got, ref, rtol=2e-6, atol=2e-6 * float(jnp.max(jnp.abs(ref)))
     )
+
+
+def test_two_tier_scatter_plan_covers_real_slots_once(blocked_obj):
+    """scatter_lo ∪ scatter_hi enumerate every real (non-padded) block slot
+    exactly once, and the two-tier scatter equals the plain segment-sum."""
+    from fem_tpu.ops.blocking import blocked_gather, blocked_scatter_sum
+
+    obj, state = blocked_obj
+    blk = obj.blocking
+    b_cnt, pb = blk.num_blocks, blk.pb
+    sentinel = b_cnt * pb
+    rows = list(np.asarray(blk.scatter_lo).reshape(-1))
+    if blk.scatter_hi is not None:
+        rows += list(np.asarray(blk.scatter_hi).reshape(-1))
+        assert blk.scatter_out is not None and blk.scatter_out.shape[0] > 0
+    rows = np.array([r for r in rows if r != sentinel])
+    assert rows.size == np.unique(rows).size  # each slot consumed once
+    # The real slots are exactly those holding a particle beyond padding:
+    # reconstruct from the slot→particle map used by the segment-sum path.
+    bp = np.asarray(blk.block_particles).reshape(-1)
+    yt = np.asarray(blocked_gather(state.pos, blk)) * 0.0
+    rng = np.random.default_rng(11)
+    vals = rng.standard_normal((b_cnt, 3, pb)).astype(np.float32)
+    real = np.zeros((b_cnt * pb,), bool)
+    real[rows] = True
+    yt = vals * real.reshape(b_cnt, pb)[:, None, :]
+    got = np.asarray(
+        blocked_scatter_sum(jnp.asarray(yt), blk, obj.particle_cnt)
+    )
+    seg = np.zeros((obj.particle_cnt, 3), np.float64)
+    np.add.at(seg, bp, yt.transpose(0, 2, 1).reshape(-1, 3))
+    np.testing.assert_allclose(got, seg, rtol=1e-5, atol=1e-5)
