@@ -77,9 +77,10 @@ def bench_tpu(cfg, obj, state, obstacles):
 
     * **impact**: frames 75-115 — the measured per-frame profile
       (BASELINE.md "measurement regime") puts first floor contact at
-      frame ~74 with CG ramping 1→2 iters/substep.  4 windows of 10
-      frames (each pays the ~20 ms relay sync, so this number is
-      conservatively low).
+      frame ~74 with CG ramping 1→2 iters/substep.  2 windows of 20
+      frames — the transient only lasts ~40 frames, and wider windows
+      amortize the ~20-30 ms relay sync each window pays (the earlier
+      4×10 split was ~40% sync overhead).
     * **steady contact** (the headline): frames 175+, continuous floor
       contact under damping — measured fact: this is the MAXIMAL-work
       regime on this mesh (CG holds 2.0 iters/substep there vs 0-1.6
@@ -100,8 +101,8 @@ def bench_tpu(cfg, obj, state, obstacles):
         s, _ = frame_fn(s, obstacles)
     _ = np.asarray(s.pos)  # hard sync before starting any clock
     contact = []
-    for _ in range(4):
-        s, rate, iters = _timed_window(frame_fn, s, obstacles, 10,
+    for _ in range(2):
+        s, rate, iters = _timed_window(frame_fn, s, obstacles, 20,
                                        cfg.sim_count)
         contact.append((rate, iters))
     for _ in range(60):  # advance to the settled ring-down
@@ -238,8 +239,7 @@ def main():
         f"steady contact (headline): cg_iters/substep={settled_iters:.1f} "
         f"({settled_steps_per_s:.0f} steps/s) | "
         f"impact transient: cg_iters/substep={cg_iters:.1f} "
-        f"({tpu_steps_per_s:.0f} steps/s, 10-frame windows -> "
-        f"relay-sync-dominated) | "
+        f"({tpu_steps_per_s:.0f} steps/s, 2x20-frame windows) | "
         f"dense-numpy baseline={base_steps_per_s:.2f} steps/s",
         file=sys.stderr,
     )
