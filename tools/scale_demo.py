@@ -35,6 +35,10 @@ def main():
                    help="simulate through the floor impact first so the "
                         "measured window has real deformation + CG work")
     p.add_argument("--render", action="store_true")
+    p.add_argument("--gif-frames", type=int, default=0,
+                   help="after the measured window, render this many frames "
+                        "into --gif (demo artifact; 0 = off)")
+    p.add_argument("--gif", default="demo/3d_scale_68k/video.gif")
     p.add_argument("--method", default="implicit_cg",
                    choices=["implicit_cg", "explicit"])
     p.add_argument("--robust-inversion", action="store_true",
@@ -125,6 +129,33 @@ def main():
         out = "/tmp/scale_demo.png"
         Image.fromarray(img).save(out)
         print(f"wrote {out}")
+
+    if args.gif_frames:
+        # Demo artifact: continue the sim past the measured window and
+        # render every frame (device->host fetch per frame is fine here —
+        # nothing is being timed).
+        from PIL import Image
+
+        from fem_tpu.render.raster import render_frame_3d
+
+        frames = []
+        for i in range(args.gif_frames):
+            s, aux = frame(s, obstacles)
+            frames.append(
+                Image.fromarray(
+                    render_frame_3d(
+                        np.asarray(s.pos), np.asarray(obj.faces),
+                        elev=20, azim=-70,
+                    )
+                )
+            )
+        os.makedirs(os.path.dirname(args.gif) or ".", exist_ok=True)
+        frames[0].save(
+            args.gif, save_all=True, append_images=frames[1:],
+            duration=int(1000 * cfg.sim_count * cfg.delta_time * 8),
+            loop=0,
+        )
+        print(f"wrote {args.gif} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":
