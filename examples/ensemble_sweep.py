@@ -23,7 +23,10 @@ from fem_tpu.models.mesh import construct_2d_mesh
 from fem_tpu.models.state import Obstacles, build_object
 from fem_tpu.utils.config import BlockConfig, ObjectConfig, SimConfig
 
-B = 32
+# The smoke test sets FEM_TPU_EXAMPLE_FAST=1 — same code path, smaller run.
+FAST = os.environ.get("FEM_TPU_EXAMPLE_FAST") == "1"
+B = 4 if FAST else 32
+SECONDS = 0.1 if FAST else 2.0
 ocfg = ObjectConfig(center=(0.5, 0.8), side_length=0.2, subdivisions=10)
 cfg = SimConfig(
     dim=2, auto_diff=False, use_explicit_method=True, sim_count=10,
@@ -43,7 +46,7 @@ states = perturb_states(state, B, scale=1e-3)
 # 2 virtual seconds for all B members.  NOTE: timed regions must end with a
 # device->host value fetch -- block_until_ready does not actually wait on
 # this environment's relayed TPU backend (see BASELINE.md).
-n_frames = int(2.0 / (cfg.sim_count * cfg.delta_time))
+n_frames = int(SECONDS / (cfg.sim_count * cfg.delta_time))
 s, _ = frame_fn(states, obstacles)  # compile
 _ = np.asarray(s.pos)
 t0 = time.perf_counter()

@@ -34,10 +34,14 @@ from fem_tpu.models.state import Obstacles, build_object
 from fem_tpu.utils.config import ObjectConfig, SimConfig
 
 IMPLICIT = "--implicit" in sys.argv
+# The smoke test sets FEM_TPU_EXAMPLE_FAST=1 — same code path, fewer
+# substeps/descent iterations (too few to converge; it checks the machinery).
+FAST = os.environ.get("FEM_TPU_EXAMPLE_FAST") == "1"
 
 E_TRUE, NU = 4.0e4, 0.2
 E_GUESS = 2.0e4  # start at half the true stiffness
-N_SUBSTEPS = 25 if not IMPLICIT else 15
+N_SUBSTEPS = 6 if FAST else (25 if not IMPLICIT else 15)
+N_ITERS = 3 if FAST else 60
 
 ocfg = ObjectConfig(center=(0.5, 0.8), side_length=0.2, subdivisions=6,
                     E=E_TRUE, nu=NU)
@@ -88,7 +92,7 @@ print(f"{'implicit' if IMPLICIT else 'explicit'} rollout, "
       f"{N_SUBSTEPS} substeps, {obj.element_cnt} elements")
 print(f"true E = {E_TRUE:.0f}, initial guess = {E_GUESS:.0f}")
 t0 = time.perf_counter()
-for i in range(60):
+for i in range(N_ITERS):
     val, g = loss_and_grad(log_e)
     updates, opt_state = opt.update(g, opt_state)
     log_e = optax.apply_updates(log_e, updates)

@@ -35,8 +35,11 @@ sim = fem_tpu.Simulation.from_dict(
 )
 print(sim)
 
-# Advance one virtual second with NaN-guarded stepping.
-sim.run(seconds=1.0, nan_guard=True)
+# Advance one virtual second with NaN-guarded stepping.  (The smoke test
+# sets FEM_TPU_EXAMPLE_FAST=1 to keep CI cheap — same code path, fewer
+# frames.)
+fast = os.environ.get("FEM_TPU_EXAMPLE_FAST") == "1"
+sim.run(seconds=0.05 if fast else 1.0, nan_guard=True)
 m = sim.metrics()
 print(
     f"t={sim.virtual_time:.2f}s  U={m.elastic_energy:.3f}  "
