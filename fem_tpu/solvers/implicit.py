@@ -727,7 +727,26 @@ def implicit_velocity_solve(
                 res = jacobi_solve_serial(a_dense, b, state.jacobi_past_x)
         elif jacobi_sweep == "snapshot":
             diag = diagonal_blocks(obj, K, dt, axis_name)
-            res = jacobi_solve(apply_a, diag, b, state.jacobi_past_x)
+            apply_j = apply_a
+            if obj.blocking is not None and operator_mode in (
+                "auto", "blocked",
+            ):
+                # Snapshot Jacobi only needs the residual operator + the
+                # diagonal, so (unlike the serial parity sweeps, which need
+                # explicit rows) it can ride the blocked MXU apply — the
+                # same 8.6×-at-68k-tets execution the CG path uses.  K is
+                # recomputed on the block-ordered element copies (the
+                # Blocking stores no element permutation; one extra element
+                # chain ≪ the sweep's many applies).
+                k_blk = hessian_blocks(
+                    state.pos, obj.blocking.element_indices,
+                    obj.blocking.ref_inv, obj.blocking.volume,
+                    obj.mu, obj.s_lambda, robust,
+                )
+                apply_j, _ = make_blocked_system_apply(
+                    obj, k_blk, dt, axis_name
+                )
+            res = jacobi_solve(apply_j, diag, b, state.jacobi_past_x)
         else:
             raise ValueError(f"unknown jacobi_sweep {jacobi_sweep!r}")
         new_state = state.replace(vel=res.x, jacobi_past_x=res.past_x)

@@ -462,3 +462,22 @@ def test_two_tier_scatter_plan_covers_real_slots_once(blocked_obj):
     seg = np.zeros((obj.particle_cnt, 3), np.float64)
     np.add.at(seg, bp, yt.transpose(0, 2, 1).reshape(-1, 3))
     np.testing.assert_allclose(got, seg, rtol=1e-5, atol=1e-5)
+
+
+def test_snapshot_jacobi_rides_blocked_operator(blocked_obj):
+    """jacobi_sweep="snapshot" with a blocking attached routes its residual
+    operator through the blocked MXU apply; same solve as the graph apply."""
+    obj, state = blocked_obj
+    state = _deformed(state, seed=12)
+    ref_state, ref_aux = implicit_velocity_solve(
+        obj.replace(blocking=None), state, DT, method=0, preconditioned=0,
+        jacobi_sweep="snapshot", operator_mode="graph",
+    )
+    got_state, got_aux = implicit_velocity_solve(
+        obj, state, DT, method=0, preconditioned=0,
+        jacobi_sweep="snapshot", operator_mode="blocked",
+    )
+    np.testing.assert_allclose(
+        got_state.vel, ref_state.vel, rtol=5e-4, atol=1e-6
+    )
+    assert abs(int(got_aux.iterations) - int(ref_aux.iterations)) <= 1
