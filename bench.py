@@ -87,8 +87,10 @@ def bench_tpu(cfg, obj, state, obstacles):
       through the impact transient; under the reference's absolute
       tolerance the flagship never exceeds ~2 in any regime — the
       8-11-iter compute-bound story is the 68k-tet BASELINE row).
-      5 windows of 30 frames; comparable to the round-1/2 headline
-      methodology.
+      5 windows of 100 frames (widened from 30 in round 3 after the
+      30-virtual-s soak showed 30-frame windows still pay ~10% in
+      per-window relay sync: 5,270 vs 5,853 sustained on identical
+      code — tools/soak.py / BASELINE.md).
 
     Returns (impact_rate, impact_iters, steady_rate, steady_iters),
     window medians.
@@ -110,7 +112,7 @@ def bench_tpu(cfg, obj, state, obstacles):
     _ = np.asarray(s.pos)
     settled = []
     for _ in range(5):
-        s, rate, iters = _timed_window(frame_fn, s, obstacles, 30,
+        s, rate, iters = _timed_window(frame_fn, s, obstacles, 100,
                                        cfg.sim_count)
         settled.append((rate, iters))
     return (
