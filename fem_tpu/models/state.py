@@ -47,9 +47,14 @@ class FemObject:
     mass: jnp.ndarray  # (N,)         lumped masses (object.py:358-360)
     rest_pos: jnp.ndarray  # (N, d)   ref_pos (object.py:342)
     faces: jnp.ndarray  # (M, 3) int32 render/surface faces
-    # Per-particle incidence plan (N, max_degree) for gather-based assembly
+    # Per-particle incidence plan (N, cap) for gather-based assembly
     # (ops/assembly.py:build_gather_plan) — TPUs prefer gathers to scatters.
+    # Two-tier when the valence distribution is skewed (split_two_tier):
+    # gather_hi (N2, maxdeg-cap) holds the outlier particles' (gather_out)
+    # remaining rows, index-added on top; both None on small/uniform meshes.
     gather_idx: jnp.ndarray = None
+    gather_hi: jnp.ndarray = None
+    gather_out: jnp.ndarray = None
     # Dense ±1 edge-difference operator S (E·d, N) for the MXU operator mode
     # (solvers/implicit.py:build_edge_matrix); attached at build time for
     # small meshes, None otherwise.
@@ -145,7 +150,7 @@ def build_object(
     matrix (O(E·d·N) HBM) is built only when ``"mxu"`` is explicitly forced —
     "auto" always prefers the blocked operator, leaving the matrix dead
     weight otherwise."""
-    from fem_tpu.ops.assembly import build_gather_plan
+    from fem_tpu.ops.assembly import build_gather_plan, split_two_tier
     from fem_tpu.solvers.implicit import build_edge_matrix
 
     d = vertices.shape[1]
@@ -166,6 +171,14 @@ def build_object(
     from fem_tpu.ops.assembly import build_jacobi_plan
 
     jac_nb, jac_slots, jac_coeff = build_jacobi_plan(element_indices, n)
+    # Two-tier assembly plan (ops/assembly.split_two_tier): vertex valence
+    # on tet meshes is skewed, so the (N, maxdeg) plan is mostly sentinel
+    # padding; small/uniform meshes keep the single tier bit-identically.
+    plan = build_gather_plan(element_indices, n)
+    valence = np.bincount(
+        np.asarray(element_indices).reshape(-1), minlength=n
+    )
+    g_lo, g_hi, g_out = split_two_tier(plan, valence)
     obj = FemObject(
         element_indices=jnp.asarray(element_indices.astype(np.int32)),
         ref_inv=jnp.asarray(ref_inv),
@@ -173,7 +186,9 @@ def build_object(
         mass=jnp.asarray(mass),
         rest_pos=jnp.asarray(pos),
         faces=jnp.asarray(faces.astype(np.int32)),
-        gather_idx=jnp.asarray(build_gather_plan(element_indices, n)),
+        gather_idx=jnp.asarray(g_lo),
+        gather_hi=None if g_hi is None else jnp.asarray(g_hi),
+        gather_out=None if g_out is None else jnp.asarray(g_out),
         # Gate: S costs E·d·N f32 in HBM and 2 reads per operator apply;
         # viable below 16M entries (64 MB) and only built when the mxu
         # mode is explicitly requested (the auto path runs blocked).

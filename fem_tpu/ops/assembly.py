@@ -93,6 +93,39 @@ def build_gather_plan(element_indices, num_particles: int):
     return plan.astype(np.int32)
 
 
+def split_two_tier(plan, counts, min_saving: float = 0.25):
+    """Split a (N, maxdeg) gather plan into the two-tier form when the
+    degree distribution is skewed enough to pay for it.
+
+    Tet-mesh vertex valence is skewed (flagship: median 12, maxdeg 56 —
+    the single-tier plan gathers 56k rows of which half are sentinel
+    padding), same shape as the block-slot degrees in
+    ops/blocking.Blocking.scatter_lo/hi/out.  Returns ``(lo, hi, out)``:
+    ``lo`` is ``(N, cap)`` at the row-count-minimizing cap, ``hi``
+    ``(N2, maxdeg-cap)`` holds the remaining rows of the ``out`` outlier
+    particles (index-added on top).  ``hi``/``out`` are None — and ``lo``
+    is the input plan — when the best split saves less than
+    ``min_saving`` of the gathered rows (small/uniform meshes), keeping
+    those assemblies bit-identical to the single-tier form.
+    """
+    import numpy as np
+
+    plan = np.asarray(plan)
+    counts = np.asarray(counts)
+    n, maxdeg = plan.shape
+    if n == 0 or maxdeg <= 1:
+        return plan, None, None
+    caps = np.arange(1, maxdeg + 1)
+    n2_at = np.array([(counts > c).sum() for c in caps])
+    cost = n * caps + n2_at * (maxdeg - caps)
+    best = int(np.argmin(cost))
+    cap = int(caps[best])
+    if cap == maxdeg or cost[best] > (1.0 - min_saving) * n * maxdeg:
+        return plan, None, None
+    outliers = np.nonzero(counts > cap)[0].astype(np.int32)
+    return plan[:, :cap], plan[outliers, cap:], outliers
+
+
 def build_jacobi_plan(element_indices, num_particles: int):
     """Precompute the block-sparse row structure of the implicit system for
     the serial Gauss–Seidel-style Jacobi sweep (solvers/implicit.py::
@@ -137,14 +170,22 @@ def build_jacobi_plan(element_indices, num_particles: int):
 
 
 def gather_assemble(
-    contrib: jnp.ndarray, gather_idx: jnp.ndarray
+    contrib: jnp.ndarray,
+    gather_idx: jnp.ndarray,
+    gather_hi: jnp.ndarray | None = None,
+    gather_out: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Gather-based assembly: ``(E, d+1, k) -> (N, k)`` using a precomputed
-    incidence plan (see :func:`build_gather_plan`)."""
+    incidence plan (see :func:`build_gather_plan`).  With ``gather_hi`` /
+    ``gather_out`` (see :func:`split_two_tier`) the outlier particles'
+    remaining rows are gathered from the compact high tier and index-added."""
     k = contrib.shape[-1]
     flat = contrib.reshape(-1, k)
     flat = jnp.concatenate([flat, jnp.zeros((1, k), flat.dtype)], axis=0)
-    return jnp.sum(flat[gather_idx], axis=1)
+    out = jnp.sum(flat[gather_idx], axis=1)
+    if gather_hi is not None:
+        out = out.at[gather_out].add(jnp.sum(flat[gather_hi], axis=1))
+    return out
 
 
 def assemble_for(obj, contrib: jnp.ndarray, axis_name: str | None = None):
@@ -152,7 +193,10 @@ def assemble_for(obj, contrib: jnp.ndarray, axis_name: str | None = None):
     psum-reduced segment-sum under shard_map (``obj`` is any object with
     ``assembly_mode, gather_idx, element_indices, particle_cnt``)."""
     if axis_name is None and obj.assembly_mode == "gather":
-        return gather_assemble(contrib, obj.gather_idx)
+        return gather_assemble(
+            contrib, obj.gather_idx,
+            getattr(obj, "gather_hi", None), getattr(obj, "gather_out", None),
+        )
     return segment_assemble(
         contrib, obj.element_indices, obj.particle_cnt, axis_name
     )

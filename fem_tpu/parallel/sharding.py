@@ -40,7 +40,10 @@ def pad_elements(obj: FemObject, multiple: int) -> FemObject:
     target = ((e + multiple - 1) // multiple) * multiple
     pad = target - e
     if pad == 0:
-        return obj
+        # The sharded path assembles by segment-sum + psum; drop the
+        # single-chip two-tier gather plan so every remaining array leaf
+        # has a PartitionSpec in the shard_map spec pytrees below.
+        return obj.replace(gather_hi=None, gather_out=None)
     idx = jnp.concatenate(
         [obj.element_indices, jnp.tile(obj.element_indices[:1], (pad, 1))]
     )
@@ -70,6 +73,8 @@ def pad_elements(obj: FemObject, multiple: int) -> FemObject:
         gather_idx=jnp.asarray(
             build_gather_plan(np.asarray(idx), obj.particle_cnt)
         ),
+        gather_hi=None,
+        gather_out=None,
         jacobi_slots=jac_slots,
         jacobi_coeff=jac_coeff,
         edge_matrix=None,  # MXU operator mode is single-chip only

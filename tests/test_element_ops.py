@@ -159,8 +159,13 @@ def test_segment_assembly_matches_loop():
 
 
 def test_gather_assembly_matches_segment_assembly():
-    """The gather-plan assembly (TPU-preferred) must equal segment-sum."""
-    from fem_tpu.ops.assembly import build_gather_plan, gather_assemble
+    """The gather-plan assembly (TPU-preferred) must equal segment-sum —
+    including the two-tier split form (ops/assembly.split_two_tier)."""
+    from fem_tpu.ops.assembly import (
+        build_gather_plan,
+        gather_assemble,
+        split_two_tier,
+    )
 
     rng = np.random.default_rng(4)
     for maker in (make_2d_object, two_tet_object):
@@ -173,10 +178,34 @@ def test_gather_assembly_matches_segment_assembly():
         plan = build_gather_plan(
             np.asarray(obj.element_indices), obj.particle_cnt
         )
-        np.testing.assert_array_equal(plan, np.asarray(obj.gather_idx))
-        gat = gather_assemble(contrib, jnp.asarray(plan))
+        valence = np.bincount(
+            np.asarray(obj.element_indices).reshape(-1),
+            minlength=obj.particle_cnt,
+        )
+        lo, hi, out_ids = split_two_tier(plan, valence)
+        np.testing.assert_array_equal(lo, np.asarray(obj.gather_idx))
+        if hi is None:
+            assert obj.gather_hi is None and obj.gather_out is None
+        else:
+            np.testing.assert_array_equal(hi, np.asarray(obj.gather_hi))
+            np.testing.assert_array_equal(out_ids, np.asarray(obj.gather_out))
+            # Every non-sentinel row consumed exactly once across tiers.
+            sent = e * (d + 1)
+            rows = np.concatenate([lo.reshape(-1), hi.reshape(-1)])
+            rows = rows[rows != sent]
+            assert rows.size == np.unique(rows).size == (
+                plan != sent
+            ).sum()
+        gat = gather_assemble(
+            contrib, obj.gather_idx, obj.gather_hi, obj.gather_out
+        )
         np.testing.assert_allclose(
             np.asarray(gat), np.asarray(seg), rtol=1e-5, atol=1e-6
+        )
+        # The single-tier full plan agrees too.
+        gat_full = gather_assemble(contrib, jnp.asarray(plan))
+        np.testing.assert_allclose(
+            np.asarray(gat_full), np.asarray(seg), rtol=1e-5, atol=1e-6
         )
 
 
