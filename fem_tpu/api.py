@@ -32,11 +32,30 @@ from fem_tpu.utils.profiling import FrameMetrics, check_state, frame_metrics
 class Simulation:
     """A loaded scene plus compiled per-frame steppers and a virtual clock."""
 
-    def __init__(self, cfg: SimConfig, interior_spacing: Optional[float] = None):
+    def __init__(self, cfg: SimConfig, interior_spacing: Optional[float] = None,
+                 sharded: bool = False):
+        """``sharded=True`` compiles each body's frame function under
+        ``shard_map`` over a 1-D device mesh spanning all of
+        ``jax.devices()`` (elements/locality-blocks partitioned, one psum
+        per operator apply — parallel/sharding.py).  Identical results to
+        single-device (tests/test_sharding.py); requires >1 device to be
+        useful (8 virtual CPU devices via
+        ``xla_force_host_platform_device_count`` work for testing)."""
         self.cfg = cfg
         self.scene: List[SceneObject]
         self.scene, self.obstacles = load_scene(cfg, interior_spacing)
-        self._frame_fns = [make_frame_fn(s.obj, cfg) for s in self.scene]
+        if sharded:
+            from fem_tpu.parallel.sharding import (
+                make_element_mesh,
+                make_sharded_frame_fn,
+            )
+
+            mesh = make_element_mesh()
+            self._frame_fns = [
+                make_sharded_frame_fn(s.obj, cfg, mesh) for s in self.scene
+            ]
+        else:
+            self._frame_fns = [make_frame_fn(s.obj, cfg) for s in self.scene]
         self.virtual_time = 0.0
         self.frame_count = 0
         self.last_aux = None

@@ -81,3 +81,24 @@ def test_leading_principal_minors():
     assert (leading_principal_minors(spd) > 0).all()
     indef = np.array([[0.0, 1.0], [1.0, 0.0]])
     assert (leading_principal_minors(indef) <= 0).any()
+
+
+def test_simulation_sharded_matches_single_device():
+    """Simulation(sharded=True) — the high-level multi-chip entry — runs
+    each frame under shard_map over all devices (8 virtual CPU devices via
+    conftest) and matches the single-device trajectory."""
+    import jax
+
+    assert len(jax.devices()) >= 2  # conftest forces the 8-device CPU mesh
+    # Implicit CG exercises the sharded blocked operator path.
+    cfg = _cfg_dict(
+        auto_diff=False, use_explicit_method=False, implicit_method=1,
+        preconditioned=1,
+    )
+    ref = fem_tpu.Simulation.from_dict(cfg)
+    ref.run(frames=4, nan_guard=True)
+    shd = fem_tpu.Simulation.from_dict(cfg, sharded=True)
+    shd.run(frames=4, nan_guard=True)
+    np.testing.assert_allclose(
+        shd.positions(), ref.positions(), rtol=1e-5, atol=1e-6
+    )
