@@ -50,6 +50,12 @@ def run(argv=None) -> int:
                         help="3D camera as 'elev,azim' degrees (headless "
                              "replacement for the reference's interactive "
                              "camera keys)")
+    parser.add_argument("--sharded", action="store_true",
+                        help="compile each body's frame under shard_map "
+                             "over ALL jax.devices() (elements/locality-"
+                             "blocks partitioned, one psum per operator "
+                             "apply) — multi-chip execution; identical "
+                             "trajectories to single-device")
     args = parser.parse_args(argv)
 
     # Persistent XLA compilation cache: repeat runs of the same config skip
@@ -82,7 +88,17 @@ def run(argv=None) -> int:
     scene, obstacles = load_scene(cfg, args.interior_spacing)
     print(method_banner(cfg))
 
-    frame_fns = [make_frame_fn(s.obj, cfg) for s in scene]
+    if args.sharded:
+        from fem_tpu.parallel.sharding import (
+            make_element_mesh,
+            make_sharded_frame_fn,
+        )
+
+        mesh = make_element_mesh()
+        print(f"sharded over {mesh.devices.size} devices")
+        frame_fns = [make_sharded_frame_fn(s.obj, cfg, mesh) for s in scene]
+    else:
+        frame_fns = [make_frame_fn(s.obj, cfg) for s in scene]
 
     frame_time = cfg.frame_time
     n_frames = args.frames

@@ -215,3 +215,30 @@ def test_cli_multi_object_scene(tmp_path):
          str(tmp_path / "out"), "--no-render"]
     )
     assert rc == 0
+
+
+def test_cli_sharded_flag(tmp_path):
+    """--sharded drives the whole CLI loop under shard_map (8 virtual CPU
+    devices via conftest) and matches the single-device run."""
+    cfg = _write_cfg(
+        tmp_path, auto_diff=False, use_explicit_method=False,
+        implicit_method=1, is_output_gif=False,
+    )
+    out1 = str(tmp_path / "single")
+    out2 = str(tmp_path / "sharded")
+    assert cli.run([
+        "--config", cfg, "--frames", "3", "--no-render", "--output", out1,
+        "--checkpoint-every", "3",
+    ]) in (0, None)
+    assert cli.run([
+        "--config", cfg, "--frames", "3", "--no-render", "--output", out2,
+        "--checkpoint-every", "3", "--sharded",
+    ]) in (0, None)
+    from fem_tpu.utils.io import load_scene_checkpoint
+
+    s1, f1, *_ = load_scene_checkpoint(os.path.join(out1, "ckpt_000003.npz"))
+    s2, f2, *_ = load_scene_checkpoint(os.path.join(out2, "ckpt_000003.npz"))
+    assert f1 == f2 == 3
+    np.testing.assert_allclose(
+        np.asarray(s2[0].pos), np.asarray(s1[0].pos), rtol=1e-5, atol=1e-6
+    )
