@@ -27,6 +27,10 @@ def main():
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--window", type=float, default=2.0)
     p.add_argument("--config", default="configs/demo_spot.json")
+    p.add_argument("--spacing", type=float, default=None,
+                   help="interior mesher spacing override (scale meshes)")
+    p.add_argument("--dt", type=float, default=None,
+                   help="substep dt override (scale meshes need 2.5e-4)")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -37,10 +41,14 @@ def main():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = read_config(os.path.join(here, args.config))
+    if args.dt is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, delta_time=args.dt)
     ocfg = cfg.objects[0]
     obj_path = os.path.join(here, ocfg.obj)
     ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
-    v, f, e, _ = load_object_mesh(ocfg)
+    v, f, e, _ = load_object_mesh(ocfg, args.spacing)
     obj, state = build_object(ocfg, v, f, e)
     obstacles = Obstacles.from_configs(cfg.blocks, cfg.dim)
     frame = make_frame_fn(obj, cfg)
