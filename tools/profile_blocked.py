@@ -107,7 +107,7 @@ def main():
     piece("block gather x[bp]", lambda x: B.blocked_gather(x, blk))
     piece("pallas matvec kernel only", lambda x: B._blocked_matvec_call(
         blk, kplane, xbt0 * dep(x), d, False))
-    piece("segment-sum scatter", lambda x: B.blocked_scatter_sum(
+    piece("scatter (two-tier plan)", lambda x: B.blocked_scatter_sum(
         yt0 * dep(x), blk, n_part))
     piece("make_kplane", lambda x: B.make_kplane(blk, k_flat * dep(x), d))
     piece("hessian_blocks (xla)", lambda x: hessian_blocks(

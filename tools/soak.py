@@ -31,6 +31,10 @@ def main():
                    help="interior mesher spacing override (scale meshes)")
     p.add_argument("--dt", type=float, default=None,
                    help="substep dt override (scale meshes need 2.5e-4)")
+    p.add_argument("--robust", action="store_true",
+                   help="enable the robust_inversion extension (rescues "
+                        "thin-feature element inversions that NaN the "
+                        "reference's unclamped log under deep squash)")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -41,10 +45,12 @@ def main():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = read_config(os.path.join(here, args.config))
-    if args.dt is not None:
-        import dataclasses
+    import dataclasses
 
+    if args.dt is not None:
         cfg = dataclasses.replace(cfg, delta_time=args.dt)
+    if args.robust:
+        cfg = dataclasses.replace(cfg, robust_inversion=True)
     ocfg = cfg.objects[0]
     obj_path = os.path.join(here, ocfg.obj)
     ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
