@@ -73,9 +73,9 @@ class Blocking:
     # first ``cap`` slots of every particle; the few particles with more
     # (``scatter_out``) get their remaining slots from ``scatter_hi`` via a
     # small index-add.  cap minimizes total gathered rows at build time
-    # (68k tets: 120k → 54k rows, scatter 188 → ~90 µs per apply).  All
-    # None under sharding (indices are global; that path segment-sums +
-    # psums).
+    # (68k tets: 120k → 54k rows; isolated scatter 211 → 54 µs, end-to-end
+    # implicit +15% — BASELINE.md).  All None under sharding (indices are
+    # global; that path segment-sums + psums).
     scatter_lo: jnp.ndarray = None  # (N, cap) int32
     scatter_hi: jnp.ndarray = None  # (N2, maxdeg-cap) int32 or None
     scatter_out: jnp.ndarray = None  # (N2,) int32 outlier particle ids
@@ -179,16 +179,16 @@ def build_blocking(
     ranks = np.arange(order.size) - starts[slot_parts[order]]
     scatter_plan[slot_parts[order], ranks] = slot_rows[order]
     scatter_plan = scatter_plan.astype(np.int32)
-    # Two-tier split (see Blocking field docs): cap minimizing gathered rows.
-    caps = np.arange(1, maxdeg + 1)
-    n2_at = np.array([(counts > c).sum() for c in caps])
-    cap = int(caps[np.argmin(n * caps + n2_at * (maxdeg - caps))])
-    outliers = np.nonzero(counts > cap)[0].astype(np.int32)
-    scatter_lo = jnp.asarray(scatter_plan[:, :cap])
-    scatter_hi = scatter_out = None
-    if outliers.size:
-        scatter_hi = jnp.asarray(scatter_plan[outliers, cap:])
-        scatter_out = jnp.asarray(outliers)
+    # Two-tier split (see Blocking field docs; shared cap logic with the
+    # element-assembly plan).  min_saving=0: the block-slot distribution is
+    # always skewed enough at production sizes, and the neutral small-mesh
+    # case costs nothing.
+    from fem_tpu.ops.assembly import split_two_tier
+
+    lo_np, hi_np, out_np = split_two_tier(scatter_plan, counts, 0.0)
+    scatter_lo = jnp.asarray(lo_np)
+    scatter_hi = None if hi_np is None else jnp.asarray(hi_np)
+    scatter_out = None if out_np is None else jnp.asarray(out_np)
     s_dense = g_dense = None
     if fused_tables_bytes(b_cnt, eb, pb, d, n) <= FUSED_MAX_BYTES:
         s_np, g_np = build_fused_tables(
