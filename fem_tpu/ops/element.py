@@ -119,6 +119,37 @@ def element_energies(
     return volume * energy_density(F, mu, s_lambda, material)
 
 
+def first_piola(
+    F: jnp.ndarray, mu: float, s_lambda: float, material: str = "neo_hookean"
+) -> jnp.ndarray:
+    """Analytic first Piola–Kirchhoff stress P(F) = ∂φ/∂F per material
+    (matches :func:`energy_density` exactly — parity pinned by the
+    autodiff-vs-analytic tests):
+
+    * ``neo_hookean``: μF − μF⁻ᵀ + λ·log(det F)·F⁻ᵀ (reference
+      solver/explicit.py:23-28, unclamped log).
+    * ``stvk``: F·(2μG + λ·tr(G)·I) with G = ½(FᵀF − I).
+    * ``linear``: 2με + λ·tr(ε)·I with ε = ½(F + Fᵀ) − I.
+    """
+    d = F.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=F.dtype), F.shape)
+    if material == "linear":
+        eps = 0.5 * (F + sm.mT(F)) - eye
+        return 2.0 * mu * eps + s_lambda * sm.trace(eps)[..., None, None] * eye
+    if material == "stvk":
+        c = jnp.einsum(
+            "...ki,...kj->...ij", F, F, precision=jax.lax.Precision.HIGHEST
+        )
+        g = 0.5 * (c - eye)
+        s = 2.0 * mu * g + s_lambda * sm.trace(g)[..., None, None] * eye
+        return sm.matmul(F, s)
+    if material != "neo_hookean":
+        raise ValueError(f"unknown material {material!r}")
+    f_inv_t = sm.mT(sm.inv(F))
+    log_j = jnp.log(sm.det(F))[..., None, None]
+    return mu * F - mu * f_inv_t + s_lambda * log_j * f_inv_t
+
+
 def explicit_grad_columns(
     pos: jnp.ndarray,
     element_indices: jnp.ndarray,
@@ -126,19 +157,18 @@ def explicit_grad_columns(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    material: str = "neo_hookean",
 ) -> jnp.ndarray:
     """Analytic energy-gradient columns for the explicit path: ``(E, d, d)``.
 
-    ``H = V · (μF − μF⁻ᵀ + λ·log(det F)·F⁻ᵀ) @ R_invᵀ`` with column j going to
-    local vertex j+1 and −Σ columns to vertex 0 (reference:
-    solver/explicit.py:23-49).  Note the reference *accumulates the gradient of
-    the energy* into ``particles.force`` (it is subtracted in kinematic:
+    ``H = V · P(F) @ R_invᵀ`` with column j going to local vertex j+1 and
+    −Σ columns to vertex 0 (reference: solver/explicit.py:23-49).  Note the
+    reference *accumulates the gradient of the energy* into
+    ``particles.force`` (it is subtracted in kinematic:
     solver/kinematic.py:19), so these are +∂U/∂x contributions.
     """
     F = deformation_gradients(pos, element_indices, ref_inv)
-    f_inv_t = sm.mT(sm.inv(F))
-    log_j = jnp.log(sm.det(F))[..., None, None]
-    P = mu * F - mu * f_inv_t + s_lambda * log_j * f_inv_t
+    P = first_piola(F, mu, s_lambda, material)
     return volume[..., None, None] * sm.matmul(P, sm.mT(ref_inv))
 
 

@@ -33,8 +33,12 @@ class ObjectConfig:
     subdivisions: int = 10
     # 3D mesh file (reference: object.py:128-161)
     obj: Optional[str] = None
-    # Material model: "neo_hookean" (reference live path) or "stvk" (the
-    # reference's latent commented-out variant; autodiff path only).
+    # Material model: "neo_hookean" (reference live path), "stvk" (the
+    # reference's latent commented-out variant) or "linear" (extension).
+    # Supported on the explicit paths, both autodiff (jax.grad of the
+    # energy) and analytic (first_piola columns); the implicit solver is
+    # Neo-Hookean only (its decoupled block Hessian is the reference's
+    # NH-specific formula).
     material: str = "neo_hookean"
 
     @property

@@ -82,3 +82,43 @@ def test_recover_uv_exact_and_interpolated():
     out = recover_uv(pts, verts, faces, uv)
     np.testing.assert_allclose(out[0], [1.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(out[1], [0.25, 0.25], atol=1e-6)
+
+
+def test_analytic_first_piola_matches_autodiff():
+    """Analytic P(F) columns equal jax.grad of the same energy for every
+    material — the extension of the reference's NH analytic-vs-tape pairing
+    (solver/explicit.py vs explicit_auto_diff.py) to stvk/linear."""
+    import jax
+
+    from fem_tpu.solvers.explicit import (
+        analytic_energy_gradient,
+        autodiff_energy_gradient,
+    )
+
+    rng = np.random.default_rng(3)
+    _, obj, state = make_2d_object(subdivisions=4)
+    pos = state.pos + jnp.asarray(
+        rng.uniform(-0.02, 0.02, state.pos.shape).astype(np.float32)
+    )
+    for material in ("neo_hookean", "stvk", "linear"):
+        o = obj.replace(material=material)
+        got = np.asarray(analytic_energy_gradient(o, pos))
+        ref = np.asarray(autodiff_energy_gradient(o, pos))
+        scale = max(1.0, float(np.abs(ref).max()))
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-5, atol=2e-5 * scale,
+            err_msg=f"material={material}",
+        )
+
+
+def test_stvk_analytic_explicit_simulation_runs():
+    """material='stvk' with the ANALYTIC explicit path (auto_diff=false) —
+    previously this silently computed Neo-Hookean forces."""
+    from fem_tpu.sim import make_frame_fn
+    from tests.utils import default_obstacles, default_sim_config
+
+    cfg = default_sim_config(auto_diff=False, use_explicit_method=True)
+    _, obj, state = make_2d_object(subdivisions=4)
+    obj = obj.replace(material="stvk")
+    s, _ = make_frame_fn(obj, cfg)(state, default_obstacles())
+    assert np.isfinite(np.asarray(s.pos)).all()
