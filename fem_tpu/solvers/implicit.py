@@ -211,13 +211,12 @@ def make_exact_hvp_apply(
     coupling (solver/implicit.py:141-144) — the exact linearization couples
     every vertex pair of an element.  Selected via ``hessian="exact_jvp"``
     (SimConfig extension); O(E) per application like the reference operator.
+    Material-aware: for StVK/linear this is the ONLY implicit operator (the
+    decoupled formula is NH-specific).
     """
 
     def force(p: jnp.ndarray) -> jnp.ndarray:
-        cols = implicit_force_columns(
-            p, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, robust,
-        )
+        cols = _material_force_columns(obj, p, robust)
         return assemble_for(obj, element_contrib_full(cols), axis_name)
 
     def apply_a(x: jnp.ndarray) -> jnp.ndarray:
@@ -231,6 +230,26 @@ def make_exact_hvp_apply(
 # Right-hand side
 # ---------------------------------------------------------------------------
 
+def _material_force_columns(
+    obj: FemObject, pos: jnp.ndarray, robust: bool
+) -> jnp.ndarray:
+    """Elastic force columns per material: the reference's implicit NH chain
+    (``implicit_force_columns`` — λ/2·log(det FᵀF) form, implicit.py:87-88)
+    for neo_hookean, or −V·first_piola(F)·R⁻ᵀ for the StVK/linear material
+    extensions (implicit for these requires hessian='exact_jvp')."""
+    if obj.material == "neo_hookean":
+        return implicit_force_columns(
+            pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda, robust,
+        )
+    from fem_tpu.ops.element import explicit_grad_columns
+
+    return -explicit_grad_columns(
+        pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda, obj.material,
+    )
+
+
 def implicit_rhs(
     obj: FemObject, state: SimState, dt: float, axis_name: str | None = None,
     robust: bool = False, element_backend: str = "xla",
@@ -238,7 +257,11 @@ def implicit_rhs(
     """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107)."""
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if element_backend == "pallas" and not robust:
+    if (
+        element_backend == "pallas"
+        and not robust
+        and obj.material == "neo_hookean"
+    ):
         from fem_tpu.ops.pallas_kernels import implicit_force_columns_pallas
 
         cols = implicit_force_columns_pallas(
@@ -246,10 +269,7 @@ def implicit_rhs(
             obj.mu, obj.s_lambda,
         )
     else:
-        cols = implicit_force_columns(
-            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, robust,
-        )
+        cols = _material_force_columns(obj, state.pos, robust)
     f = assemble_for(obj, element_contrib_full(cols), axis_name)
     return state.vel + dt * f / obj.mass[:, None]
 
@@ -544,6 +564,13 @@ def implicit_velocity_solve(
     """
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if obj.material != "neo_hookean" and hessian != "exact_jvp":
+        raise ValueError(
+            f"implicit integration with material={obj.material!r} requires "
+            "hessian='exact_jvp' (the reference's decoupled block Hessian "
+            "is the Neo-Hookean-specific formula, implicit.py:146-147); "
+            "the explicit/autodiff paths support all materials directly"
+        )
     if hessian == "exact_jvp":
         if method != CONJUGATE_GRADIENT_METHOD:
             raise ValueError(
@@ -555,10 +582,7 @@ def implicit_velocity_solve(
         # ∂f/∂x of a conservative force is symmetric ⇒ Aᵀ = I − dt²·Jᵀ·M⁻¹
         # realized with the VJP of the same force function.
         def force(p):
-            cols = implicit_force_columns(
-                p, obj.element_indices, obj.ref_inv, obj.volume,
-                obj.mu, obj.s_lambda, robust,
-            )
+            cols = _material_force_columns(obj, p, robust)
             return assemble_for(obj, element_contrib_full(cols), axis_name)
 
         _, vjp_fn = jax.vjp(force, state.pos)

@@ -122,3 +122,63 @@ def test_stvk_analytic_explicit_simulation_runs():
     obj = obj.replace(material="stvk")
     s, _ = make_frame_fn(obj, cfg)(state, default_obstacles())
     assert np.isfinite(np.asarray(s.pos)).all()
+
+
+def test_implicit_stvk_requires_exact_jvp_and_runs():
+    """Implicit + StVK: rejected under the NH-specific reference Hessian,
+    runs under the exact-Newton extension; the HVP matches a finite
+    difference of the material force."""
+    import pytest
+
+    from fem_tpu.sim import make_frame_fn
+    from fem_tpu.solvers.implicit import (
+        implicit_velocity_solve,
+        make_exact_hvp_apply,
+    )
+    from tests.utils import default_obstacles, default_sim_config
+
+    _, obj, state = make_2d_object(subdivisions=4)
+    obj = obj.replace(material="stvk")
+    rng = np.random.default_rng(5)
+    pos = state.pos + jnp.asarray(
+        rng.uniform(-0.02, 0.02, state.pos.shape).astype(np.float32)
+    )
+    state = state.replace(pos=pos)
+
+    with pytest.raises(ValueError, match="exact_jvp"):
+        implicit_velocity_solve(
+            obj, state, 5e-4, method=1, preconditioned=1,
+            hessian="reference",
+        )
+
+    # HVP vs central finite difference of the assembled force.
+    from fem_tpu.ops.assembly import assemble_for, element_contrib_full
+    from fem_tpu.solvers.implicit import _material_force_columns
+
+    dt = 5e-4
+    apply_a = make_exact_hvp_apply(obj, pos, dt)
+    v = jnp.asarray(
+        rng.uniform(-1.0, 1.0, pos.shape).astype(np.float32)
+    )
+    eps = 1e-3
+
+    def f(p):
+        return assemble_for(obj, element_contrib_full(
+            _material_force_columns(obj, p, False)
+        ))
+
+    df_fd = (np.asarray(f(pos + eps * v)) - np.asarray(f(pos - eps * v))) / (
+        2 * eps
+    )
+    got = np.asarray(apply_a(v))
+    expect = np.asarray(v) - dt * dt * df_fd / np.asarray(obj.mass)[:, None]
+    scale = max(1.0, float(np.abs(expect).max()))
+    np.testing.assert_allclose(got, expect, rtol=5e-3, atol=5e-3 * scale)
+
+    # End-to-end frame under the extension.
+    cfg = default_sim_config(
+        auto_diff=False, use_explicit_method=False, implicit_method=1,
+        preconditioned=1, hessian="exact_jvp",
+    )
+    s, _ = make_frame_fn(obj, cfg)(state, default_obstacles())
+    assert np.isfinite(np.asarray(s.pos)).all()
