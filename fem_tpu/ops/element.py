@@ -60,8 +60,20 @@ def energy_density(
       G = ½(FᵀF − I), φ = μ·Σ G² + λ/2·tr(G)².
     * ``linear`` (framework extension — small-strain linear elasticity):
       ε = ½(F + Fᵀ) − I, φ = μ·Σ ε² + λ/2·tr(ε)².
+    * ``corotated`` (framework extension — the standard graphics co-rotated
+      model): φ = μ·‖F − R‖² + λ/2·tr(RᵀF − I)² with R = polar(F)
+      (tie-robust Higham iteration, smallmat.polar_rotation — smooth at the
+      rest pose where SVD-based formulations have undefined gradients).
     """
     d = F.shape[-1]
+    if material == "corotated":
+        r = sm.polar_rotation(F)
+        diff = F - r
+        s_tr = sm.trace(sm.matmul(sm.mT(r), F)) - d
+        return (
+            mu * jnp.einsum("...ij,...ij->...", diff, diff)
+            + s_lambda / 2.0 * s_tr * s_tr
+        )
     if material == "linear":
         eps = 0.5 * (F + sm.mT(F)) - jnp.broadcast_to(
             jnp.eye(d, dtype=F.dtype), F.shape
@@ -130,9 +142,15 @@ def first_piola(
       solver/explicit.py:23-28, unclamped log).
     * ``stvk``: F·(2μG + λ·tr(G)·I) with G = ½(FᵀF − I).
     * ``linear``: 2με + λ·tr(ε)·I with ε = ½(F + Fᵀ) − I.
+    * ``corotated``: 2μ(F − R) + λ·tr(RᵀF − I)·R, R = polar(F) — exact
+      (the δR terms vanish: R is the nearest rotation, and ∂tr(RᵀF)/∂F = R).
     """
     d = F.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(d, dtype=F.dtype), F.shape)
+    if material == "corotated":
+        r = sm.polar_rotation(F)
+        s_tr = (sm.trace(sm.matmul(sm.mT(r), F)) - d)[..., None, None]
+        return 2.0 * mu * (F - r) + s_lambda * s_tr * r
     if material == "linear":
         eps = 0.5 * (F + sm.mT(F)) - eye
         return 2.0 * mu * eps + s_lambda * sm.trace(eps)[..., None, None] * eye

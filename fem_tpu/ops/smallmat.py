@@ -104,3 +104,21 @@ def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum(
         "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def polar_rotation(m: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Rotation factor R of the polar decomposition M = R·S via Higham's
+    Newton iteration ``R ← ½(R + R⁻ᵀ)`` (quadratic convergence for
+    well-conditioned M; a fixed unrolled iteration keeps it jit- and
+    autodiff-friendly — unlike SVD, it is smooth at repeated singular
+    values, so gradients are defined at the rest pose F = I).
+
+    Used by the ``corotated`` material extension.  For det(M) < 0 the limit
+    is the orthogonal (not special-orthogonal) factor — the standard
+    corotated-model failure under inversion, same class as the reference's
+    unclamped Neo-Hookean log.
+    """
+    r = m
+    for _ in range(iters):
+        r = 0.5 * (r + mT(inv(r)))
+    return r

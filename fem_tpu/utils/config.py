@@ -34,7 +34,8 @@ class ObjectConfig:
     # 3D mesh file (reference: object.py:128-161)
     obj: Optional[str] = None
     # Material model: "neo_hookean" (reference live path), "stvk" (the
-    # reference's latent commented-out variant) or "linear" (extension).
+    # reference's latent commented-out variant), "linear" or "corotated"
+    # (extensions; corotated uses a tie-robust polar decomposition).
     # Supported on the explicit paths, both autodiff (jax.grad of the
     # energy) and analytic (first_piola columns); the implicit solver is
     # Neo-Hookean only (its decoupled block Hessian is the reference's

@@ -100,7 +100,7 @@ def test_analytic_first_piola_matches_autodiff():
     pos = state.pos + jnp.asarray(
         rng.uniform(-0.02, 0.02, state.pos.shape).astype(np.float32)
     )
-    for material in ("neo_hookean", "stvk", "linear"):
+    for material in ("neo_hookean", "stvk", "linear", "corotated"):
         o = obj.replace(material=material)
         got = np.asarray(analytic_energy_gradient(o, pos))
         ref = np.asarray(autodiff_energy_gradient(o, pos))
@@ -182,3 +182,44 @@ def test_implicit_stvk_requires_exact_jvp_and_runs():
     )
     s, _ = make_frame_fn(obj, cfg)(state, default_obstacles())
     assert np.isfinite(np.asarray(s.pos)).all()
+
+
+def test_corotated_rest_pose_and_rotation_invariance():
+    """Corotated sanity: zero energy/stress at rest AND under pure rotation
+    (the property linear elasticity lacks — ghost forces under rotation)."""
+    import math
+
+    from fem_tpu.ops.element import first_piola
+
+    f_id = jnp.eye(3)[None]
+    assert float(energy_density(f_id, 1e4, 1e4, material="corotated")[0]) < 1e-8
+    assert float(np.abs(np.asarray(
+        first_piola(f_id, 1e4, 1e4, material="corotated")
+    )).max()) < 1e-2  # 1e4-scale moduli: ~f32 eps
+    th = 0.7
+    rot = jnp.asarray([
+        [math.cos(th), -math.sin(th), 0.0],
+        [math.sin(th), math.cos(th), 0.0],
+        [0.0, 0.0, 1.0],
+    ])[None]
+    assert float(energy_density(rot, 1e4, 1e4, material="corotated")[0]) < 1e-3
+    # linear elasticity fails this (ghost stress under rotation):
+    assert float(energy_density(rot, 1e4, 1e4, material="linear")[0]) > 1.0
+
+
+def test_corotated_simulations_run():
+    """Corotated end-to-end: explicit analytic and implicit exact-Newton."""
+    from fem_tpu.sim import make_frame_fn
+    from tests.utils import default_obstacles, default_sim_config
+
+    _, obj, state = make_2d_object(subdivisions=4)
+    obj = obj.replace(material="corotated")
+    for cfg in (
+        default_sim_config(auto_diff=False, use_explicit_method=True),
+        default_sim_config(
+            auto_diff=False, use_explicit_method=False, implicit_method=1,
+            preconditioned=1, hessian="exact_jvp",
+        ),
+    ):
+        s, _ = make_frame_fn(obj, cfg)(state, default_obstacles())
+        assert np.isfinite(np.asarray(s.pos)).all()
