@@ -338,3 +338,28 @@ def test_vmapped_param_gradients():
     assert float(grads.mu[1]) == pytest.approx(float(g_single.mu), rel=1e-4)
     # Different stiffnesses must produce genuinely different gradients.
     assert abs(float(grads.mu[0]) - float(grads.mu[2])) > 0.0
+
+
+def test_corotated_rollout_grad_matches_fd():
+    """Material-parameter gradients through a corotated rollout: the polar
+    iteration (smallmat.polar_rotation) must be differentiable inside
+    jax.grad through time — incl. the first substep, which linearizes near
+    the rest pose where SVD-based corotated formulations are undefined."""
+    _, obj, state = make_2d_object(subdivisions=3)
+    obj = obj.replace(material="corotated")
+    state = _squashed(state)
+    cfg = default_sim_config(auto_diff=True, use_explicit_method=False)
+    obstacles = default_obstacles()
+    n_steps = 8
+    mu0, lam0, damp0 = float(obj.mu), float(obj.s_lambda), float(obj.damping)
+
+    def loss(mu, lam):
+        return _loss_at(obj, cfg, state, obstacles, n_steps, mu, lam, damp0)
+
+    g = jax.grad(loss)(jnp.float32(mu0), jnp.float32(lam0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0.0
+    eps = 1e-3 * mu0
+    fd = (float(loss(mu0 + eps, lam0)) - float(loss(mu0 - eps, lam0))) / (
+        2 * eps
+    )
+    assert float(g) == pytest.approx(fd, rel=5e-2, abs=1e-12)
