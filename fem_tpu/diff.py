@@ -143,7 +143,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
         def substep(params: DiffParams, state: SimState, obstacles: Obstacles):
             cols = explicit_grad_columns(
                 state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-                params.mu, params.s_lambda,
+                params.mu, params.s_lambda, material,
             )
             grad = assemble_for(obj, element_contrib_full(cols))
             return kinematic_step(
@@ -164,12 +164,21 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
     def substep(params: DiffParams, state: SimState, obstacles: Obstacles):
         K = hessian_blocks(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            params.mu, params.s_lambda, robust,
+            params.mu, params.s_lambda, robust, material,
         )
-        cols = implicit_force_columns(
-            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            params.mu, params.s_lambda, robust,
-        )
+        if material == "neo_hookean":
+            cols = implicit_force_columns(
+                state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+                params.mu, params.s_lambda, robust,
+            )
+        else:
+            # Material extensions: the implicit rhs force is −∂U/∂x via the
+            # material's analytic Piola columns (same routing as the
+            # non-diff path, solvers/implicit._material_force_columns).
+            cols = -explicit_grad_columns(
+                state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+                params.mu, params.s_lambda, material,
+            )
         f = assemble_for(obj, element_contrib_full(cols))
         b = state.vel + dt * f / mass_col
 

@@ -287,6 +287,7 @@ def _prep_kernel(
     lam: float,
     robust: bool,
     mode: str,
+    material: str,
 ):
     """One block of element prep entirely in VMEM: edge matrices via
     S_b·x_b MXU dots (no XLA row gather), the shared element chain, and the
@@ -319,7 +320,7 @@ def _prep_kernel(
             x_rows[i * d + j] = xj[i : i + 1, :] + pad * xp[i * d + j]
     if mode == "implicit":
         kp_out, yt_out = out_refs
-        k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust)
+        k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust, material)
         krows = jnp.concatenate(
             [-v * k[i] for i in range(d2)], axis=0
         )  # (d², Eb)
@@ -327,7 +328,7 @@ def _prep_kernel(
         sign = -1.0
     else:
         (yt_out,) = out_refs
-        h = grad_cols_chain(x_rows, r_rows, d, mu, lam)
+        h = grad_cols_chain(x_rows, r_rows, d, mu, lam, material)
         sign = 1.0
     tc = None
     for j in range(d):
@@ -388,11 +389,12 @@ def _blocked_scatter_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dim", "mu", "s_lambda", "robust", "mode")
+    jax.jit,
+    static_argnames=("dim", "mu", "s_lambda", "robust", "mode", "material"),
 )
 def _blocked_prep_call(
     blocking: Blocking, xbt: jnp.ndarray, dim: int, mu: float,
-    s_lambda: float, robust: bool, mode: str,
+    s_lambda: float, robust: bool, mode: str, material: str,
 ):
     b_cnt, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
     d = dim
@@ -416,7 +418,8 @@ def _blocked_prep_call(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _prep_kernel, dim=d, mu=mu, lam=s_lambda, robust=robust, mode=mode
+        _prep_kernel, dim=d, mu=mu, lam=s_lambda, robust=robust, mode=mode,
+        material=material,
     )
     out_shape = [jax.ShapeDtypeStruct((b_cnt, d, pb), jnp.float32)]
     out_specs = [spec(d, pb)]
@@ -438,7 +441,7 @@ def _blocked_prep_call(
 
 def blocked_prep(
     blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
-    s_lambda: float, robust: bool = False,
+    s_lambda: float, robust: bool = False, material: str = "neo_hookean",
 ):
     """Implicit element prep through the block tables: returns
     ``(kplane (B, d², R), yt (B, d, Pb))`` — K planes in the exact
@@ -451,20 +454,21 @@ def blocked_prep(
     xbt = blocked_gather(pos, blocking)
     return _blocked_prep_call(
         blocking, xbt, dim, float(mu), float(s_lambda), bool(robust),
-        "implicit",
+        "implicit", material,
     )
 
 
 def blocked_grad_prep(
     blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
-    s_lambda: float,
+    s_lambda: float, material: str = "neo_hookean",
 ):
     """Explicit/analytic energy-gradient partials ``yt (B, d, Pb)`` through
     the block tables (reference solver/explicit.py:23-49 chain with the
     UNclamped log, +V scaling); feed to :func:`blocked_scatter_sum`."""
     xbt = blocked_gather(pos, blocking)
     (yt,) = _blocked_prep_call(
-        blocking, xbt, dim, float(mu), float(s_lambda), False, "explicit"
+        blocking, xbt, dim, float(mu), float(s_lambda), False, "explicit",
+        material,
     )
     return yt
 
@@ -484,6 +488,18 @@ def make_kplane(blocking: Blocking, k_flat: jnp.ndarray, dim: int) -> jnp.ndarra
         .reshape(b, dim * dim, eb)
     )
     return jnp.repeat(kp, dim, axis=2)
+
+
+def kplane_to_kflat(
+    blocking: Blocking, kplane: jnp.ndarray, dim: int
+) -> jnp.ndarray:
+    """Inverse of :func:`make_kplane`: (B, d², Eb·d) planes → (B·Eb, d, d)
+    K blocks (the lane axis repeats each element ×d; lane ``e·d`` recovers
+    element e).  Used by the block-Jacobi PCG to assemble diagonal blocks
+    from the pallas-prep kplane without recomputing the element chain."""
+    b, eb = blocking.num_blocks, blocking.eb
+    kp = kplane[:, :, ::dim]  # (B, d², Eb)
+    return kp.transpose(0, 2, 1).reshape(b * eb, dim, dim)
 
 
 def blocked_gather(x: jnp.ndarray, blocking: Blocking) -> jnp.ndarray:

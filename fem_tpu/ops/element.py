@@ -220,6 +220,59 @@ def implicit_force_columns(
     return -volume[..., None, None] * sm.matmul(P, sm.mT(ref_inv))
 
 
+def first_piola_dp(
+    F: jnp.ndarray,
+    D: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+    material: str = "neo_hookean",
+    robust: bool = False,
+) -> jnp.ndarray:
+    """Directional derivative ``DP(F)[D]`` of the first Piola stress, per
+    material — the generalization of the reference's decoupled-Hessian
+    integrand (solver/implicit.py:131-147, which is exactly the Neo-Hookean
+    instance of this formula with ``D = R_inv``):
+
+    * ``neo_hookean``: μD + (μ − λ·logJ)·F⁻ᵀDᵀF⁻ᵀ + λ·tr(F⁻¹D)·F⁻ᵀ with
+      ``logJ = log(max(det F, 1e-4))`` (the reference's inversion clamp).
+    * ``stvk``: D·S + F·(μ(DᵀF + FᵀD) + λ·tr(FᵀD)·I), S = 2μG + λ·tr(G)·I —
+      the exact derivative of :func:`first_piola`.
+    * ``linear``: μ(D + Dᵀ) + λ·tr(D)·I — exact (P is affine in F).
+    * ``corotated``: 2μD + λ·tr(RᵀD)·R with R = polar(F) held FIXED — the
+      standard fixed-rotation linearization (δR terms dropped), matching the
+      decoupled spirit of the reference's integrator; equals the jvp of P
+      with R stop-gradiented (pinned by tests/test_materials.py).
+    """
+    d = F.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=F.dtype), F.shape)
+    if material == "corotated":
+        r = sm.polar_rotation(F)
+        tr_rd = sm.trace(sm.matmul(sm.mT(r), D))[..., None, None]
+        return 2.0 * mu * D + s_lambda * tr_rd * r
+    if material == "linear":
+        sym = D + sm.mT(D)
+        return mu * sym + s_lambda * sm.trace(D)[..., None, None] * eye
+    if material == "stvk":
+        c = sm.matmul(sm.mT(F), F)
+        g = 0.5 * (c - eye)
+        s = 2.0 * mu * g + s_lambda * sm.trace(g)[..., None, None] * eye
+        dtf = sm.matmul(sm.mT(D), F)
+        sym = dtf + sm.mT(dtf)  # DᵀF + FᵀD
+        ds = mu * sym + s_lambda * sm.trace(dtf)[..., None, None] * eye
+        return sm.matmul(D, s) + sm.matmul(F, ds)
+    if material != "neo_hookean":
+        raise ValueError(f"unknown material {material!r}")
+    f_inv = sm.safe_inv(F) if robust else sm.inv(F)
+    f_inv_t = sm.mT(f_inv)
+    log_j = jnp.log(jnp.maximum(sm.det(F), 1e-4))[..., None, None]
+    term1 = mu * D
+    term2 = (mu - s_lambda * log_j) * sm.matmul(
+        sm.matmul(f_inv_t, sm.mT(D)), f_inv_t
+    )
+    term3 = s_lambda * sm.trace(sm.matmul(f_inv, D))[..., None, None] * f_inv_t
+    return term1 + term2 + term3
+
+
 def hessian_blocks(
     pos: jnp.ndarray,
     element_indices: jnp.ndarray,
@@ -228,26 +281,22 @@ def hessian_blocks(
     mu: float,
     s_lambda: float,
     robust: bool = False,
+    material: str = "neo_hookean",
 ) -> jnp.ndarray:
     """The single per-element implicit system block ``K_e``: ``(E, d, d)``.
 
-    Exactly the reference's ``dF_dxij`` for ``i == j`` (solver/implicit.py:
-    131-147): with ``dF = R_inv``,
+    For ``neo_hookean``, exactly the reference's ``dF_dxij`` for ``i == j``
+    (solver/implicit.py:131-147): with ``dF = R_inv``,
 
         K = −V · (μ·dF + (μ − λ·logJ)·F⁻ᵀ dFᵀ F⁻ᵀ + λ·tr(F⁻¹dF)·F⁻ᵀ) @ R_invᵀ
 
     where ``logJ = log(max(det F, 1e-4))`` (the reference's inversion clamp,
-    solver/implicit.py:131).
+    solver/implicit.py:131).  For the material extensions the same decoupled
+    structure with the material's ``DP(F)[R_inv]`` (:func:`first_piola_dp`),
+    so every solver/operator built on the one-block-per-element pattern
+    (graph / mxu / blocked / fused, Jacobi rows, diagonal blocks) works for
+    all materials unchanged.
     """
     F = deformation_gradients(pos, element_indices, ref_inv)
-    f_inv = sm.safe_inv(F) if robust else sm.inv(F)
-    f_inv_t = sm.mT(f_inv)
-    log_j = jnp.log(jnp.maximum(sm.det(F), 1e-4))[..., None, None]
-    dF = ref_inv
-    term1 = mu * dF
-    term2 = (mu - s_lambda * log_j) * sm.matmul(
-        sm.matmul(f_inv_t, sm.mT(dF)), f_inv_t
-    )
-    term3 = s_lambda * sm.trace(sm.matmul(f_inv, dF))[..., None, None] * f_inv_t
-    K = term1 + term2 + term3
+    K = first_piola_dp(F, ref_inv, mu, s_lambda, material, robust)
     return -volume[..., None, None] * sm.matmul(K, sm.mT(ref_inv))

@@ -109,6 +109,7 @@ def _frame_kernel(
     n_obstacles: int,
     robust: bool,
     fast_math: bool,
+    material: str,
 ):
     d = dim
     d2 = d * d
@@ -148,7 +149,7 @@ def _frame_kernel(
                     x_rows[i * d + j] = (
                         xj[i : i + 1, :] + pad * xp[i * d + j]
                     )
-            k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust)
+            k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust, material)
             krows = jnp.concatenate(
                 [-v * k[i] for i in range(d2)], axis=0
             )  # (d², Eb)
@@ -284,7 +285,7 @@ def _frame_kernel(
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda",
         "preconditioned", "sim_count", "max_iter", "tol", "robust",
-        "fast_math",
+        "fast_math", "material",
     ),
 )
 def fused_blocked_frame(
@@ -308,6 +309,7 @@ def fused_blocked_frame(
     tol: float = 1e-5,
     robust: bool = False,
     fast_math: bool = False,
+    material: str = "neo_hookean",
 ):
     """One rendered frame (= ``sim_count`` implicit-CG substeps) as one
     device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))."""
@@ -356,6 +358,7 @@ def fused_blocked_frame(
         n_obstacles=n_obst,
         robust=robust,
         fast_math=fast_math,
+        material=material,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -426,6 +429,7 @@ def _explicit_frame_kernel(
     lam: float,
     sim_count: int,
     n_obstacles: int,
+    material: str,
 ):
     """The explicit/autodiff substep loop (reference solver/explicit.py +
     kinematic.py:14-45) as one device op: per substep, assemble the energy
@@ -461,7 +465,7 @@ def _explicit_frame_kernel(
                     x_rows[i * d + j] = (
                         xj[i : i + 1, :] + pad * xp[i * d + j]
                     )
-            h = grad_cols_chain(x_rows, r_rows, d, mu, lam)
+            h = grad_cols_chain(x_rows, r_rows, d, mu, lam, material)
             tc = None
             for j in range(d):
                 hj = jnp.concatenate(
@@ -526,6 +530,7 @@ def _explicit_frame_kernel(
     jax.jit,
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda", "sim_count",
+        "material",
     ),
 )
 def fused_explicit_frame(
@@ -543,6 +548,7 @@ def fused_explicit_frame(
     mu: float,
     s_lambda: float,
     sim_count: int,
+    material: str = "neo_hookean",
 ):
     """One explicit/autodiff rendered frame as one device op.
     Returns (pos', vel')."""
@@ -580,6 +586,7 @@ def fused_explicit_frame(
         lam=s_lambda,
         sim_count=int(sim_count),
         n_obstacles=n_obst,
+        material=material,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -98,18 +98,92 @@ def _mat2_T(m):
 
 # --- the fused kernel ------------------------------------------------------
 
-def grad_cols_chain(x, r, dim, mu, lam):
+def _planar_ops(dim):
+    if dim == 3:
+        return _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
+    return _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+
+
+def _planar_trace(m, dim):
+    return sum(m[i * dim + i] for i in range(dim))
+
+
+def _planar_polar(f, dim, iters: int = 12):
+    """Higham polar iteration R ← ½(R + R⁻ᵀ) on component-plane lists —
+    the planar twin of smallmat.polar_rotation (same fixed iteration count,
+    so results agree to f32 roundoff)."""
+    mul, det_fn, inv_fn, t_fn = _planar_ops(dim)
+    r = f
+    for _ in range(iters):
+        rit = t_fn(inv_fn(r, det_fn(r)))
+        r = [0.5 * (r[i] + rit[i]) for i in range(dim * dim)]
+    return r
+
+
+def _material_p_dp_chain(f, d_dir, dim, mu, lam, material, want_dp):
+    """Planar (P(F), DP(F)[D]) for the material extensions — the
+    component-plane twin of ops/element.first_piola / first_piola_dp
+    (stvk exact, linear exact, corotated fixed-R linearization).  ``d_dir``
+    may be None when ``want_dp`` is False."""
+    d2 = dim * dim
+    mul, det_fn, inv_fn, t_fn = _planar_ops(dim)
+    eye = [1.0 if i == j else 0.0 for i in range(dim) for j in range(dim)]
+    if material == "corotated":
+        rot = _planar_polar(f, dim)
+        rot_t = t_fn(rot)
+        s_tr = _planar_trace(mul(rot_t, f), dim) - float(dim)
+        p = [2.0 * mu * (f[i] - rot[i]) + lam * s_tr * rot[i] for i in range(d2)]
+        if not want_dp:
+            return p, None
+        tr_rd = _planar_trace(mul(rot_t, d_dir), dim)
+        dp = [2.0 * mu * d_dir[i] + lam * tr_rd * rot[i] for i in range(d2)]
+        return p, dp
+    if material == "linear":
+        f_t = t_fn(f)
+        eps = [0.5 * (f[i] + f_t[i]) - eye[i] for i in range(d2)]
+        tr_e = _planar_trace(eps, dim)
+        p = [2.0 * mu * eps[i] + lam * tr_e * eye[i] for i in range(d2)]
+        if not want_dp:
+            return p, None
+        d_t = t_fn(d_dir)
+        tr_d = _planar_trace(d_dir, dim)
+        dp = [
+            mu * (d_dir[i] + d_t[i]) + lam * tr_d * eye[i] for i in range(d2)
+        ]
+        return p, dp
+    if material == "stvk":
+        c = mul(t_fn(f), f)
+        g = [0.5 * (c[i] - eye[i]) for i in range(d2)]
+        tr_g = _planar_trace(g, dim)
+        s = [2.0 * mu * g[i] + lam * tr_g * eye[i] for i in range(d2)]
+        p = mul(f, s)
+        if not want_dp:
+            return p, None
+        dtf = mul(t_fn(d_dir), f)
+        dtf_t = t_fn(dtf)
+        tr_dtf = _planar_trace(dtf, dim)
+        ds = [
+            mu * (dtf[i] + dtf_t[i]) + lam * tr_dtf * eye[i]
+            for i in range(d2)
+        ]
+        dp = [a + b for a, b in zip(mul(d_dir, s), mul(f, ds))]
+        return p, dp
+    raise ValueError(f"unknown material {material!r}")
+
+
+def grad_cols_chain(x, r, dim, mu, lam, material="neo_hookean"):
     """Shared explicit-path gradient chain: H = P(F)·R⁻ᵀ with the
     reference's UNclamped log (solver/explicit.py:23-49 — NaN for inverted
     elements is parity).  Returns h UNscaled; callers apply +V.  Single
     source of truth for the tiled element kernel and the whole-frame
-    explicit kernel (ops/pallas_blocked_frame.py)."""
+    explicit kernel (ops/pallas_blocked_frame.py).  Material extensions use
+    the planar P(F) chains of :func:`_material_p_dp_chain`."""
     d2 = dim * dim
-    if dim == 3:
-        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
-    else:
-        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+    mul, det_fn, inv_fn, t_fn = _planar_ops(dim)
     f = mul(x, r)  # deformation gradient
+    if material != "neo_hookean":
+        p, _ = _material_p_dp_chain(f, None, dim, mu, lam, material, False)
+        return mul(p, t_fn(r))
     det_f = det_fn(f)
     f_inv_t = t_fn(inv_fn(f, det_f))
     log_j = jnp.log(det_f)  # NaN for inverted elements, as the reference
@@ -119,13 +193,15 @@ def grad_cols_chain(x, r, dim, mu, lam):
     return mul(p, t_fn(r))  # P @ R⁻ᵀ
 
 
-def _grad_cols_kernel(x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam):
+def _grad_cols_kernel(
+    x_ref, r_ref, v_ref, out_ref, *, dim, mu, lam, material="neo_hookean"
+):
     """One tile: read X, R⁻¹, V planes; write H = V·P(F)·R⁻ᵀ planes."""
     d2 = dim * dim
     x = [x_ref[i : i + 1, :] for i in range(d2)]
     r = [r_ref[i : i + 1, :] for i in range(d2)]
     v = v_ref[0:1, :]
-    h = grad_cols_chain(x, r, dim, mu, lam)
+    h = grad_cols_chain(x, r, dim, mu, lam, material)
     for i in range(d2):
         out_ref[i : i + 1, :] = v * h[i]
 
@@ -247,7 +323,7 @@ def implicit_force_planar(
     )(x_planes, r_planes, v_plane)
 
 
-def k_and_h_chain(x, r, dim, mu, lam, robust=False):
+def k_and_h_chain(x, r, dim, mu, lam, robust=False, material="neo_hookean"):
     """Shared parity-critical element chain: implicit-system blocks K_e
     (reference implicit.py:131-147, logJ clamp) AND rhs force columns
     (implicit.py:87-88, λ/2·log det(FᵀF) form) from edge planes ``x`` and
@@ -258,13 +334,19 @@ def k_and_h_chain(x, r, dim, mu, lam, robust=False):
 
     ``robust=True`` applies the robust_inversion extension exactly as the
     XLA path does (ops/element.py, smallmat.safe_inv): sign-preserving
-    |det| ≥ 1e-6 clamp inside F⁻¹ and gram-det ≥ 1e-8 in the rhs log."""
+    |det| ≥ 1e-6 clamp inside F⁻¹ and gram-det ≥ 1e-8 in the rhs log.
+
+    Material extensions (no reference counterpart): k = DP(F)[R⁻¹]·R⁻ᵀ via
+    the planar :func:`_material_p_dp_chain`, h = P(F)·R⁻ᵀ (the implicit rhs
+    force for non-NH is −V·P·R⁻ᵀ, see solvers/implicit.py:
+    _material_force_columns); ``robust`` is NH-specific and a no-op here."""
     d2 = dim * dim
-    if dim == 3:
-        mul, det_fn, inv_fn, t_fn = _mat3_mul, _mat3_det, _mat3_inv, _mat3_T
-    else:
-        mul, det_fn, inv_fn, t_fn = _mat2_mul, _mat2_det, _mat2_inv, _mat2_T
+    mul, det_fn, inv_fn, t_fn = _planar_ops(dim)
     f = mul(x, r)
+    if material != "neo_hookean":
+        p, dp = _material_p_dp_chain(f, r, dim, mu, lam, material, True)
+        r_t = t_fn(r)
+        return mul(dp, r_t), mul(p, r_t)
     det_f = det_fn(f)
     if robust:
         sign = jnp.where(det_f < 0, -1.0, 1.0)
@@ -296,7 +378,8 @@ def k_and_h_chain(x, r, dim, mu, lam, robust=False):
 
 
 def _hessian_and_force_kernel(
-    x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam, robust=False
+    x_ref, r_ref, v_ref, k_out, h_out, *, dim, mu, lam, robust=False,
+    material="neo_hookean",
 ):
     """One tile emitting BOTH implicit-system blocks K_e and rhs force
     columns — they share the whole F/F⁻ᵀ/det chain and the X-plane gather.
@@ -310,14 +393,15 @@ def _hessian_and_force_kernel(
     x = [x_ref[i : i + 1, :] for i in range(d2)]
     r = [r_ref[i : i + 1, :] for i in range(d2)]
     v = v_ref[0:1, :]
-    k, h = k_and_h_chain(x, r, dim, mu, lam, robust)
+    k, h = k_and_h_chain(x, r, dim, mu, lam, robust, material)
     for i in range(d2):
         k_out[i : i + 1, :] = -v * k[i]
         h_out[i : i + 1, :] = -v * h[i]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mu", "s_lambda", "interpret", "robust")
+    jax.jit,
+    static_argnames=("mu", "s_lambda", "interpret", "robust", "material"),
 )
 def hessian_and_force_planar(
     x_planes: jnp.ndarray,
@@ -327,6 +411,7 @@ def hessian_and_force_planar(
     s_lambda: float,
     interpret: bool = False,
     robust: bool = False,
+    material: str = "neo_hookean",
 ):
     d2, e_pad = x_planes.shape
     dim = 3 if d2 == 9 else 2
@@ -336,7 +421,7 @@ def hessian_and_force_planar(
     )
     kernel = functools.partial(
         _hessian_and_force_kernel, dim=dim, mu=mu, lam=s_lambda,
-        robust=robust,
+        robust=robust, material=material,
     )
     return pl.pallas_call(
         kernel,
@@ -359,6 +444,7 @@ def hessian_and_force_pallas(
     mu: float,
     s_lambda: float,
     robust: bool = False,
+    material: str = "neo_hookean",
 ):
     """Fused (K blocks, implicit force columns) — one X-plane gather and one
     kernel for what the split variants do in two of each."""
@@ -367,7 +453,8 @@ def hessian_and_force_pallas(
     )
     interpret = jax.default_backend() != "tpu"
     k, h = hessian_and_force_planar(
-        x_planes, r_planes, v_plane, mu, s_lambda, interpret, robust
+        x_planes, r_planes, v_plane, mu, s_lambda, interpret, robust,
+        material,
     )
     return (
         k[:, :e].T.reshape(e, d, d),
@@ -436,7 +523,7 @@ def hessian_blocks_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mu", "s_lambda", "interpret")
+    jax.jit, static_argnames=("mu", "s_lambda", "interpret", "material")
 )
 def grad_columns_planar(
     x_planes: jnp.ndarray,  # (d², E_pad) edge-matrix components
@@ -445,6 +532,7 @@ def grad_columns_planar(
     mu: float,
     s_lambda: float,
     interpret: bool = False,
+    material: str = "neo_hookean",
 ) -> jnp.ndarray:
     """Fused gradient columns in planar layout: returns (d², E_pad)."""
     d2, e_pad = x_planes.shape
@@ -455,7 +543,7 @@ def grad_columns_planar(
         (rows, TILE_E), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _grad_cols_kernel, dim=dim, mu=mu, lam=s_lambda
+        _grad_cols_kernel, dim=dim, mu=mu, lam=s_lambda, material=material
     )
     return pl.pallas_call(
         kernel,
@@ -474,6 +562,7 @@ def explicit_grad_columns_pallas(
     volume: jnp.ndarray,
     mu: float,
     s_lambda: float,
+    material: str = "neo_hookean",
 ) -> jnp.ndarray:
     """Drop-in replacement for
     :func:`fem_tpu.ops.element.explicit_grad_columns` running the fused
@@ -485,6 +574,6 @@ def explicit_grad_columns_pallas(
     )
     interpret = jax.default_backend() != "tpu"
     h = grad_columns_planar(
-        x_planes, r_planes, v_plane, mu, s_lambda, interpret
+        x_planes, r_planes, v_plane, mu, s_lambda, interpret, material
     )
     return h[:, :e].T.reshape(e, d, d)

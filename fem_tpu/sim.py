@@ -52,6 +52,7 @@ def substep(
     hessian: str = "reference",
     operator_mode: str = "graph",
     jacobi_sweep: str = "serial",
+    cg_precond: str = "reference",
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -91,6 +92,7 @@ def substep(
         solver_backend == "dense"
         and axis_name is None
         and hessian == "reference"
+        and cg_precond == "reference"
     )
     if use_dense:
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
@@ -103,7 +105,7 @@ def substep(
         state, solve_aux = implicit_velocity_solve(
             obj, state, dt, implicit_method, preconditioned, axis_name,
             robust_inversion, element_backend, hessian, operator_mode,
-            jacobi_sweep,
+            jacobi_sweep, cg_precond,
         )
     state = advect_implicit_step(
         state, obstacles, dt, obj.damping, g_dir, advect_backend
@@ -125,6 +127,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         hessian=cfg.hessian,
         operator_mode=cfg.operator_mode,
         jacobi_sweep=cfg.jacobi_sweep,
+        cg_precond=cfg.cg_precond,
     )
 
 
@@ -144,6 +147,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
 
     return (
         obj.dim in (2, 3)
+        and not cfg.adaptive_dt
         and not cfg.use_explicit_method
         and not cfg.auto_diff
         and cfg.implicit_method == CONJUGATE_GRADIENT_METHOD
@@ -151,6 +155,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and cfg.operator_mode in ("auto", "fused")
         and cfg.element_backend in ("auto", "pallas")
         and cfg.solver_backend == "auto"
+        and cfg.cg_precond in ("reference", "none")
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )
@@ -162,8 +167,8 @@ def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     gradient chain with the fused VMEM tables built."""
     return (
         obj.dim in (2, 3)
+        and not cfg.adaptive_dt
         and (cfg.use_explicit_method or cfg.auto_diff)
-        and obj.material == "neo_hookean"
         and cfg.element_backend in ("auto", "pallas")
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
@@ -183,7 +188,7 @@ def make_explicit_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
             obstacles.centers, obstacles.radii,
             dim=o.dim, dt=cfg.delta_time, damping=o.damping,
             g_dir=tuple(cfg.g_dir), mu=o.mu, s_lambda=o.s_lambda,
-            sim_count=cfg.sim_count,
+            sim_count=cfg.sim_count, material=o.material,
         )
         new_state = state.replace(
             pos=pos, vel=vel, force=jnp.zeros_like(pos)
@@ -212,10 +217,13 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
             obstacles.centers, obstacles.radii,
             dim=o.dim, dt=cfg.delta_time, damping=o.damping,
             g_dir=tuple(cfg.g_dir), mu=o.mu, s_lambda=o.s_lambda,
-            preconditioned=cfg.preconditioned == 1,
+            preconditioned=(
+                cfg.preconditioned == 1 and cfg.cg_precond == "reference"
+            ),
             sim_count=cfg.sim_count,
             robust=cfg.robust_inversion,
             fast_math=cfg.cg_fast_math,
+            material=o.material,
         )
         new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
         return new_state, StepAux(iters, res)
@@ -286,14 +294,25 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
             )
         return make_explicit_blocked_frame_fn(obj, cfg)
     kwargs = _cfg_kwargs(cfg)
+    if cfg.adaptive_dt:
+        body_fn = _make_adaptive_body(cfg, kwargs)
 
-    @jax.jit
-    def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
-        def body(s, _):
-            s, aux = substep(o, s, obstacles, **kwargs)
-            return s, aux
+        @jax.jit
+        def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
+            def body(s, _):
+                return body_fn(o, s, obstacles)
 
-        return jax.lax.scan(body, state, None, length=cfg.sim_count)
+            return jax.lax.scan(body, state, None, length=cfg.sim_count)
+
+    else:
+
+        @jax.jit
+        def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
+            def body(s, _):
+                s, aux = substep(o, s, obstacles, **kwargs)
+                return s, aux
+
+            return jax.lax.scan(body, state, None, length=cfg.sim_count)
 
     def frame(state: SimState, obstacles: Obstacles):
         return frame_impl(obj, state, obstacles)
@@ -301,9 +320,44 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
     return frame
 
 
+def _make_adaptive_body(cfg: SimConfig, kwargs: dict):
+    """Guarded substep body for ``adaptive_dt=true`` (solvers/adaptive.py):
+    measures κ and splits the substep into 2/4/8 inner steps at dt/n when
+    it crosses the threshold.  Total solver iterations are summed over the
+    inner steps; the residual reported is the last inner step's."""
+    from fem_tpu.solvers.adaptive import adaptive_substep
+
+    base = dict(kwargs)
+    dt = base.pop("dt")
+
+    def body_fn(o: FemObject, s: SimState, obstacles: Obstacles):
+        def sub_at(dt_eff, st):
+            return substep(o, st, obstacles, dt=dt_eff, **base)
+
+        s2, iters, res = adaptive_substep(
+            sub_at, o, s, dt=dt,
+            threshold=cfg.adaptive_dt_threshold,
+            robust=cfg.robust_inversion,
+        )
+        return s2, StepAux(iters, res)
+
+    return body_fn
+
+
 def make_substep_fn(obj: FemObject, cfg: SimConfig):
     """Compiled single-substep function (for tests / fine-grained stepping)."""
     kwargs = _cfg_kwargs(cfg)
+    if cfg.adaptive_dt:
+        body_fn = _make_adaptive_body(cfg, kwargs)
+
+        @jax.jit
+        def adaptive_impl(o: FemObject, state: SimState, obstacles: Obstacles):
+            return body_fn(o, state, obstacles)
+
+        def adaptive_step(state: SimState, obstacles: Obstacles):
+            return adaptive_impl(obj, state, obstacles)
+
+        return adaptive_step
 
     @jax.jit
     def step_impl(o: FemObject, state: SimState, obstacles: Obstacles):

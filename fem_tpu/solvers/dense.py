@@ -105,7 +105,7 @@ def implicit_velocity_solve_dense(
     n, d = obj.particle_cnt, obj.dim
     K = hessian_blocks(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda, robust,
+        obj.mu, obj.s_lambda, robust, obj.material,
     )
     A = assemble_dense_system(obj, K, dt)
     b = implicit_rhs(obj, state, dt, robust=robust).reshape(-1)

@@ -31,12 +31,6 @@ def analytic_energy_gradient(
     runs the fused VMEM kernel (ops/pallas_kernels.py) for the column math."""
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if obj.material != "neo_hookean":
-        # The Pallas element chains (grad_cols_chain / blocked_grad_prep)
-        # encode the Neo-Hookean stress; StVK/linear use the analytic
-        # first_piola columns on the XLA path (the blocked MXU *assembly*
-        # below still applies).
-        element_backend = "xla"
     if axis_name is None and obj.blocking is not None:
         # Blocked assembly (ops/blocking.py): the per-(element, vertex)-row
         # scatter is the tiny-row access XLA moves at ~1.7 GB/s on TPU; the
@@ -56,7 +50,7 @@ def analytic_energy_gradient(
             )
 
             yt = blocked_grad_prep(
-                blk, pos, obj.dim, obj.mu, obj.s_lambda
+                blk, pos, obj.dim, obj.mu, obj.s_lambda, obj.material
             )
             return blocked_scatter_sum(yt, blk, obj.particle_cnt)
         cols = explicit_grad_columns(
@@ -69,7 +63,7 @@ def analytic_energy_gradient(
 
         cols = explicit_grad_columns_pallas(
             pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda,
+            obj.mu, obj.s_lambda, obj.material,
         )
     else:
         cols = explicit_grad_columns(

@@ -94,7 +94,7 @@ def make_system_apply_t(
 def diagonal_blocks(
     obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
 ) -> jnp.ndarray:
-    """Per-particle diagonal dim×dim blocks of A (needed only by Jacobi).
+    """Per-particle diagonal dim×dim blocks of A (Jacobi + block-Jacobi PCG).
 
     Diagonal of the assembled K: local vertex 0 of element e receives
     ``d·K_e`` (accumulated once per local i at implicit.py:168), local
@@ -110,6 +110,33 @@ def diagonal_blocks(
     )
     eye = jnp.eye(d, dtype=K.dtype)[None]
     return eye - (dt * dt) * diag_k / obj.mass[:, None, None]
+
+
+def diagonal_blocks_from(
+    element_indices: jnp.ndarray,
+    K: jnp.ndarray,
+    mass: jnp.ndarray,
+    dt: float,
+    num_particles: int,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """:func:`diagonal_blocks` over explicit element arrays — used by the
+    blocked operator paths whose K blocks live on the block-ordered padded
+    element copies (padded slots have K = 0 exactly, so they contribute
+    nothing)."""
+    from fem_tpu.ops.assembly import segment_assemble
+
+    e, dp1 = element_indices.shape
+    d = dp1 - 1
+    w = jnp.concatenate(
+        [jnp.full((e, 1), float(d)), jnp.ones((e, d))], axis=1
+    )
+    contrib = w[..., None] * K.reshape(e, 1, d * d)
+    diag_k = segment_assemble(
+        contrib, element_indices, num_particles, axis_name
+    ).reshape(num_particles, d, d)
+    eye = jnp.eye(d, dtype=K.dtype)[None]
+    return eye - (dt * dt) * diag_k / mass[:, None, None]
 
 
 def build_edge_matrix(element_indices, num_particles: int):
@@ -250,6 +277,44 @@ def _material_force_columns(
     )
 
 
+def _k_and_force_cols(
+    obj: FemObject,
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    robust: bool,
+    element_backend: str,
+):
+    """(K blocks, rhs force columns) on the given element arrays, material-
+    aware, on the requested element backend — shared by the fused and the
+    non-fused blocked branches of :func:`implicit_velocity_solve`."""
+    if element_backend == "pallas":
+        from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
+
+        return hessian_and_force_pallas(
+            pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
+            robust, obj.material,
+        )
+    k_flat = hessian_blocks(
+        pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
+        robust, obj.material,
+    )
+    if obj.material == "neo_hookean":
+        cols = implicit_force_columns(
+            pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
+            robust,
+        )
+    else:
+        from fem_tpu.ops.element import explicit_grad_columns
+
+        cols = -explicit_grad_columns(
+            pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
+            obj.material,
+        )
+    return k_flat, cols
+
+
 def implicit_rhs(
     obj: FemObject, state: SimState, dt: float, axis_name: str | None = None,
     robust: bool = False, element_backend: str = "xla",
@@ -267,6 +332,13 @@ def implicit_rhs(
         cols = implicit_force_columns_pallas(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
             obj.mu, obj.s_lambda,
+        )
+    elif element_backend == "pallas" and obj.material != "neo_hookean":
+        from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas
+
+        cols = -explicit_grad_columns_pallas(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda, obj.material,
         )
     else:
         cols = _material_force_columns(obj, state.pos, robust)
@@ -318,6 +390,116 @@ def conjugate_gradient(
 
     x, _, _, delta, it = jax.lax.while_loop(cond, body, carry0)
     return CGResult(x=x, iterations=it, residual=delta)
+
+
+def preconditioned_conjugate_gradient(
+    operator: Callable[[jnp.ndarray], jnp.ndarray],
+    diag: jnp.ndarray,  # (N, d, d) diagonal blocks of A (diagonal_blocks)
+    mass: jnp.ndarray,  # (N,) lumped particle masses
+    rhs: jnp.ndarray,
+    x0: jnp.ndarray,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+) -> CGResult:
+    """Block-Jacobi PCG — the ``cg_precond="block_jacobi"`` extension.
+
+    The reference's only "preconditioner" is normal-equations CG
+    (AᵀAx = Aᵀb, solver/implicit.py:289-299), which *doubles* operator
+    applies per iteration and squares the condition number — measured
+    strictly slower than plain CG at every compute-bound mesh size (plain
+    139 vs normal-eq 52 steps/s at 68k tets, BASELINE.md).  This is an
+    actual preconditioner: M⁻¹ = (symmetrized per-particle d×d diagonal
+    blocks of A)⁻¹ — the blocks :func:`diagonal_blocks` already assembles
+    for Jacobi — applied as one tiny batched matmul per iteration, with
+    exactly 1 operator apply per iteration.
+
+    The Krylov process runs on the mass-symmetrized similarity transform
+    Ã = M^{1/2}·A·M^{-1/2} = I − dt²·M^{-1/2}·G(K)·M^{-1/2} (same system,
+    same solution): A itself is nonsymmetric through the M⁻¹ row scaling,
+    and raw PCG on it was measured to STALL under strong mass heterogeneity
+    while the symmetrized form converges robustly (tests/test_cg_precond).
+    Ã's diagonal blocks equal A's, so the same ``diag`` serves.  The extra
+    cost is two elementwise √m multiplies per apply.
+
+    Termination stays the reference's ABSOLUTE ``rᵀr > tol`` test on the
+    ORIGINAL residual b − A·x (implicit.py:341), so accepted solutions are
+    interchangeable with the reference CG's; x₀ = b kept (implicit.py:314).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    sq = jnp.sqrt(mass)[:, None]
+    minv = sm.inv(0.5 * (diag + sm.mT(diag)))
+
+    def op(y):
+        return sq * operator(y / sq)
+
+    def apply_m(r):
+        return jnp.einsum("nij,nj->ni", minv, r, precision=hp)
+
+    def rr_orig(r):
+        return _vdot(r / sq, r / sq)
+
+    y0 = sq * x0
+    r0 = sq * rhs - op(y0)
+    z0 = apply_m(r0)
+    carry0 = (y0, r0, z0, _vdot(r0, z0), rr_orig(r0), jnp.int32(0))
+
+    def cond(c):
+        _, _, _, _, rr, it = c
+        return (it < max_iter) & (rr > tol)
+
+    def body(c):
+        y, r, d, delta, _, it = c
+        q = op(d)
+        alpha = delta / _vdot(d, q)
+        y = y + alpha * d
+        r = r - alpha * q
+        z = apply_m(r)
+        delta_next = _vdot(r, z)
+        beta = delta_next / delta
+        d = z + beta * d
+        return (y, r, d, delta_next, rr_orig(r), it + 1)
+
+    y, _, _, _, rr, it = jax.lax.while_loop(cond, body, carry0)
+    return CGResult(x=y / sq, iterations=it, residual=rr)
+
+
+def _cg_solve_dispatch(
+    apply_a: Callable[[jnp.ndarray], jnp.ndarray],
+    apply_at_fn: Callable[[], Callable[[jnp.ndarray], jnp.ndarray]],
+    b: jnp.ndarray,
+    preconditioned: int,
+    cg_precond: str,
+    diag_fn: Callable[[], jnp.ndarray] | None,
+    mass: jnp.ndarray | None = None,
+) -> CGResult:
+    """Route one CG solve by ``cg_precond``:
+
+    * ``"reference"`` (parity default): honor the config's ``preconditioned``
+      int — normal-equations AᵀAx = Aᵀb when 1 (implicit.py:289-299), plain
+      CG otherwise;
+    * ``"none"``: force plain CG (the measured-fastest reference-semantics
+      variant at scale) regardless of ``preconditioned``;
+    * ``"block_jacobi"``: block-Jacobi PCG on A (extension).
+
+    ``apply_at_fn`` / ``diag_fn`` are thunks so the transpose operator and
+    the diagonal blocks are only materialized when the mode needs them."""
+    if cg_precond == "block_jacobi":
+        if diag_fn is None:
+            raise ValueError(
+                "cg_precond='block_jacobi' requires explicit diagonal "
+                "blocks; unavailable for hessian='exact_jvp' (use "
+                "cg_precond='none' there)"
+            )
+        return preconditioned_conjugate_gradient(
+            apply_a, diag_fn(), mass, b, x0=b
+        )
+    if cg_precond not in ("reference", "none"):
+        raise ValueError(f"unknown cg_precond {cg_precond!r}")
+    if cg_precond == "reference" and preconditioned == 1:
+        apply_at = apply_at_fn()
+        operator = lambda v: apply_at(apply_a(v))
+        return conjugate_gradient(operator, apply_at(b), x0=b)
+    return conjugate_gradient(apply_a, b, x0=b)
 
 
 # ---------------------------------------------------------------------------
@@ -553,6 +735,7 @@ def implicit_velocity_solve(
     hessian: str = "reference",
     operator_mode: str = "graph",
     jacobi_sweep: str = "serial",
+    cg_precond: str = "reference",
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -564,13 +747,11 @@ def implicit_velocity_solve(
     """
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if obj.material != "neo_hookean" and hessian != "exact_jvp":
-        raise ValueError(
-            f"implicit integration with material={obj.material!r} requires "
-            "hessian='exact_jvp' (the reference's decoupled block Hessian "
-            "is the Neo-Hookean-specific formula, implicit.py:146-147); "
-            "the explicit/autodiff paths support all materials directly"
-        )
+    # Material extensions ride the reference's decoupled one-block-per-
+    # element structure with the material's own DP(F)[R⁻¹] integrand
+    # (ops/element.first_piola_dp) under hessian="reference", so they get
+    # the full graph/mxu/blocked/fused operator ladder; hessian="exact_jvp"
+    # remains the true-Newton alternative for every material.
     if hessian == "exact_jvp":
         if method != CONJUGATE_GRADIENT_METHOD:
             raise ValueError(
@@ -591,13 +772,9 @@ def implicit_velocity_solve(
             (jt,) = vjp_fn(y / obj.mass[:, None])
             return y - (dt * dt) * jt
 
-        if preconditioned == 1:
-            operator = lambda v: apply_at(apply_a(v))
-            rhs = apply_at(b)
-        else:
-            operator = apply_a
-            rhs = b
-        res = conjugate_gradient(operator, rhs, x0=b)
+        res = _cg_solve_dispatch(
+            apply_a, lambda: apply_at, b, preconditioned, cg_precond, None
+        )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 
     if operator_mode == "blocked" and obj.blocking is None:
@@ -630,6 +807,9 @@ def implicit_velocity_solve(
             and axis_name is None
             and operator_mode in ("fused", "auto")
             and (operator_mode == "fused" or jax.default_backend() == "tpu")
+            # The whole-solve kernel implements the reference CG (plain or
+            # normal-equations); block-Jacobi PCG runs op-composed.
+            and cg_precond in ("reference", "none")
         )
         if use_fused:
             # Whole-solve fused kernel (ops/pallas_blocked_cg.py): rhs
@@ -637,27 +817,16 @@ def implicit_velocity_solve(
             # the op-overhead-dominated relay backend at flagship sizes.
             from fem_tpu.ops.pallas_blocked_cg import fused_blocked_cg_solve
 
-            if element_backend == "pallas":
-                from fem_tpu.ops.pallas_kernels import (
-                    hessian_and_force_pallas,
-                )
-
-                k_flat, cols_flat = hessian_and_force_pallas(
-                    state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                    obj.mu, obj.s_lambda, robust,
-                )
-            else:
-                k_flat = hessian_blocks(
-                    state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                    obj.mu, obj.s_lambda, robust,
-                )
-                cols_flat = implicit_force_columns(
-                    state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                    obj.mu, obj.s_lambda, robust,
-                )
+            k_flat, cols_flat = _k_and_force_cols(
+                obj, state.pos, blk.element_indices, blk.ref_inv,
+                blk.volume, robust, element_backend,
+            )
             vel_new, iters, residual = fused_blocked_cg_solve(
                 blk, k_flat, cols_flat, state.vel, obj.mass,
-                dim=obj.dim, dt=dt, preconditioned=preconditioned == 1,
+                dim=obj.dim, dt=dt,
+                preconditioned=(
+                    preconditioned == 1 and cg_precond == "reference"
+                ),
             )
             return state.replace(vel=vel_new), ImplicitAux(iters, residual)
         if element_backend == "pallas":
@@ -668,23 +837,25 @@ def implicit_velocity_solve(
             from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
 
             kplane, yt = blocked_prep(
-                blk, state.pos, obj.dim, obj.mu, obj.s_lambda, robust
+                blk, state.pos, obj.dim, obj.mu, obj.s_lambda, robust,
+                obj.material,
             )
             f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
             b = state.vel + dt * f / obj.mass[:, None]
             apply_a, apply_at = make_blocked_system_apply(
                 obj, None, dt, axis_name, kplane=kplane
             )
+
+            def k_for_diag():
+                from fem_tpu.ops.blocking import kplane_to_kflat
+
+                return kplane_to_kflat(blk, kplane, obj.dim)
         else:
             from fem_tpu.ops.blocking import blocked_assemble
 
-            k_flat = hessian_blocks(
-                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda, robust,
-            )
-            cols_flat = implicit_force_columns(
-                state.pos, blk.element_indices, blk.ref_inv, blk.volume,
-                obj.mu, obj.s_lambda, robust,
+            k_flat, cols_flat = _k_and_force_cols(
+                obj, state.pos, blk.element_indices, blk.ref_inv,
+                blk.volume, robust, "xla",
             )
             f = blocked_assemble(
                 blk, cols_flat, obj.particle_cnt, obj.dim, axis_name
@@ -693,13 +864,18 @@ def implicit_velocity_solve(
             apply_a, apply_at = make_blocked_system_apply(
                 obj, k_flat, dt, axis_name
             )
-        if preconditioned == 1:
-            operator = lambda v: apply_at(apply_a(v))
-            rhs = apply_at(b)
-        else:
-            operator = apply_a
-            rhs = b
-        res = conjugate_gradient(operator, rhs, x0=b)
+
+            def k_for_diag():
+                return k_flat
+
+        res = _cg_solve_dispatch(
+            apply_a, lambda: apply_at, b, preconditioned, cg_precond,
+            lambda: diagonal_blocks_from(
+                blk.element_indices, k_for_diag(), obj.mass, dt,
+                obj.particle_cnt, axis_name,
+            ),
+            obj.mass,
+        )
         return state.replace(vel=res.x), ImplicitAux(
             res.iterations, res.residual
         )
@@ -707,18 +883,16 @@ def implicit_velocity_solve(
     if element_backend == "pallas":
         # Fused kernel: K blocks + rhs force columns share the F chain and
         # the X-plane gather (one dispatch instead of two per substep).
-        from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
-
-        K, force_cols = hessian_and_force_pallas(
-            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, robust,
+        K, force_cols = _k_and_force_cols(
+            obj, state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            robust, "pallas",
         )
         f = assemble_for(obj, element_contrib_full(force_cols), axis_name)
         b = state.vel + dt * f / obj.mass[:, None]
     else:
         K = hessian_blocks(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, robust,
+            obj.mu, obj.s_lambda, robust, obj.material,
         )
         b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
     use_mxu = (
@@ -765,7 +939,7 @@ def implicit_velocity_solve(
                 k_blk = hessian_blocks(
                     state.pos, obj.blocking.element_indices,
                     obj.blocking.ref_inv, obj.blocking.volume,
-                    obj.mu, obj.s_lambda, robust,
+                    obj.mu, obj.s_lambda, robust, obj.material,
                 )
                 apply_j, _ = make_blocked_system_apply(
                     obj, k_blk, dt, axis_name
@@ -777,17 +951,16 @@ def implicit_velocity_solve(
         return new_state, ImplicitAux(res.iterations, res.error)
 
     if method == CONJUGATE_GRADIENT_METHOD:
-        if preconditioned == 1:
+        def apply_at_fn():
             if use_mxu:
-                apply_at = apply_at_mxu
-            else:
-                apply_at = make_system_apply_t(obj, K, dt, axis_name)
-            operator = lambda v: apply_at(apply_a(v))
-            rhs = apply_at(b)
-        else:
-            operator = apply_a
-            rhs = b
-        res = conjugate_gradient(operator, rhs, x0=b)
+                return apply_at_mxu
+            return make_system_apply_t(obj, K, dt, axis_name)
+
+        res = _cg_solve_dispatch(
+            apply_a, apply_at_fn, b, preconditioned, cg_precond,
+            lambda: diagonal_blocks(obj, K, dt, axis_name),
+            obj.mass,
+        )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 
     raise ValueError(f"unknown implicit method {method}")

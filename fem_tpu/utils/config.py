@@ -36,10 +36,12 @@ class ObjectConfig:
     # Material model: "neo_hookean" (reference live path), "stvk" (the
     # reference's latent commented-out variant), "linear" or "corotated"
     # (extensions; corotated uses a tie-robust polar decomposition).
-    # Supported on the explicit paths, both autodiff (jax.grad of the
-    # energy) and analytic (first_piola columns); the implicit solver is
-    # Neo-Hookean only (its decoupled block Hessian is the reference's
-    # NH-specific formula).
+    # Supported on every path: explicit (autodiff and analytic Piola
+    # columns) and implicit — under hessian="reference" each material rides
+    # the reference's decoupled one-block-per-element structure with its
+    # own analytic DP(F)[R⁻¹] (ops/element.first_piola_dp), so the full
+    # graph/mxu/blocked/fused operator ladder applies; hessian="exact_jvp"
+    # is the true-Newton alternative for any material.
     material: str = "neo_hookean"
 
     @property
@@ -122,6 +124,25 @@ class SimConfig:
     # weight traffic in the hot loop).  Positions/forces/rhs stay exact.
     # Off by default — parity runs use exact 3-plane dots.
     cg_fast_math: bool = False
+    # Adaptive-dt κ-guard (extension, solvers/adaptive.py).  The reference
+    # integrates at fixed dt with no stability monitor and silently NaNs
+    # when κ = dt²·‖K‖/m → 1 (measured: 68k tets at dt=5e-4, the
+    # reference's own spot.obj at its default dt by t≈5 s — BASELINE.md).
+    # When true, each substep measures κ = max‖A_ii − I‖_F and splits into
+    # 2/4/8 state-consistent inner steps at dt/n when it crosses
+    # ``adaptive_dt_threshold``.  Off by default: guarded trajectories
+    # deviate from fixed-dt parity whenever a split triggers.
+    adaptive_dt: bool = False
+    adaptive_dt_threshold: float = 0.5
+    # CG preconditioning strategy (extension).  "reference" (parity
+    # default) honors the `preconditioned` int: 1 = the reference's
+    # normal-equations CG (AᵀAx = Aᵀb, implicit.py:289-299 — DOUBLES
+    # operator applies and squares the condition number; measured slower
+    # than plain CG at every compute-bound size).  "none" forces plain CG.
+    # "block_jacobi" runs true PCG on A with M⁻¹ = inverted per-particle
+    # d×d diagonal blocks (solvers/implicit.preconditioned_conjugate_
+    # gradient) — 1 operator apply/iter, same absolute rᵀr tolerance.
+    cg_precond: str = "reference"
     # Matrix-free operator execution: "auto" prefers the block-partitioned
     # MXU operator (ops/blocking.py — in-VMEM one-hot incidence per
     # locality block, measured 8.6× over the graph chain at 68k tets;
@@ -198,6 +219,9 @@ def parse_config(data: dict) -> SimConfig:
         jacobi_sweep=str(data.get("jacobi_sweep", "serial")),
         frame_backend=str(data.get("frame_backend", "auto")),
         cg_fast_math=bool(data.get("cg_fast_math", False)),
+        adaptive_dt=bool(data.get("adaptive_dt", False)),
+        adaptive_dt_threshold=float(data.get("adaptive_dt_threshold", 0.5)),
+        cg_precond=str(data.get("cg_precond", "reference")),
         operator_mode=str(data.get("operator_mode", "auto")),
     )
 

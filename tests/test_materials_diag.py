@@ -124,17 +124,13 @@ def test_stvk_analytic_explicit_simulation_runs():
     assert np.isfinite(np.asarray(s.pos)).all()
 
 
-def test_implicit_stvk_requires_exact_jvp_and_runs():
-    """Implicit + StVK: rejected under the NH-specific reference Hessian,
-    runs under the exact-Newton extension; the HVP matches a finite
-    difference of the material force."""
-    import pytest
-
+def test_implicit_stvk_exact_jvp_runs():
+    """Implicit + StVK under the exact-Newton extension (since round 4 the
+    decoupled hessian='reference' route ALSO supports materials — see
+    tests/test_materials_implicit.py); the HVP matches a finite difference
+    of the material force."""
     from fem_tpu.sim import make_frame_fn
-    from fem_tpu.solvers.implicit import (
-        implicit_velocity_solve,
-        make_exact_hvp_apply,
-    )
+    from fem_tpu.solvers.implicit import make_exact_hvp_apply
     from tests.utils import default_obstacles, default_sim_config
 
     _, obj, state = make_2d_object(subdivisions=4)
@@ -144,12 +140,6 @@ def test_implicit_stvk_requires_exact_jvp_and_runs():
         rng.uniform(-0.02, 0.02, state.pos.shape).astype(np.float32)
     )
     state = state.replace(pos=pos)
-
-    with pytest.raises(ValueError, match="exact_jvp"):
-        implicit_velocity_solve(
-            obj, state, 5e-4, method=1, preconditioned=1,
-            hessian="reference",
-        )
 
     # HVP vs central finite difference of the assembled force.
     from fem_tpu.ops.assembly import assemble_for, element_contrib_full
