@@ -44,6 +44,13 @@ def main():
     p.add_argument("--robust-inversion", action="store_true",
                    help="enable the robust clamp extension (default: pure "
                         "reference semantics — stable on conforming meshes)")
+    p.add_argument("--cg-precond", default="reference",
+                   choices=["reference", "none", "block_jacobi"],
+                   help="CG preconditioning strategy (SimConfig.cg_precond)")
+    p.add_argument("--material", default="neo_hookean",
+                   choices=["neo_hookean", "stvk", "linear", "corotated"])
+    p.add_argument("--adaptive-dt", action="store_true",
+                   help="enable the kappa-guard substep splitter")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -56,6 +63,7 @@ def main():
     ocfg = ObjectConfig(
         center=(2.0, 0.7, 2.0), rho=1000.0, E=4e4, nu=0.4, damping=10.0,
         obj=os.path.join(here, "assets", "spot.obj"),
+        material=args.material,
     )
     t0 = time.perf_counter()
     v, f, e, _aux = load_object_mesh(ocfg, args.spacing)
@@ -74,6 +82,7 @@ def main():
         use_explicit_method=not implicit,
         implicit_method=1, preconditioned=1,
         g_dir=(0.0, -1.0, 0.0), robust_inversion=args.robust_inversion,
+        cg_precond=args.cg_precond, adaptive_dt=args.adaptive_dt,
         objects=(ocfg,), blocks=(),
     )
     obstacles = Obstacles.from_configs((), 3)
