@@ -53,11 +53,19 @@ def substep(
     operator_mode: str = "graph",
     jacobi_sweep: str = "serial",
     cg_precond: str = "reference",
+    external_force: jnp.ndarray | None = None,
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
     otherwise explicit-analytic or implicit.  ``axis_name`` enables
-    element-sharded execution under shard_map (fem_tpu.parallel)."""
+    element-sharded execution under shard_map (fem_tpu.parallel).
+
+    ``external_force`` (extension — used by the body-body penalty contact,
+    fem_tpu/contact.py) is an additional per-particle force: subtracted from
+    the energy gradient on the explicit/autodiff paths, and folded into the
+    implicit rhs exactly as b = v + dt·(f_elastic + f_ext)/m via the velocity
+    substitution v' = v + dt·f_ext/m (b is linear in v; the solve then reads
+    the correct rhs on every operator/kernel branch unchanged)."""
     zero_aux = StepAux(jnp.int32(0), jnp.float32(0.0))
     # Advection stays on the XLA path: the fused Pallas advection kernels
     # (ops/pallas_advect.py) are parity-exact but measured 4x SLOWER here —
@@ -67,6 +75,8 @@ def substep(
     advect_backend = "xla"
     if auto_diff:
         grad = autodiff_energy_gradient(obj, state.pos, axis_name)
+        if external_force is not None:
+            grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
             advect_backend,
@@ -76,6 +86,8 @@ def substep(
         grad = analytic_energy_gradient(
             obj, state.pos, axis_name, element_backend
         )
+        if external_force is not None:
+            grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
             advect_backend,

@@ -124,6 +124,15 @@ class SimConfig:
     # weight traffic in the hot loop).  Positions/forces/rhs stay exact.
     # Off by default — parity runs use exact 3-plane dots.
     cg_fast_math: bool = False
+    # Body-body contact (extension, fem_tpu/contact.py).  The reference's
+    # bodies never interact (main.py:59-61 steps objects independently);
+    # "penalty" adds per-substep particle-particle penalty forces between
+    # different bodies (Newton's-third-law exact; momentum-conserving).
+    # contact_radius 0 = auto (mean rest edge length over the bodies);
+    # contact_stiffness 0 = auto (explicit-stability-limited, contact.py).
+    contact: str = "none"
+    contact_stiffness: float = 0.0
+    contact_radius: float = 0.0
     # Adaptive-dt κ-guard (extension, solvers/adaptive.py).  The reference
     # integrates at fixed dt with no stability monitor and silently NaNs
     # when κ = dt²·‖K‖/m → 1 (measured: 68k tets at dt=5e-4, the
@@ -219,6 +228,9 @@ def parse_config(data: dict) -> SimConfig:
         jacobi_sweep=str(data.get("jacobi_sweep", "serial")),
         frame_backend=str(data.get("frame_backend", "auto")),
         cg_fast_math=bool(data.get("cg_fast_math", False)),
+        contact=str(data.get("contact", "none")),
+        contact_stiffness=float(data.get("contact_stiffness", 0.0)),
+        contact_radius=float(data.get("contact_radius", 0.0)),
         adaptive_dt=bool(data.get("adaptive_dt", False)),
         adaptive_dt_threshold=float(data.get("adaptive_dt_threshold", 0.5)),
         cg_precond=str(data.get("cg_precond", "reference")),

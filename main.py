@@ -88,7 +88,16 @@ def run(argv=None) -> int:
     scene, obstacles = load_scene(cfg, args.interior_spacing)
     print(method_banner(cfg))
 
-    if args.sharded:
+    contact_frame = None
+    if cfg.contact == "penalty" and len(scene) > 1:
+        if args.sharded:
+            print("contact='penalty' is not supported with --sharded")
+            return 3
+        from fem_tpu.contact import make_contact_frame_fn
+
+        contact_frame = make_contact_frame_fn([s.obj for s in scene], cfg)
+        frame_fns = [None] * len(scene)
+    elif args.sharded:
         from fem_tpu.parallel.sharding import (
             make_element_mesh,
             make_sharded_frame_fn,
@@ -148,13 +157,27 @@ def run(argv=None) -> int:
 
     for frame in range(start_frame, n_frames):
         per_body_aux = []
-        for s, frame_fn in zip(scene, frame_fns):
-            s.state, aux = frame_fn(s.state, obstacles)
-            per_body_aux.append(aux)
-            # Reference quirk, reproduced deliberately: virtual_time advances
-            # *inside* the per-object loop (main.py:113), so an N-body scene
-            # paces gif capture and OBJ export N× faster.  See PARITY.md.
-            virtual_time += cfg.sim_count * cfg.delta_time
+        if contact_frame is not None:
+            # Coupled stepping (contact="penalty"): every body advances its
+            # sim_count substeps jointly with per-substep penalty forces.
+            new_states, auxes = contact_frame(
+                tuple(s.state for s in scene), obstacles
+            )
+            for s, st, aux in zip(scene, new_states, auxes):
+                s.state = st
+                per_body_aux.append(aux)
+            # Keep the reference's N×-pacing virtual_time quirk (PARITY.md)
+            # so output cadence matches the uncoupled path.
+            virtual_time += len(scene) * cfg.sim_count * cfg.delta_time
+        else:
+            for s, frame_fn in zip(scene, frame_fns):
+                s.state, aux = frame_fn(s.state, obstacles)
+                per_body_aux.append(aux)
+                # Reference quirk, reproduced deliberately: virtual_time
+                # advances *inside* the per-object loop (main.py:113), so an
+                # N-body scene paces gif capture and OBJ export N× faster.
+                # See PARITY.md.
+                virtual_time += cfg.sim_count * cfg.delta_time
 
         if (
             cfg.is_output_obj

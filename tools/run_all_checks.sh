@@ -12,7 +12,10 @@ fail=0
 step() { echo; echo "=== $1 ==="; }
 
 step "pytest (CPU, 8-device virtual mesh via tests/conftest.py)"
-python -m pytest tests/ -q || fail=1
+python -m pytest tests/ -q -m "not slow" || fail=1
+
+step "long-horizon slow suite (5+ virtual-second arcs)"
+python -m pytest tests/ -q -m slow || fail=1
 
 step "CLI error path (must exit 3)"
 python main.py --config /nonexistent.json >/dev/null 2>&1

@@ -35,6 +35,11 @@ def main():
                    help="enable the robust_inversion extension (rescues "
                         "thin-feature element inversions that NaN the "
                         "reference's unclamped log under deep squash)")
+    p.add_argument("--cg-precond", default=None,
+                   choices=["reference", "none", "block_jacobi"],
+                   help="override SimConfig.cg_precond")
+    p.add_argument("--adaptive-dt", action="store_true",
+                   help="enable the kappa-guard substep splitter")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -51,6 +56,10 @@ def main():
         cfg = dataclasses.replace(cfg, delta_time=args.dt)
     if args.robust:
         cfg = dataclasses.replace(cfg, robust_inversion=True)
+    if args.cg_precond is not None:
+        cfg = dataclasses.replace(cfg, cg_precond=args.cg_precond)
+    if args.adaptive_dt:
+        cfg = dataclasses.replace(cfg, adaptive_dt=True)
     ocfg = cfg.objects[0]
     obj_path = os.path.join(here, ocfg.obj)
     ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
