@@ -154,6 +154,10 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
         jacobi_sweep=cfg.jacobi_sweep,
+        cg_precond=cfg.cg_precond,
+        robust_inversion=cfg.robust_inversion,
+        element_backend=cfg.element_backend,
+        hessian=cfg.hessian,
         axis_name=AXIS,
         solver_backend="matrix_free",  # dense backend is single-chip only
         # "fused" is the single-chip whole-solve kernel; under sharding it
@@ -258,6 +262,10 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         implicit_method=cfg.implicit_method,
         preconditioned=cfg.preconditioned,
         jacobi_sweep=cfg.jacobi_sweep,
+        cg_precond=cfg.cg_precond,
+        robust_inversion=cfg.robust_inversion,
+        element_backend=cfg.element_backend,
+        hessian=cfg.hessian,
         axis_name=AXIS,
         solver_backend="matrix_free",
         operator_mode="auto" if cfg.operator_mode == "fused"

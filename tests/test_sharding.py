@@ -241,3 +241,62 @@ def test_sharded_3d_pallas_prep_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(cg_precond="block_jacobi"),
+        dict(cg_precond="none"),
+    ],
+    ids=["block-jacobi", "plain-by-name"],
+)
+def test_sharded_cg_precond_matches_single_device(overrides):
+    """Round-4 cg_precond extension under shard_map: the block-Jacobi
+    diagonal assembles per-shard (segment_assemble + psum) and the PCG
+    iterations run replicated — must match the single-device result."""
+    cfg_all = default_sim_config_3d(
+        sim_count=2, implicit_method=1, preconditioned=1, **overrides
+    )
+    _, obj, state = make_3d_object(subdivisions=3)
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+    rng = np.random.default_rng(7)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.2, size=state.pos.shape).astype(np.float32)
+        )
+    )
+    single = make_substep_fn(obj, cfg_all)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+    s1, aux1 = single(state, obstacles)
+    s2, aux2 = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
+    )
+    assert int(aux1.solver_iterations) == int(aux2.solver_iterations)
+
+
+def test_sharded_material_matches_single_device():
+    """Round-4 material-generic decoupled Hessian under shard_map
+    (corotated: planar polar inside the per-shard blocked prep)."""
+    cfg_all = default_sim_config_3d(
+        sim_count=2, implicit_method=1, preconditioned=0,
+    )
+    _, obj, state = make_3d_object(subdivisions=3)
+    obj = obj.replace(material="corotated")
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+    rng = np.random.default_rng(9)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.2, size=state.pos.shape).astype(np.float32)
+        )
+    )
+    single = make_substep_fn(obj, cfg_all)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+    s1, _ = single(state, obstacles)
+    s2, _ = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
+    )
