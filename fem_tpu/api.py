@@ -44,7 +44,19 @@ class Simulation:
         self.cfg = cfg
         self.scene: List[SceneObject]
         self.scene, self.obstacles = load_scene(cfg, interior_spacing)
-        if sharded:
+        self._contact_frame = None
+        if cfg.contact == "penalty" and len(self.scene) > 1:
+            if sharded:
+                raise ValueError(
+                    "contact='penalty' is not supported with sharded=True"
+                )
+            from fem_tpu.contact import make_contact_frame_fn
+
+            self._contact_frame = make_contact_frame_fn(
+                [s.obj for s in self.scene], cfg
+            )
+            self._frame_fns = [None] * len(self.scene)
+        elif sharded:
             from fem_tpu.parallel.sharding import (
                 make_element_mesh,
                 make_sharded_frame_fn,
@@ -71,9 +83,19 @@ class Simulation:
 
     # -- stepping ---------------------------------------------------------
     def step_frame(self) -> None:
-        """Advance one rendered frame (= ``sim_count`` substeps)."""
-        for s, fn in zip(self.scene, self._frame_fns):
-            s.state, self.last_aux = fn(s.state, self.obstacles)
+        """Advance one rendered frame (= ``sim_count`` substeps).  With
+        ``contact="penalty"`` all bodies advance jointly with per-substep
+        penalty coupling (fem_tpu/contact.py)."""
+        if self._contact_frame is not None:
+            states, auxes = self._contact_frame(
+                tuple(s.state for s in self.scene), self.obstacles
+            )
+            for s, st in zip(self.scene, states):
+                s.state = st
+            self.last_aux = auxes[-1]
+        else:
+            for s, fn in zip(self.scene, self._frame_fns):
+                s.state, self.last_aux = fn(s.state, self.obstacles)
         self.virtual_time += self.cfg.sim_count * self.cfg.delta_time
         self.frame_count += 1
 

@@ -182,3 +182,31 @@ def test_contact_implicit_cg_runs_and_separates():
             assert np.isfinite(np.asarray(st.pos)).all()
     r = auto_contact_radius(objs)
     assert _min_interbody_dist(s[0].pos, s[1].pos) > 0.5 * r
+
+
+def test_simulation_api_contact():
+    """Simulation(contact='penalty') steps bodies jointly and renders."""
+    from fem_tpu.api import Simulation
+
+    sim = Simulation.from_dict(
+        {
+            "dim": 2,
+            "delta_time": 5e-4,
+            "sim_count": 5,
+            "auto_diff": False,
+            "use_explicit_method": True,
+            "g_dir": [0, -1],
+            "contact": "penalty",
+            "objects": [
+                {"id": 0, "center": [0.5, 0.3], "side_length": 0.15,
+                 "subdivisions": 4},
+                {"id": 1, "center": [0.5, 0.55], "side_length": 0.15,
+                 "subdivisions": 4},
+            ],
+        }
+    )
+    sim.run(frames=10)
+    for i in range(2):
+        assert np.isfinite(sim.positions(i)).all()
+    img = sim.render()
+    assert img.shape == (640, 640, 3)
