@@ -42,6 +42,7 @@ def _run(script, *args):
         ("examples/library_usage.py", "min det F"),
         ("examples/ensemble_sweep.py", "members through the passage"),
         ("examples/inverse_material.py", "recovered E"),
+        ("examples/two_body_contact.py", "two_body_contact OK"),
     ],
 )
 def test_example_runs(script, expect):
