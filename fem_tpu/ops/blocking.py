@@ -138,6 +138,24 @@ def build_blocking(
         blocks.append((cur, sorted(cur_parts)))
 
     b_cnt = len(blocks)
+    # Multi-block grid steps (round-4 probe, tools/probe_pairblock.py):
+    # processing 4 blocks per Pallas grid step lets Mosaic interleave the
+    # independent dot chains into each other's MXU fill bubbles — measured
+    # 719.6 → 630.5 µs/apply at 68k tets, bit-exact.  Pad the block count
+    # to a multiple of 4 with EMPTY blocks (zero S rows / volume-0 slots,
+    # the pad_blocking convention) — but only for meshes past the fused
+    # VMEM gate: the flagship whole-frame kernels loop all blocks per
+    # apply, and extra empty blocks would cost more there than pairing
+    # saves on the op-composed path they don't use.
+    from fem_tpu.ops.pallas_blocked_cg import (
+        FUSED_MAX_BYTES as _FMB, fused_tables_bytes as _ftb,
+    )
+
+    n = rest_pos.shape[0]
+    if _ftb(b_cnt, eb, pb, d, n) > _FMB:
+        while len(blocks) % 4:
+            blocks.append(([], []))
+        b_cnt = len(blocks)
     r = eb * d
     blk_parts = np.zeros((b_cnt, pb), np.int32)
     plus = np.zeros((b_cnt, r), np.int32)
@@ -236,10 +254,23 @@ def _build_s(plus, minus, r: int, pb: int) -> jnp.ndarray:
     )
 
 
+def _grid_pair(num_blocks: int) -> int:
+    """Blocks per Pallas grid step for the op-composed kernels: 4 when the
+    count divides (build_blocking pads scale meshes to a multiple of 4),
+    degrading to 2/1 otherwise (e.g. per-shard counts under shard_map).
+    Round-4 measurement (tools/probe_pairblock.py): the per-block dot
+    chains are independent, so multi-block kernel bodies hide part of the
+    MXU pipeline fill — 719.6 → 630.5 µs/apply at 68k, bit-exact."""
+    for pair in (4, 2):
+        if num_blocks % pair == 0:
+            return pair
+    return 1
+
+
 def _matvec_kernel(
-    plus_ref, minus_ref, xbt_ref, kp_ref, out_ref, *, dim, transpose_k
+    plus_ref, minus_ref, xbt_ref, kp_ref, out_ref, *, dim, transpose_k, pair
 ):
-    """One block of yᵀ = S_bᵀ·(K_b ∘ (S_b·x_b)) with S built in-VMEM.
+    """``pair`` blocks of yᵀ = S_bᵀ·(K_b ∘ (S_b·x_b)) with S built in-VMEM.
 
     Layouts: xbt (d, Pb) — components on sublanes; kp (d², R) planes with
     kp[i·d+k, e·d+j] = K_e[i, k]; out (d, Pb).
@@ -247,30 +278,33 @@ def _matvec_kernel(
     from fem_tpu.ops.pallas_blocked_cg import _dot
 
     r, pb = plus_ref.shape[1], xbt_ref.shape[2]
-    s = _build_s(plus_ref[0], minus_ref[0], r, pb)
-    # st (d, R): column e·d+j holds the edge-difference vector s_j of elem e.
-    st = _dot(xbt_ref[0], s, (((1,), (1,))))
-    kp = kp_ref[0]
-    rows = []
-    for i in range(dim):
-        acc = None
-        for k in range(dim):
-            kidx = (k * dim + i) if transpose_k else (i * dim + k)
-            term = kp[kidx, :] * st[k, :]
-            acc = term if acc is None else acc + term
-        rows.append(acc)
-    t = jnp.stack(rows, 0)  # (d, R): column e·d+j = K_e @ s_j
-    out_ref[0] = _dot(t, s, (((1,), (0,))))
+    for j in range(pair):
+        s = _build_s(plus_ref[j], minus_ref[j], r, pb)
+        # st (d, R): column e·d+j = edge-difference vector s_j of elem e.
+        st = _dot(xbt_ref[j], s, (((1,), (1,))))
+        kp = kp_ref[j]
+        rows = []
+        for i in range(dim):
+            acc = None
+            for k in range(dim):
+                kidx = (k * dim + i) if transpose_k else (i * dim + k)
+                term = kp[kidx, :] * st[k, :]
+                acc = term if acc is None else acc + term
+            rows.append(acc)
+        t = jnp.stack(rows, 0)  # (d, R): column e·d+j = K_e @ s_j
+        out_ref[j] = _dot(t, s, (((1,), (0,))))
 
 
-def _scatter_kernel(plus_ref, minus_ref, t_ref, out_ref):
-    """One block of the assembly yᵀ = S_bᵀ·t — scatter per-element columns
-    (t[:, e·d+j] to local vertex j+1, −Σ_j to vertex 0) as one MXU matmul."""
+def _scatter_kernel(plus_ref, minus_ref, t_ref, out_ref, *, pair):
+    """``pair`` blocks of the assembly yᵀ = S_bᵀ·t — scatter per-element
+    columns (t[:, e·d+j] to local vertex j+1, −Σ_j to vertex 0) as MXU
+    matmuls."""
     from fem_tpu.ops.pallas_blocked_cg import _dot
 
     r, pb = plus_ref.shape[1], out_ref.shape[2]
-    s = _build_s(plus_ref[0], minus_ref[0], r, pb)
-    out_ref[0] = _dot(t_ref[0], s, (((1,), (0,))))
+    for j in range(pair):
+        s = _build_s(plus_ref[j], minus_ref[j], r, pb)
+        out_ref[j] = _dot(t_ref[j], s, (((1,), (0,))))
 
 
 def _prep_kernel(
@@ -288,6 +322,7 @@ def _prep_kernel(
     robust: bool,
     mode: str,
     material: str,
+    pair: int,
 ):
     """One block of element prep entirely in VMEM: edge matrices via
     S_b·x_b MXU dots (no XLA row gather), the shared element chain, and the
@@ -303,41 +338,44 @@ def _prep_kernel(
     d = dim
     d2 = d * d
     r, pb = plus_ref.shape[1], xbt_ref.shape[2]
-    s = _build_s(plus_ref[0], minus_ref[0], r, pb)
-    st = _dot(xbt_ref[0, :, :], s, (((1,), (1,))))  # (d, R)
-    v = vol_ref[0, :, :]  # (1, Eb)
-    # Padded element slots have zero S rows → X = 0 → NaN through the
-    # chain; substitute the rest edge matrix (F = I), volume 0 zeroes the
-    # result exactly (same convention as the whole-frame kernel).
-    pad = (v == 0.0).astype(jnp.float32)
-    rv = rv_ref[0, :, :]  # (d², Eb)
-    r_rows = [rv[i : i + 1, :] for i in range(d2)]
-    xp = _pad_x_rows(r_rows, d)
-    x_rows = [None] * d2
-    for j in range(d):
-        xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))  # (d, Eb)
-        for i in range(d):
-            x_rows[i * d + j] = xj[i : i + 1, :] + pad * xp[i * d + j]
-    if mode == "implicit":
-        kp_out, yt_out = out_refs
-        k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust, material)
-        krows = jnp.concatenate(
-            [-v * k[i] for i in range(d2)], axis=0
-        )  # (d², Eb)
-        kp_out[0] = _dot(krows, psum_ref[:, :], (((1,), (1,))))  # (d², R)
-        sign = -1.0
-    else:
-        (yt_out,) = out_refs
-        h = grad_cols_chain(x_rows, r_rows, d, mu, lam, material)
-        sign = 1.0
-    tc = None
-    for j in range(d):
-        hj = jnp.concatenate(
-            [sign * v * h[c * d + j] for c in range(d)], axis=0
-        )  # (d, Eb)
-        term = _dot(hj, pj_ref[j, :, :], (((1,), (1,))))  # (d, R)
-        tc = term if tc is None else tc + term
-    yt_out[0] = _dot(tc, s, (((1,), (0,))))  # (d, Pb)
+    for g in range(pair):
+        s = _build_s(plus_ref[g], minus_ref[g], r, pb)
+        st = _dot(xbt_ref[g, :, :], s, (((1,), (1,))))  # (d, R)
+        v = vol_ref[g, :, :]  # (1, Eb)
+        # Padded element slots have zero S rows → X = 0 → NaN through the
+        # chain; substitute the rest edge matrix (F = I), volume 0 zeroes
+        # the result exactly (same convention as the whole-frame kernel).
+        pad = (v == 0.0).astype(jnp.float32)
+        rv = rv_ref[g, :, :]  # (d², Eb)
+        r_rows = [rv[i : i + 1, :] for i in range(d2)]
+        xp = _pad_x_rows(r_rows, d)
+        x_rows = [None] * d2
+        for j in range(d):
+            xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))  # (d, Eb)
+            for i in range(d):
+                x_rows[i * d + j] = xj[i : i + 1, :] + pad * xp[i * d + j]
+        if mode == "implicit":
+            kp_out, yt_out = out_refs
+            k, h = k_and_h_chain(
+                x_rows, r_rows, d, mu, lam, robust, material
+            )
+            krows = jnp.concatenate(
+                [-v * k[i] for i in range(d2)], axis=0
+            )  # (d², Eb)
+            kp_out[g] = _dot(krows, psum_ref[:, :], (((1,), (1,))))  # (d², R)
+            sign = -1.0
+        else:
+            (yt_out,) = out_refs
+            h = grad_cols_chain(x_rows, r_rows, d, mu, lam, material)
+            sign = 1.0
+        tc = None
+        for j in range(d):
+            hj = jnp.concatenate(
+                [sign * v * h[c * d + j] for c in range(d)], axis=0
+            )  # (d, Eb)
+            term = _dot(hj, pj_ref[j, :, :], (((1,), (1,))))  # (d, R)
+            tc = term if tc is None else tc + term
+        yt_out[g] = _dot(tc, s, (((1,), (0,))))  # (d, Pb)
 
 
 def _interpret() -> bool:
@@ -351,16 +389,17 @@ def _blocked_matvec_call(
 ) -> jnp.ndarray:
     b, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
     r = eb * dim
+    pair = _grid_pair(b)
     spec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (pair,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
-        _matvec_kernel, dim=dim, transpose_k=transpose_k
+        _matvec_kernel, dim=dim, transpose_k=transpose_k, pair=pair
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // pair,),
         in_specs=[spec(r, 1), spec(r, 1), spec(dim, pb), spec(dim * dim, r)],
         out_specs=spec(dim, pb),
         out_shape=jax.ShapeDtypeStruct((b, dim, pb), jnp.float32),
@@ -374,13 +413,14 @@ def _blocked_scatter_call(
 ) -> jnp.ndarray:
     b, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
     r = eb * dim
+    pair = _grid_pair(b)
     spec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (pair,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        _scatter_kernel,
-        grid=(b,),
+        functools.partial(_scatter_kernel, pair=pair),
+        grid=(b // pair,),
         in_specs=[spec(r, 1), spec(r, 1), spec(dim, r)],
         out_specs=spec(dim, pb),
         out_shape=jax.ShapeDtypeStruct((b, dim, pb), jnp.float32),
@@ -410,8 +450,9 @@ def _blocked_prep_call(
         [(rr == ee * d + j).astype(jnp.bfloat16) for j in range(d)], axis=0
     )
     psum = (rr // d == ee).astype(jnp.bfloat16)
+    pair = _grid_pair(b_cnt)
     spec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (pair,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
     whole = lambda *shape: pl.BlockSpec(
@@ -419,7 +460,7 @@ def _blocked_prep_call(
     )
     kernel = functools.partial(
         _prep_kernel, dim=d, mu=mu, lam=s_lambda, robust=robust, mode=mode,
-        material=material,
+        material=material, pair=pair,
     )
     out_shape = [jax.ShapeDtypeStruct((b_cnt, d, pb), jnp.float32)]
     out_specs = [spec(d, pb)]
@@ -428,7 +469,7 @@ def _blocked_prep_call(
         out_specs.insert(0, spec(d2, r))
     return pl.pallas_call(
         kernel,
-        grid=(b_cnt,),
+        grid=(b_cnt // pair,),
         in_specs=[
             spec(r, 1), spec(r, 1), whole(d, r, eb), whole(r, eb),
             spec(d2, eb), spec(1, eb), spec(d, pb),
