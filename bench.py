@@ -140,7 +140,10 @@ def bench_explicit(cfg, obj, state, obstacles):
     )
     frame_fn = make_frame_fn(obj, ecfg)
     s, _ = frame_fn(state, obstacles)  # compile
-    for _ in range(100):  # settle into contact at the smaller dt
+    # At dt=1e-4 impact lands ~frame 370; warm THROUGH it so every window
+    # measures the same steady-contact regime (a 100-frame warmup mixed
+    # free fall + impact into window 1 and read a 2x band).
+    for _ in range(450):
         s, _ = frame_fn(s, obstacles)
     _ = np.asarray(s.pos)
     rates = []
