@@ -45,7 +45,9 @@ class Simulation:
         self.scene: List[SceneObject]
         self.scene, self.obstacles = load_scene(cfg, interior_spacing)
         self._contact_frame = None
-        if cfg.contact == "penalty" and len(self.scene) > 1:
+        if cfg.contact == "penalty" and (
+            len(self.scene) > 1 or cfg.self_contact
+        ):
             if sharded:
                 raise ValueError(
                     "contact='penalty' is not supported with sharded=True"

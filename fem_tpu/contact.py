@@ -23,15 +23,37 @@ accumulation — dense, static-shaped, no neighbor lists.  For the framework's
 2D/3D multi-body demo scales (10²-10⁴ particles per body) this is far below
 one element-prep in cost; very large body pairs would want a culling
 extension.
+
+Extensions layered on the same pair machinery (all static-shaped MXU
+matmuls, all antisymmetric ⇒ momentum-conserving):
+
+- **Surface-vertex contact** (``contact_surface_only``, default on):
+  pairs range over each body's surface-vertex set (the faces' vertices) —
+  the standard FEM contact discretization (contact constraints live on the
+  boundary), at O(surface²) instead of O(N²) pair cost.  All-pairs
+  (``False``) is kept as a fallback; the two agree while penetration stays
+  shallower than the first interior vertex layer minus the radius
+  (tests/test_contact.py pins this), and differ only in how deep overlaps
+  are penalized.
+- **Self-contact** (``self_contact``): penalty pairs between surface
+  vertices of ONE body whose REST distance exceeds 2.5·radius — the rest
+  shape exerts exactly zero self-force; folding distant surface regions
+  together repels them.
+- **Viscous friction** (``contact_friction``): per active pair a dashpot
+  on the full relative velocity, f_i −= c·Σ_j w_ij (v_i − v_j) with
+  w_ij = overlap/radius, c = contact_friction·√(k·m_min) (≈ pair critical
+  damping at contact_friction ~ 1).  Isotropic (damps normal approach and
+  tangential slip alike), not Coulomb.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from fem_tpu.models.state import FemObject, Obstacles, SimState
 from fem_tpu.sim import StepAux, _cfg_kwargs, substep
@@ -67,14 +89,8 @@ def auto_contact_stiffness(objs: Sequence[FemObject], dt: float) -> float:
     return 0.02 * m_min / (dt * dt)
 
 
-def pair_contact_forces(
-    pos_a: jnp.ndarray,
-    pos_b: jnp.ndarray,
-    radius: float,
-    stiffness: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Penalty forces (f_a, f_b) between two particle sets; f_b is the exact
-    opposite scatter of the same pair forces."""
+def _pair_coefs(pos_a, pos_b, radius, stiffness):
+    """Pairwise distances → (penalty coefficient, overlap ramp) matrices."""
     sq_a = jnp.sum(pos_a * pos_a, axis=1)
     sq_b = jnp.sum(pos_b * pos_b, axis=1)
     cross = jnp.dot(pos_a, pos_b.T, precision=_HP)
@@ -85,28 +101,150 @@ def pair_contact_forces(
     # 0.1·radius so near-coincident foreign particles get a large-but-
     # bounded push instead of a singular one.
     coef = stiffness * pen / jnp.maximum(dist, 0.1 * radius)
+    return coef, pen / radius
+
+
+def pair_contact_forces(
+    pos_a: jnp.ndarray,
+    pos_b: jnp.ndarray,
+    radius: float,
+    stiffness: float,
+    vel_a: Optional[jnp.ndarray] = None,
+    vel_b: Optional[jnp.ndarray] = None,
+    friction_c: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Penalty forces (f_a, f_b) between two particle sets; f_b is the exact
+    opposite scatter of the same pair forces.  With ``friction_c`` > 0 and
+    velocities given, adds the viscous pair dashpot
+    f_i −= c·Σ_j w_ij (v_i − v_j) (w = overlap ramp) — still antisymmetric."""
+    coef, w = _pair_coefs(pos_a, pos_b, radius, stiffness)
     row = jnp.sum(coef, axis=1)
     col = jnp.sum(coef, axis=0)
     f_a = pos_a * row[:, None] - jnp.dot(coef, pos_b, precision=_HP)
     f_b = pos_b * col[:, None] - jnp.dot(coef.T, pos_a, precision=_HP)
+    if friction_c > 0.0 and vel_a is not None:
+        cw = friction_c * w
+        rw = jnp.sum(cw, axis=1)
+        cwc = jnp.sum(cw, axis=0)
+        f_a = f_a - (vel_a * rw[:, None] - jnp.dot(cw, vel_b, precision=_HP))
+        f_b = f_b - (vel_b * cwc[:, None] - jnp.dot(cw.T, vel_a, precision=_HP))
     return f_a, f_b
 
 
+def self_contact_forces(
+    pos: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    stiffness: float,
+    vel: Optional[jnp.ndarray] = None,
+    friction_c: float = 0.0,
+) -> jnp.ndarray:
+    """Same-body penalty forces between particles whose pairs are enabled by
+    the static ``mask`` (0/1, symmetric, zero diagonal — rest-proximity
+    exclusion built by :func:`build_contact_plan`).  Σᵢ fᵢ = 0 exactly in
+    exact arithmetic because the masked coefficient matrix is symmetric."""
+    coef, w = _pair_coefs(pos, pos, radius, stiffness)
+    coef = coef * mask
+    f = pos * jnp.sum(coef, axis=1)[:, None] - jnp.dot(
+        coef, pos, precision=_HP
+    )
+    if friction_c > 0.0 and vel is not None:
+        cw = friction_c * (w * mask)
+        f = f - (
+            vel * jnp.sum(cw, axis=1)[:, None]
+            - jnp.dot(cw, vel, precision=_HP)
+        )
+    return f
+
+
+@struct.dataclass
+class ContactPlan:
+    """Static (per-scene) contact index data, passed as a jit ARGUMENT —
+    never closed over (captured arrays compile as XLA constants, measured
+    far slower on this backend; see CLAUDE.md)."""
+
+    # Per-body (ns_i,) int32 participating-vertex ids (the surface-vertex
+    # set when contact_surface_only, else arange(N)).
+    surf: Tuple[jnp.ndarray, ...]
+    # Per-body (ns_i, ns_i) f32 0/1 self-pair masks, or None when
+    # self_contact is off.
+    self_mask: Tuple[Optional[jnp.ndarray], ...]
+
+
+def build_contact_plan(
+    objs: Sequence[FemObject], cfg: SimConfig, radius: float
+) -> ContactPlan:
+    """Host-side plan build: surface-vertex sets from each body's faces and
+    (optionally) the rest-distance self-pair exclusion masks."""
+    surf, masks = [], []
+    for o in objs:
+        n = o.particle_cnt
+        if cfg.contact_surface_only:
+            sv = np.unique(np.asarray(o.faces).reshape(-1)).astype(np.int32)
+        else:
+            sv = np.arange(n, dtype=np.int32)
+        surf.append(jnp.asarray(sv))
+        if cfg.self_contact:
+            rp = np.asarray(o.rest_pos)[sv]
+            d = np.sqrt(
+                np.maximum(
+                    (rp ** 2).sum(1)[:, None]
+                    + (rp ** 2).sum(1)[None, :]
+                    - 2.0 * rp @ rp.T,
+                    0.0,
+                )
+            )
+            masks.append(jnp.asarray((d > 2.5 * radius).astype(np.float32)))
+        else:
+            masks.append(None)
+    return ContactPlan(surf=tuple(surf), self_mask=tuple(masks))
+
+
 def contact_forces_all(
-    positions: Sequence[jnp.ndarray], radius: float, stiffness: float
+    positions: Sequence[jnp.ndarray],
+    radius: float,
+    stiffness: float,
+    velocities: Optional[Sequence[jnp.ndarray]] = None,
+    plan: Optional[ContactPlan] = None,
+    friction_c: float = 0.0,
 ) -> list:
-    """Sum pair forces over every unordered body pair (bodies are few; the
-    pair loop unrolls at trace time)."""
-    forces = [jnp.zeros_like(p) for p in positions]
+    """Sum pair forces over every unordered body pair plus per-body
+    self-contact (bodies are few; the pair loop unrolls at trace time).
+    With a plan, pair work runs on each body's participating-vertex subset
+    and scatters back into full-width force arrays."""
     n = len(positions)
+    if plan is None:
+        sub_pos = list(positions)
+        sub_vel = list(velocities) if velocities is not None else [None] * n
+    else:
+        sub_pos = [p[sv] for p, sv in zip(positions, plan.surf)]
+        sub_vel = (
+            [v[sv] for v, sv in zip(velocities, plan.surf)]
+            if velocities is not None
+            else [None] * n
+        )
+    sub_f = [jnp.zeros_like(p) for p in sub_pos]
     for i in range(n):
         for j in range(i + 1, n):
             f_i, f_j = pair_contact_forces(
-                positions[i], positions[j], radius, stiffness
+                sub_pos[i], sub_pos[j], radius, stiffness,
+                sub_vel[i], sub_vel[j], friction_c,
             )
-            forces[i] = forces[i] + f_i
-            forces[j] = forces[j] + f_j
-    return forces
+            sub_f[i] = sub_f[i] + f_i
+            sub_f[j] = sub_f[j] + f_j
+    if plan is not None:
+        for i in range(n):
+            if plan.self_mask[i] is not None:
+                sub_f[i] = sub_f[i] + self_contact_forces(
+                    sub_pos[i], plan.self_mask[i], radius, stiffness,
+                    sub_vel[i], friction_c,
+                )
+    if plan is None:
+        return sub_f
+    return [
+        jnp.zeros_like(p).at[sv].add(f)
+        for p, sv, f in zip(positions, plan.surf, sub_f)
+    ]
 
 
 def make_contact_frame_fn(objs: Sequence[FemObject], cfg: SimConfig):
@@ -126,13 +264,21 @@ def make_contact_frame_fn(objs: Sequence[FemObject], cfg: SimConfig):
         if cfg.contact_stiffness > 0.0
         else auto_contact_stiffness(objs, cfg.delta_time)
     )
+    m_min = min(float(np.asarray(o.mass).min()) for o in objs)
+    friction_c = cfg.contact_friction * float(np.sqrt(stiffness * m_min))
+    plan = build_contact_plan(objs, cfg, radius)
     objs = tuple(objs)
 
     @jax.jit
-    def frame_impl(os_: Tuple[FemObject, ...], states, obstacles: Obstacles):
+    def frame_impl(
+        os_: Tuple[FemObject, ...], plan_: ContactPlan, states,
+        obstacles: Obstacles,
+    ):
         def body(ss, _):
             forces = contact_forces_all(
-                [s.pos for s in ss], radius, stiffness
+                [s.pos for s in ss], radius, stiffness,
+                velocities=[s.vel for s in ss], plan=plan_,
+                friction_c=friction_c,
             )
             out, auxes = [], []
             for o, s, f in zip(os_, ss, forces):
@@ -144,6 +290,6 @@ def make_contact_frame_fn(objs: Sequence[FemObject], cfg: SimConfig):
         return jax.lax.scan(body, tuple(states), None, length=cfg.sim_count)
 
     def frame(states, obstacles: Obstacles):
-        return frame_impl(objs, states, obstacles)
+        return frame_impl(objs, plan, states, obstacles)
 
     return frame

@@ -133,6 +133,25 @@ class SimConfig:
     contact: str = "none"
     contact_stiffness: float = 0.0
     contact_radius: float = 0.0
+    # Viscous contact friction (extension): per active pair, a dashpot on
+    # the full relative velocity, f_i −= c·Σ_j w_ij (v_i − v_j) with
+    # w_ij = overlap/radius (smooth 0→1 ramp) and
+    # c = contact_friction · √(k_contact·m_min) (≈ pair critical damping at
+    # contact_friction ~ 1).  Antisymmetric ⇒ momentum-conserving.  0 = off.
+    contact_friction: float = 0.0
+    # Same-body contact (extension): penalty pairs between surface vertices
+    # of ONE body whose REST distance exceeds 2.5·radius (so the rest shape
+    # exerts exactly zero self-force; deformation that folds distant surface
+    # regions together repels).  Requires contact="penalty".
+    self_contact: bool = False
+    # Restrict contact pairs to surface vertices (faces' vertex set) — the
+    # standard FEM contact discretization (constraints live on the
+    # boundary); O(surface²) instead of O(N²) pair work.  In 2D every
+    # vertex is in the face set, so this only affects 3D.  Matches
+    # all-pairs while penetration stays shallower than the first interior
+    # vertex layer; turn off to penalize deep overlaps via interior
+    # vertices too.
+    contact_surface_only: bool = True
     # Adaptive-dt κ-guard (extension, solvers/adaptive.py).  The reference
     # integrates at fixed dt with no stability monitor and silently NaNs
     # when κ = dt²·‖K‖/m → 1 (measured: 68k tets at dt=5e-4, the
@@ -231,6 +250,9 @@ def parse_config(data: dict) -> SimConfig:
         contact=str(data.get("contact", "none")),
         contact_stiffness=float(data.get("contact_stiffness", 0.0)),
         contact_radius=float(data.get("contact_radius", 0.0)),
+        contact_friction=float(data.get("contact_friction", 0.0)),
+        self_contact=bool(data.get("self_contact", False)),
+        contact_surface_only=bool(data.get("contact_surface_only", True)),
         adaptive_dt=bool(data.get("adaptive_dt", False)),
         adaptive_dt_threshold=float(data.get("adaptive_dt_threshold", 0.5)),
         cg_precond=str(data.get("cg_precond", "reference")),

@@ -89,7 +89,7 @@ def run(argv=None) -> int:
     print(method_banner(cfg))
 
     contact_frame = None
-    if cfg.contact == "penalty" and len(scene) > 1:
+    if cfg.contact == "penalty" and (len(scene) > 1 or cfg.self_contact):
         if args.sharded:
             print("contact='penalty' is not supported with --sharded")
             return 3

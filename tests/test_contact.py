@@ -210,3 +210,158 @@ def test_simulation_api_contact():
         assert np.isfinite(sim.positions(i)).all()
     img = sim.render()
     assert img.shape == (640, 640, 3)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 day-2 extensions: surface culling, self-contact, viscous friction.
+
+
+def test_surface_culling_matches_all_pairs_3d():
+    """Shallow 3D body-body contact (radius below the first interior vertex
+    layer's depth): surface-vertex contact gives the same forces as
+    all-pairs, and the all-pairs run assigns interior vertices exactly zero
+    force."""
+    from tests.utils import make_3d_object
+    from fem_tpu.contact import build_contact_plan, contact_forces_all
+
+    # Grid spacing 0.2/3 ≈ 0.067; facing surfaces 0.02 apart.
+    _, obj_a, st_a = make_3d_object(subdivisions=3, center=(0.4, 0.4, 0.4))
+    _, obj_b, st_b = make_3d_object(subdivisions=3, center=(0.4, 0.62, 0.4))
+    objs = [obj_a, obj_b]
+    radius = 0.027  # > 0.02 face gap (active), < 0.067 interior depth
+    pos = [st_a.pos, st_b.pos]
+
+    f_full = contact_forces_all(pos, radius, 1e4)
+    cfg = _cfg(dim=3, g_dir=(0.0, -1.0, 0.0))
+    plan = build_contact_plan(objs, cfg, radius)
+    f_cull = contact_forces_all(pos, radius, 1e4, plan=plan)
+
+    scale = max(float(jnp.abs(f).max()) for f in f_full)
+    assert scale > 0.0  # the configuration actually touches
+    for ff, fc, obj in zip(f_full, f_cull, objs):
+        assert float(jnp.abs(ff - fc).max()) < 1e-5 * scale
+        # All-pairs gives interior vertices exactly zero force.
+        interior = np.setdiff1d(
+            np.arange(obj.particle_cnt),
+            np.unique(np.asarray(obj.faces).reshape(-1)),
+        )
+        assert interior.size > 0
+        assert float(jnp.abs(ff[interior]).max()) == 0.0
+
+
+def test_self_contact_rest_zero_folded_repels():
+    """The rest shape exerts exactly zero self-force (every enabled pair is
+    beyond 2.5·radius at rest > radius); folding distant surface regions
+    within the radius produces a repulsive, momentum-free force."""
+    from fem_tpu.contact import build_contact_plan, self_contact_forces
+
+    objs, states = _two_squares()
+    obj, st = objs[0], states[0]
+    cfg = _cfg(self_contact=True)
+    radius = auto_contact_radius([obj])
+    plan = build_contact_plan([obj], cfg, radius)
+    sv = plan.surf[0]
+    mask = plan.self_mask[0]
+    assert mask is not None and float(mask.min()) == 0.0
+
+    f_rest = self_contact_forces(obj.rest_pos[sv], mask, radius, 1e4)
+    assert float(jnp.abs(f_rest).max()) == 0.0
+
+    # Fold: squash the square to 15% of its height — top and bottom surface
+    # rows (rest distance ≈ side ≫ 2.5·radius) come within the radius.
+    pos = np.asarray(st.pos).copy()
+    cy = pos[:, 1].mean()
+    pos[:, 1] = cy + 0.15 * (pos[:, 1] - cy)
+    f = self_contact_forces(jnp.asarray(pos)[sv], mask, radius, 1e4)
+    mags = np.abs(np.asarray(f))
+    assert mags.max() > 0.0
+    assert np.abs(np.asarray(f).sum(0)).max() < 1e-4 * mags.sum()
+
+
+def test_contact_friction_damps_relative_velocity():
+    """Two overlapping clouds sliding past each other: the viscous pair term
+    opposes the relative velocity, stays antisymmetric, and friction_c=0
+    reproduces the frictionless forces bit-identically."""
+    rng = np.random.default_rng(3)
+    pa = jnp.asarray(rng.uniform(0, 0.1, (30, 2)), jnp.float32)
+    pb = pa + jnp.asarray([[0.03, 0.0]], jnp.float32)
+    va = jnp.ones_like(pa) * jnp.asarray([[1.0, 0.0]])
+    vb = -va
+
+    f_a0, f_b0 = pair_contact_forces(pa, pb, 0.05, 1e4)
+    f_a1, f_b1 = pair_contact_forces(pa, pb, 0.05, 1e4, va, vb, 0.0)
+    assert (np.asarray(f_a0) == np.asarray(f_a1)).all()
+    assert (np.asarray(f_b0) == np.asarray(f_b1)).all()
+
+    f_a2, f_b2 = pair_contact_forces(pa, pb, 0.05, 1e4, va, vb, 50.0)
+    fric_a = np.asarray(f_a2 - f_a0)
+    # A moves +x relative to B: friction on A points −x.
+    assert fric_a[:, 0].mean() < 0.0
+    total = np.asarray(f_a2).sum(0) + np.asarray(f_b2).sum(0)
+    scale = np.abs(np.asarray(f_a2)).sum()
+    assert np.abs(total).max() < 1e-5 * scale
+
+
+def test_contact_friction_end_to_end_momentum():
+    """Coupled frame with contact_friction > 0: gravity-free overlapping
+    bodies separate, total momentum stays zero, and the separation kinetic
+    energy is below the frictionless run's (the dashpot dissipates)."""
+    objs, states = _two_squares(gap=0.12, damping=0.0, cy0=0.45)
+    obs = Obstacles.from_configs((), 2)
+
+    def run(fric):
+        cframe = make_contact_frame_fn(
+            objs, _cfg(g_dir=(0.0, 0.0), contact_friction=fric)
+        )
+        s = tuple(states)
+        for _ in range(10):
+            s, _ = cframe(s, obs)
+        return s
+
+    masses = [np.asarray(o.mass) for o in objs]
+
+    def ke(s):
+        return sum(
+            0.5 * (m[:, None] * np.asarray(st.vel) ** 2).sum()
+            for m, st in zip(masses, s)
+        )
+
+    s_fric = run(1.0)
+    total_p = sum(
+        (m[:, None] * np.asarray(st.vel)).sum(0)
+        for m, st in zip(masses, s_fric)
+    )
+    p_scale = sum(
+        (m[:, None] * np.abs(np.asarray(st.vel))).sum()
+        for m, st in zip(masses, s_fric)
+    )
+    assert max(
+        float(np.abs(np.asarray(st.vel)).max()) for st in s_fric
+    ) > 1e-4
+    assert np.abs(total_p).max() < 1e-4 * (p_scale + 1e-12)
+    assert ke(s_fric) < ke(run(0.0))
+
+
+def test_simulation_api_self_contact_single_body():
+    """Simulation(self_contact=True) routes a SINGLE body through the
+    coupled contact frame and stays finite."""
+    from fem_tpu.api import Simulation
+
+    sim = Simulation.from_dict(
+        {
+            "dim": 2,
+            "delta_time": 5e-4,
+            "sim_count": 5,
+            "auto_diff": False,
+            "use_explicit_method": True,
+            "g_dir": [0, -1],
+            "contact": "penalty",
+            "self_contact": True,
+            "objects": [
+                {"id": 0, "center": [0.5, 0.4], "side_length": 0.15,
+                 "subdivisions": 4},
+            ],
+        }
+    )
+    sim.run(frames=10)
+    assert np.isfinite(sim.positions(0)).all()
