@@ -133,7 +133,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 params.mu, params.s_lambda, material,
             )
             return kinematic_step(
-                state, grad, obj.mass, obstacles, dt, params.damping, g_dir
+                state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
+                free_mask=obj.free_mask,
             )
 
         return substep
@@ -147,7 +148,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             )
             grad = assemble_for(obj, element_contrib_full(cols))
             return kinematic_step(
-                state, grad, obj.mass, obstacles, dt, params.damping, g_dir
+                state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
+                free_mask=obj.free_mask,
             )
 
         return substep
@@ -189,6 +191,17 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             gz = graph_block_apply(obj, sm.mT(K), y / mass_col)
             return y - (dt * dt) * gz
 
+        free = obj.free_mask
+        if free is not None:
+            # Dirichlet projection (pin_boxes): Â = P·A·P + (I−P), b̂ = P·b —
+            # same construction as the non-diff solve (implicit.py), linear
+            # and therefore transparently differentiable.
+            held = 1.0 - free
+            base_a, base_at = apply_a, apply_at
+            apply_a = lambda x: free * base_a(free * x) + held * x
+            apply_at = lambda y: free * base_at(free * y) + held * y
+            b = free * b
+
         def normal_op(v):
             return apply_at(apply_a(v))
 
@@ -199,7 +212,10 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             symmetric=True,
         )
         state = state.replace(vel=x)
-        return advect_implicit_step(state, obstacles, dt, params.damping, g_dir)
+        return advect_implicit_step(
+            state, obstacles, dt, params.damping, g_dir,
+            free_mask=obj.free_mask,
+        )
 
     return substep
 

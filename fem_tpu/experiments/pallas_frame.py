@@ -348,6 +348,8 @@ def supports_fused_frame(obj, cfg) -> bool:
         return False
     if any(o.material != "neo_hookean" for o in cfg.objects):
         return False
+    if obj.free_mask is not None:  # Dirichlet pins run op-composed
+        return False
     if cfg.sim_count > 128:
         return False
     d = obj.dim

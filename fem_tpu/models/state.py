@@ -70,6 +70,11 @@ class FemObject:
     jacobi_nb: jnp.ndarray = None  # (N, max_nb) int32
     jacobi_slots: jnp.ndarray = None  # (E, 4d) int32 flat (N·max_nb) indices
     jacobi_coeff: jnp.ndarray = None  # (E, 4d) float32 ±1
+    # Dirichlet mask (extension, ObjectConfig.pin_boxes): (N, 1) float32 with
+    # 1.0 on free vertices and 0.0 on pinned ones.  None = no constraints
+    # (reference behavior).  Pinned vertices are kinematic: zero velocity,
+    # held position; the implicit solve projects them out (P·A·P + I−P).
+    free_mask: jnp.ndarray = None
     # --- static metadata ---
     # "gather" (default, single-chip) or "segment" (used under shard_map
     # where each shard owns an element slice and psum-reduces).
@@ -157,6 +162,15 @@ def build_object(
     pos = vertices.astype(np.float32) + np.asarray(cfg.center, np.float32)
     ref_inv, volume, mass = init_element_data(pos, element_indices, cfg.rho)
     n = pos.shape[0]
+    free_mask = None
+    pin_boxes = getattr(cfg, "pin_boxes", ())
+    if pin_boxes:
+        pinned = np.zeros((n,), bool)
+        for lo, hi in pin_boxes:
+            lo_a = np.asarray(lo, np.float32)
+            hi_a = np.asarray(hi, np.float32)
+            pinned |= np.all((pos >= lo_a) & (pos <= hi_a), axis=1)
+        free_mask = jnp.asarray((~pinned).astype(np.float32)[:, None])
     small_mesh = element_indices.shape[0] * d * n <= 16_000_000
     want_mxu = operator_mode == "mxu"
     # Blocked MXU operator (ops/blocking.py): measured fastest implicit
@@ -201,6 +215,7 @@ def build_object(
         jacobi_nb=jnp.asarray(jac_nb),
         jacobi_slots=jnp.asarray(jac_slots),
         jacobi_coeff=jnp.asarray(jac_coeff),
+        free_mask=free_mask,
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

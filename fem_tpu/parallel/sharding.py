@@ -174,6 +174,8 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         jacobi_nb=P(), jacobi_slots=P(AXIS), jacobi_coeff=P(AXIS),
         blocking=blk_spec,
     )
+    if padded.free_mask is not None:
+        obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
 
     def local_fn(obj_shard: FemObject, state, obstacles):
         local = obj_shard.replace(
@@ -253,6 +255,8 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         jacobi_nb=P(), jacobi_slots=P(AXIS), jacobi_coeff=P(AXIS),
         blocking=blk_spec,
     )
+    if padded.free_mask is not None:
+        obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
 
     kwargs = dict(
         dt=cfg.delta_time,

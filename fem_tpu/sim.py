@@ -79,7 +79,7 @@ def substep(
             grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
-            advect_backend,
+            advect_backend, obj.free_mask,
         )
         return state, zero_aux
     if use_explicit_method:
@@ -90,7 +90,7 @@ def substep(
             grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
-            advect_backend,
+            advect_backend, obj.free_mask,
         )
         return state, zero_aux
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
@@ -105,6 +105,7 @@ def substep(
         and axis_name is None
         and hessian == "reference"
         and cg_precond == "reference"
+        and obj.free_mask is None  # Dirichlet projection is matrix-free-only
     )
     if use_dense:
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
@@ -120,7 +121,8 @@ def substep(
             jacobi_sweep, cg_precond,
         )
     state = advect_implicit_step(
-        state, obstacles, dt, obj.damping, g_dir, advect_backend
+        state, obstacles, dt, obj.damping, g_dir, advect_backend,
+        obj.free_mask,
     )
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 
@@ -168,6 +170,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and cfg.element_backend in ("auto", "pallas")
         and cfg.solver_backend == "auto"
         and cfg.cg_precond in ("reference", "none")
+        and obj.free_mask is None
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )
@@ -182,6 +185,7 @@ def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and not cfg.adaptive_dt
         and (cfg.use_explicit_method or cfg.auto_diff)
         and cfg.element_backend in ("auto", "pallas")
+        and obj.free_mask is None
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )

@@ -60,13 +60,15 @@ def kinematic_step(
     damping: float,
     g_dir: Tuple[float, ...],
     backend: str = "xla",
+    free_mask: jnp.ndarray | None = None,
 ) -> SimState:
     """Explicit-path advection (kinematic.py:14-45).
 
     ``grad`` is the assembled energy gradient (the reference's
     ``particles.force`` / ``pos.grad``), subtracted as −grad/m.
     ``backend="pallas"`` runs the whole stage as one fused kernel
-    (ops/pallas_advect.py).
+    (ops/pallas_advect.py).  ``free_mask`` (N, 1) zeroes pinned vertices'
+    velocity before the position update (Dirichlet extension).
     """
     if backend == "pallas":
         import jax
@@ -79,6 +81,9 @@ def kinematic_step(
             dt=dt, damping=damping, g_dir=tuple(g_dir),
             interpret=jax.default_backend() != "tpu",
         )
+        if free_mask is not None:
+            vel = vel * free_mask
+            pos = jnp.where(free_mask > 0.0, pos, state.pos)
         return state.replace(pos=pos, vel=vel, force=jnp.zeros_like(grad))
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel = state.vel + (g[None, :] - grad / mass[:, None]) * dt
@@ -90,6 +95,8 @@ def kinematic_step(
             state.pos, vel, obstacles.centers[b], obstacles.radii[b]
         )
         vel = jnp.where(hit, vel - delta, vel)
+    if free_mask is not None:
+        vel = vel * free_mask
     pos = state.pos + vel * dt
     return state.replace(pos=pos, vel=vel, force=jnp.zeros_like(grad))
 
@@ -101,9 +108,12 @@ def advect_implicit_step(
     damping: float,
     g_dir: Tuple[float, ...],
     backend: str = "xla",
+    free_mask: jnp.ndarray | None = None,
 ) -> SimState:
     """Implicit-path advection (implicit.py:407-438): gravity lives in the
-    separate ``vel_g`` channel outside the linear solve."""
+    separate ``vel_g`` channel outside the linear solve.  ``free_mask``
+    (N, 1) zeroes pinned vertices' velocity channels before the position
+    update (Dirichlet extension)."""
     if backend == "pallas":
         import jax
 
@@ -115,6 +125,10 @@ def advect_implicit_step(
             dt=dt, damping=damping, g_dir=tuple(g_dir),
             interpret=jax.default_backend() != "tpu",
         )
+        if free_mask is not None:
+            vel = vel * free_mask
+            vel_g = vel_g * free_mask
+            pos = jnp.where(free_mask > 0.0, pos, state.pos)
         return state.replace(pos=pos, vel=vel, vel_g=vel_g)
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel_g = state.vel_g + g[None, :] * dt
@@ -147,5 +161,9 @@ def advect_implicit_step(
         vel = jnp.where(hit, vel - proj(vel), vel)
         vel_g = jnp.where(hit, vel_g - proj(vel_g), vel_g)
 
+    if free_mask is not None:
+        vel = vel * free_mask
+        vel_g = vel_g * free_mask
+        v = v * free_mask
     pos = state.pos + v * dt
     return state.replace(pos=pos, vel=vel, vel_g=vel_g)

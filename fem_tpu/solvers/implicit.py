@@ -471,6 +471,7 @@ def _cg_solve_dispatch(
     cg_precond: str,
     diag_fn: Callable[[], jnp.ndarray] | None,
     mass: jnp.ndarray | None = None,
+    free: jnp.ndarray | None = None,
 ) -> CGResult:
     """Route one CG solve by ``cg_precond``:
 
@@ -482,7 +483,34 @@ def _cg_solve_dispatch(
     * ``"block_jacobi"``: block-Jacobi PCG on A (extension).
 
     ``apply_at_fn`` / ``diag_fn`` are thunks so the transpose operator and
-    the diagonal blocks are only materialized when the mode needs them."""
+    the diagonal blocks are only materialized when the mode needs them.
+
+    ``free`` (N, 1, Dirichlet extension — ObjectConfig.pin_boxes) applies the
+    standard constraint projection around ANY operator backend: the solve
+    runs on Â = P·A·P + (I − P), b̂ = P·b with P = diag(free) — symmetric-
+    positive-definite whenever A is, identity rows on pinned vertices, and
+    the solution satisfies x_pinned = 0 exactly.  Âᵀ projects the same way;
+    Â's diagonal blocks are P·diag(A)·P + (I−P)·I for the PCG mode."""
+    if free is not None:
+        base_a, base_at_fn, base_diag = apply_a, apply_at_fn, diag_fn
+        held = 1.0 - free
+
+        def apply_a(x, _a=base_a):
+            return free * _a(free * x) + held * x
+
+        def apply_at_fn(_fn=base_at_fn):
+            at = _fn()
+            return lambda y: free * at(free * y) + held * y
+
+        if base_diag is not None:
+
+            def diag_fn(_d=base_diag):
+                diag = _d()
+                eye = jnp.eye(diag.shape[-1], dtype=diag.dtype)[None]
+                f3 = free[..., None]  # (N, 1, 1)
+                return f3 * diag + (1.0 - f3) * eye
+
+        b = free * b
     if cg_precond == "block_jacobi":
         if diag_fn is None:
             raise ValueError(
@@ -773,7 +801,8 @@ def implicit_velocity_solve(
             return y - (dt * dt) * jt
 
         res = _cg_solve_dispatch(
-            apply_a, lambda: apply_at, b, preconditioned, cg_precond, None
+            apply_a, lambda: apply_at, b, preconditioned, cg_precond, None,
+            free=obj.free_mask,
         )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 
@@ -808,8 +837,10 @@ def implicit_velocity_solve(
             and operator_mode in ("fused", "auto")
             and (operator_mode == "fused" or jax.default_backend() == "tpu")
             # The whole-solve kernel implements the reference CG (plain or
-            # normal-equations); block-Jacobi PCG runs op-composed.
+            # normal-equations); block-Jacobi PCG runs op-composed, and so
+            # does the Dirichlet projection (pin_boxes).
             and cg_precond in ("reference", "none")
+            and obj.free_mask is None
         )
         if use_fused:
             # Whole-solve fused kernel (ops/pallas_blocked_cg.py): rhs
@@ -875,6 +906,7 @@ def implicit_velocity_solve(
                 obj.particle_cnt, axis_name,
             ),
             obj.mass,
+            free=obj.free_mask,
         )
         return state.replace(vel=res.x), ImplicitAux(
             res.iterations, res.residual
@@ -908,6 +940,11 @@ def implicit_velocity_solve(
         apply_a = make_system_apply(obj, K, dt, axis_name)
 
     if method == JACOBI_METHOD:
+        if obj.free_mask is not None:
+            raise ValueError(
+                "pin_boxes (Dirichlet constraints) support only the CG "
+                "solver; the Jacobi sweeps keep pure reference semantics"
+            )
         if jacobi_sweep == "serial":
             # Parity default: serial Gauss–Seidel-style sweep.  Runs over
             # block-sparse neighbor rows (O(E) per sweep) when the plan is
@@ -960,6 +997,7 @@ def implicit_velocity_solve(
             apply_a, apply_at_fn, b, preconditioned, cg_precond,
             lambda: diagonal_blocks(obj, K, dt, axis_name),
             obj.mass,
+            free=obj.free_mask,
         )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 

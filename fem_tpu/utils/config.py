@@ -43,6 +43,14 @@ class ObjectConfig:
     # graph/mxu/blocked/fused operator ladder applies; hessian="exact_jvp"
     # is the true-Newton alternative for any material.
     material: str = "neo_hookean"
+    # Dirichlet boundary conditions (extension — the reference has no
+    # kinematic constraints at all; its only boundary handling is the sticky
+    # unit-box walls, solver/kinematic.py:25-30).  Each entry is an
+    # axis-aligned box ((lo…), (hi…)) in *initial world* coordinates
+    # (vertices + center); vertices inside any box are pinned: velocity
+    # identically zero, position held.  The implicit system is solved with
+    # the standard Dirichlet projection P·A·P + (I−P) (CG paths only).
+    pin_boxes: Tuple[Tuple[Tuple[float, ...], Tuple[float, ...]], ...] = ()
 
     @property
     def mu(self) -> float:
@@ -215,6 +223,10 @@ def parse_config(data: dict) -> SimConfig:
             subdivisions=int(o.get("subdivisions", 10)),
             obj=o.get("obj"),
             material=str(o.get("material", "neo_hookean")),
+            pin_boxes=tuple(
+                (_tupled(box[0]), _tupled(box[1]))
+                for box in o.get("pin_boxes", ())
+            ),
         )
         for o in data.get("objects", [{}])
     )
