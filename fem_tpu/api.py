@@ -101,6 +101,31 @@ class Simulation:
         self.virtual_time += self.cfg.sim_count * self.cfg.delta_time
         self.frame_count += 1
 
+    def solve_static(self, gravity: bool = True, index: Optional[int] = None,
+                     **kw) -> list:
+        """Solve each body (or just ``index``) to quasi-static equilibrium
+        under gravity (``cfg.g_dir``) and set its state there with zero
+        velocity (solvers/static.py — Dirichlet-pinned Newton; extension:
+        the reference is dynamics-only).  Returns the ``StaticResult`` list.
+        """
+        import jax.numpy as jnp
+
+        from fem_tpu.solvers.static import solve_static as _solve
+
+        results = []
+        targets = self.scene if index is None else [self.scene[index]]
+        for s in targets:
+            res = _solve(
+                s.obj, s.state.pos,
+                g_dir=self.cfg.g_dir if gravity else None, **kw,
+            )
+            zeros = jnp.zeros_like(s.state.pos)
+            s.state = s.state.replace(
+                pos=res.pos, vel=zeros, vel_g=zeros, force=zeros,
+            )
+            results.append(res)
+        return results
+
     def run(self, seconds: Optional[float] = None, frames: Optional[int] = None,
             nan_guard: bool = False) -> None:
         """Advance by virtual ``seconds`` or an explicit ``frames`` count."""
@@ -124,16 +149,46 @@ class Simulation:
     def positions(self, index: int = 0) -> np.ndarray:
         return np.asarray(self.scene[index].state.pos)
 
-    def render(self, msgs: Sequence[str] = ()) -> np.ndarray:
-        """RGB frame of the current state, all bodies (640×640 uint8)."""
+    def stress(self, index: int = 0) -> np.ndarray:
+        """Per-element Cauchy stress tensors (E, d, d) at the current state
+        (post-processing extension — ops/element.cauchy_stress)."""
+        from fem_tpu.ops.element import element_stresses
+
+        s = self.scene[index]
+        return np.asarray(
+            element_stresses(
+                s.state.pos, s.obj.element_indices, s.obj.ref_inv,
+                s.obj.mu, s.obj.s_lambda, s.obj.material,
+            )
+        )
+
+    def von_mises(self, index: int = 0) -> np.ndarray:
+        """Per-element von Mises equivalent stress (E,)."""
+        from fem_tpu.sim import element_von_mises
+
+        s = self.scene[index]
+        return np.asarray(element_von_mises(s.obj, s.state))
+
+    def render(self, msgs: Sequence[str] = (),
+               color: str = "energy") -> np.ndarray:
+        """RGB frame of the current state, all bodies (640×640 uint8).
+        ``color="energy"`` is reference parity (per-triangle V·φ tint);
+        ``color="stress"`` tints 2D triangles by von Mises stress normalized
+        to the scene maximum (extension)."""
         from fem_tpu.render.raster import render_frame_2d, render_frame_3d
 
         pos = [np.asarray(s.state.pos) for s in self.scene]
         faces = [np.asarray(s.obj.faces) for s in self.scene]
         if self.cfg.dim == 2:
-            phi = [
-                np.asarray(element_phi(s.obj, s.state)) for s in self.scene
-            ]
+            if color == "stress":
+                vm = [self.von_mises(i) for i in range(len(self.scene))]
+                peak = max(float(v.max()) for v in vm) or 1.0
+                phi = [v / peak for v in vm]
+            else:
+                phi = [
+                    np.asarray(element_phi(s.obj, s.state))
+                    for s in self.scene
+                ]
             return render_frame_2d(
                 pos, faces, phi,
                 np.asarray(self.obstacles.centers),

@@ -220,6 +220,49 @@ def implicit_force_columns(
     return -volume[..., None, None] * sm.matmul(P, sm.mT(ref_inv))
 
 
+def cauchy_stress(
+    F: jnp.ndarray, mu: float, s_lambda: float, material: str = "neo_hookean"
+) -> jnp.ndarray:
+    """True (Cauchy) stress σ = P(F)·Fᵀ / det(F) per element: ``(…, d, d)``.
+
+    Post-processing extension — the reference renders only the energy
+    density (``obj.phi``) and exposes no stress field.  For every isotropic
+    hyperelastic material here σ is symmetric (balance of angular momentum)
+    and objective (σ(RF) = R σ Rᵀ); the small-strain ``linear`` model is
+    not objective — by construction — and its σ is reported the same way.
+    """
+    P = first_piola(F, mu, s_lambda, material)
+    J = sm.det(F)[..., None, None]
+    return sm.matmul(P, sm.mT(F)) / J
+
+
+def von_mises(sigma: jnp.ndarray) -> jnp.ndarray:
+    """Von Mises equivalent stress √(3/2 · s:s) of the deviatoric part
+    s = σ − tr(σ)/d·I: the standard scalar yield/visualization measure.
+    For a uniaxial σ = diag(s, 0, 0) in 3D this is exactly |s|."""
+    d = sigma.shape[-1]
+    tr = sm.trace(sigma)[..., None, None] / d
+    dev = sigma - tr * jnp.broadcast_to(
+        jnp.eye(d, dtype=sigma.dtype), sigma.shape
+    )
+    return jnp.sqrt(
+        1.5 * jnp.einsum("...ij,...ij->...", dev, dev)
+    )
+
+
+def element_stresses(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    mu: float,
+    s_lambda: float,
+    material: str = "neo_hookean",
+) -> jnp.ndarray:
+    """Per-element Cauchy stress tensors at the current positions: (E, d, d)."""
+    F = deformation_gradients(pos, element_indices, ref_inv)
+    return cauchy_stress(F, mu, s_lambda, material)
+
+
 def first_piola_dp(
     F: jnp.ndarray,
     D: jnp.ndarray,

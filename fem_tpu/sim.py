@@ -393,3 +393,17 @@ def element_phi(obj: FemObject, state: SimState) -> jnp.ndarray:
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
         obj.mu, obj.s_lambda, obj.material,
     )
+
+
+def element_von_mises(obj: FemObject, state: SimState) -> jnp.ndarray:
+    """Per-element von Mises equivalent stress (E,) — post-processing
+    extension (the reference exposes no stress field; ops/element.py
+    ``cauchy_stress``)."""
+    from fem_tpu.ops.element import element_stresses, von_mises
+
+    return von_mises(
+        element_stresses(
+            state.pos, obj.element_indices, obj.ref_inv,
+            obj.mu, obj.s_lambda, obj.material,
+        )
+    )

@@ -50,6 +50,11 @@ def run(argv=None) -> int:
                         help="3D camera as 'elev,azim' degrees (headless "
                              "replacement for the reference's interactive "
                              "camera keys)")
+    parser.add_argument("--color", choices=("energy", "stress"),
+                        default="energy",
+                        help="2D triangle tint: 'energy' = reference parity "
+                             "(V*phi), 'stress' = von Mises normalized to "
+                             "the scene max (extension)")
     parser.add_argument("--sharded", action="store_true",
                         help="compile each body's frame under shard_map "
                              "over ALL jax.devices() (elements/locality-"
@@ -205,9 +210,19 @@ def run(argv=None) -> int:
             all_faces = [np.asarray(s.obj.faces) for s in scene]
             all_phi = None
             if cfg.dim == 2:
-                all_phi = [
-                    np.asarray(element_phi(s.obj, s.state)) for s in scene
-                ]
+                if args.color == "stress":
+                    from fem_tpu.sim import element_von_mises
+
+                    vm = [
+                        np.asarray(element_von_mises(s.obj, s.state))
+                        for s in scene
+                    ]
+                    peak = max(float(v.max()) for v in vm) or 1.0
+                    all_phi = [v / peak for v in vm]
+                else:
+                    all_phi = [
+                        np.asarray(element_phi(s.obj, s.state)) for s in scene
+                    ]
             renderer.maybe_capture(
                 virtual_time, all_pos, all_faces, all_phi, centers, radii,
                 msgs,

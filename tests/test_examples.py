@@ -43,6 +43,7 @@ def _run(script, *args):
         ("examples/ensemble_sweep.py", "members through the passage"),
         ("examples/inverse_material.py", "recovered E"),
         ("examples/two_body_contact.py", "two_body_contact OK"),
+        ("examples/static_sag.py", "dynamic drift off the static"),
     ],
 )
 def test_example_runs(script, expect):
