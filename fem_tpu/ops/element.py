@@ -64,8 +64,27 @@ def energy_density(
       model): φ = μ·‖F − R‖² + λ/2·tr(RᵀF − I)² with R = polar(F)
       (tie-robust Higham iteration, smallmat.polar_rotation — smooth at the
       rest pose where SVD-based formulations have undefined gradients).
+    * ``stable_neo_hookean`` (framework extension — the polynomial core of
+      Smith, de Goes & Kim, "Stable Neo-Hookean Flesh Simulation", TOG 2018):
+      φ = μ/2 (I_C − d) − μ(J − 1) + λ'/2 (J − 1)² with λ' = λ + μ (the
+      paper's reparameterization, which makes DP(I) match linear elasticity
+      exactly).  Polynomial in F — finite and smooth for ALL F *including
+      inversion* (no log barrier), rest-stable (P(I) = 0), with a strong
+      volume-recovery term: the inversion-robust production alternative to
+      the reference's NH (which NaNs) and StVK (which has no volume barrier
+      at all and collapses).
     """
     d = F.shape[-1]
+    if material == "stable_neo_hookean":
+        lam_p = s_lambda + mu
+        j = sm.det(F)
+        i_c = jnp.einsum(
+            "...ij,...ij->...", F, F, precision=jax.lax.Precision.HIGHEST
+        )
+        return (
+            mu / 2.0 * (i_c - d) - mu * (j - 1.0)
+            + lam_p / 2.0 * (j - 1.0) * (j - 1.0)
+        )
     if material == "corotated":
         r = sm.polar_rotation(F)
         diff = F - r
@@ -144,9 +163,16 @@ def first_piola(
     * ``linear``: 2με + λ·tr(ε)·I with ε = ½(F + Fᵀ) − I.
     * ``corotated``: 2μ(F − R) + λ·tr(RᵀF − I)·R, R = polar(F) — exact
       (the δR terms vanish: R is the nearest rotation, and ∂tr(RᵀF)/∂F = R).
+    * ``stable_neo_hookean``: μF + (λ'(J−1) − μ)·cof(F) with λ' = λ + μ and
+      cof(F) = ∂J/∂F the (polynomial) cofactor matrix — finite for all F.
     """
     d = F.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(d, dtype=F.dtype), F.shape)
+    if material == "stable_neo_hookean":
+        lam_p = s_lambda + mu
+        g = sm.cofactor(F)
+        s = (lam_p * (sm.det(F) - 1.0) - mu)[..., None, None]
+        return mu * F + s * g
     if material == "corotated":
         r = sm.polar_rotation(F)
         s_tr = (sm.trace(sm.matmul(sm.mT(r), F)) - d)[..., None, None]
@@ -285,9 +311,21 @@ def first_piola_dp(
       standard fixed-rotation linearization (δR terms dropped), matching the
       decoupled spirit of the reference's integrator; equals the jvp of P
       with R stop-gradiented (pinned by tests/test_materials.py).
+    * ``stable_neo_hookean``: μD + λ'(cof(F):D)·cof(F)
+      + (λ'(J−1) − μ)·Dcof(F)[D] — the exact derivative of
+      :func:`first_piola` (cof and its derivative are polynomial: finite
+      everywhere, no clamp needed).
     """
     d = F.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(d, dtype=F.dtype), F.shape)
+    if material == "stable_neo_hookean":
+        lam_p = s_lambda + mu
+        g = sm.cofactor(F)
+        dj = jnp.einsum(
+            "...ij,...ij->...", g, D, precision=jax.lax.Precision.HIGHEST
+        )[..., None, None]
+        s = (lam_p * (sm.det(F) - 1.0) - mu)[..., None, None]
+        return mu * D + lam_p * dj * g + s * sm.d_cofactor(F, D)
     if material == "corotated":
         r = sm.polar_rotation(F)
         tr_rd = sm.trace(sm.matmul(sm.mT(r), D))[..., None, None]

@@ -120,14 +120,63 @@ def _planar_polar(f, dim, iters: int = 12):
     return r
 
 
+def _planar_cof2(a, b):
+    """Symmetrized bilinear 3×3 cofactor form on plane lists:
+    cof2(m, m) = 2·cof(m) and cof2(m, d) = Dcof(m)[d].  The planar twin of
+    smallmat.cofactor / d_cofactor (2D cof is linear and handled directly)."""
+    idx = [0, 1, 2]
+    out = []
+    for i in range(3):
+        p, q = [r for r in idx if r != i]
+        for j in range(3):
+            r, s = [c for c in idx if c != j]
+            sign = 1.0 if (i + j) % 2 == 0 else -1.0
+            out.append(
+                sign
+                * (
+                    a[3 * p + r] * b[3 * q + s]
+                    + b[3 * p + r] * a[3 * q + s]
+                    - a[3 * p + s] * b[3 * q + r]
+                    - b[3 * p + s] * a[3 * q + r]
+                )
+            )
+    return out
+
+
+def _planar_cof(m, dim):
+    if dim == 2:
+        return [m[3], -m[2], -m[1], m[0]]
+    return [0.5 * v for v in _planar_cof2(m, m)]
+
+
+def _planar_dcof(m, d, dim):
+    if dim == 2:
+        return [d[3], -d[2], -d[1], d[0]]
+    return _planar_cof2(m, d)
+
+
 def _material_p_dp_chain(f, d_dir, dim, mu, lam, material, want_dp):
     """Planar (P(F), DP(F)[D]) for the material extensions — the
     component-plane twin of ops/element.first_piola / first_piola_dp
-    (stvk exact, linear exact, corotated fixed-R linearization).  ``d_dir``
-    may be None when ``want_dp`` is False."""
+    (stvk exact, linear exact, corotated fixed-R linearization,
+    stable_neo_hookean exact polynomial).  ``d_dir`` may be None when
+    ``want_dp`` is False."""
     d2 = dim * dim
     mul, det_fn, inv_fn, t_fn = _planar_ops(dim)
     eye = [1.0 if i == j else 0.0 for i in range(dim) for j in range(dim)]
+    if material == "stable_neo_hookean":
+        lam_p = lam + mu
+        g = _planar_cof(f, dim)
+        s = lam_p * (det_fn(f) - 1.0) - mu
+        p = [mu * f[i] + s * g[i] for i in range(d2)]
+        if not want_dp:
+            return p, None
+        dj = sum(g[i] * d_dir[i] for i in range(d2))
+        dg = _planar_dcof(f, d_dir, dim)
+        dp = [
+            mu * d_dir[i] + lam_p * dj * g[i] + s * dg[i] for i in range(d2)
+        ]
+        return p, dp
     if material == "corotated":
         rot = _planar_polar(f, dim)
         rot_t = t_fn(rot)

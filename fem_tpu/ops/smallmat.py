@@ -64,6 +64,49 @@ def adjugate(m: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"unsupported matrix dim {d}")
 
 
+def cofactor(m: jnp.ndarray) -> jnp.ndarray:
+    """Cofactor matrix cof(M) = adj(M)ᵀ = ∂det(M)/∂M — polynomial in the
+    entries, hence finite and smooth for ALL matrices including singular and
+    inverted ones (unlike det·M⁻ᵀ).  Used by the inversion-robust
+    ``stable_neo_hookean`` material."""
+    return mT(adjugate(m))
+
+
+def d_cofactor(m: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Exact directional derivative D cof(M)[D] of the cofactor map.
+
+    2D: cof is linear, so the derivative is cof(D) itself.  3D: cof is
+    quadratic; each entry is a 2×2 minor, so the derivative is the product
+    rule applied entrywise (bilinear in (M, D)) — explicit formula rather
+    than polarization ``cof(M+D) − cof(M) − cof(D)`` to avoid cancellation
+    when ``‖D‖ ≪ ‖M‖``."""
+    dd = m.shape[-1]
+    if dd == 2:
+        return cofactor(d)
+    if dd == 3:
+        def minor2(a, b, i0, j0, i1, j1):
+            # product-rule of a 2x2 minor a[i0,j0]*a[i1,j1] - a[i0,j1]*a[i1,j0]
+            return (
+                a[..., i0, j0] * b[..., i1, j1]
+                + b[..., i0, j0] * a[..., i1, j1]
+                - a[..., i0, j1] * b[..., i1, j0]
+                - b[..., i0, j1] * a[..., i1, j0]
+            )
+
+        rows = []
+        idx = [0, 1, 2]
+        for i in range(3):
+            p, q = [r for r in idx if r != i]
+            row = []
+            for j in range(3):
+                r, s = [c for c in idx if c != j]
+                sign = 1.0 if (i + j) % 2 == 0 else -1.0
+                row.append(sign * minor2(m, d, p, r, q, s))
+            rows.append(jnp.stack(row, axis=-1))
+        return jnp.stack(rows, axis=-2)
+    raise ValueError(f"unsupported matrix dim {dd}")
+
+
 def inv(m: jnp.ndarray) -> jnp.ndarray:
     """Inverse of (..., d, d), d in {2, 3}, via adjugate / det."""
     return adjugate(m) / det(m)[..., None, None]

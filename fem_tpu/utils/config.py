@@ -34,8 +34,11 @@ class ObjectConfig:
     # 3D mesh file (reference: object.py:128-161)
     obj: Optional[str] = None
     # Material model: "neo_hookean" (reference live path), "stvk" (the
-    # reference's latent commented-out variant), "linear" or "corotated"
-    # (extensions; corotated uses a tie-robust polar decomposition).
+    # reference's latent commented-out variant), "linear", "corotated"
+    # (extensions; corotated uses a tie-robust polar decomposition), or
+    # "stable_neo_hookean" (inversion-robust polynomial NH of Smith et al.
+    # TOG 2018 — finite for inverted elements, recovers; the production
+    # alternative where reference NH NaNs).
     # Supported on every path: explicit (autodiff and analytic Piola
     # columns) and implicit — under hessian="reference" each material rides
     # the reference's decoupled one-block-per-element structure with its

@@ -100,7 +100,9 @@ def test_analytic_first_piola_matches_autodiff():
     pos = state.pos + jnp.asarray(
         rng.uniform(-0.02, 0.02, state.pos.shape).astype(np.float32)
     )
-    for material in ("neo_hookean", "stvk", "linear", "corotated"):
+    for material in (
+        "neo_hookean", "stvk", "linear", "corotated", "stable_neo_hookean",
+    ):
         o = obj.replace(material=material)
         got = np.asarray(analytic_energy_gradient(o, pos))
         ref = np.asarray(autodiff_energy_gradient(o, pos))

@@ -40,7 +40,7 @@ from tests.utils import (
     two_tet_object,
 )
 
-MATERIALS = ("stvk", "linear", "corotated")
+MATERIALS = ("stvk", "linear", "corotated", "stable_neo_hookean")
 
 
 def _rand_f(d, n=6, scale=0.3, seed=0):
@@ -51,7 +51,9 @@ def _rand_f(d, n=6, scale=0.3, seed=0):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-@pytest.mark.parametrize("material", ["stvk", "linear"])
+@pytest.mark.parametrize(
+    "material", ["stvk", "linear", "stable_neo_hookean"]
+)
 def test_first_piola_dp_matches_jvp(dim, material):
     """stvk/linear DP is the exact derivative of the analytic Piola."""
     F = _rand_f(dim)

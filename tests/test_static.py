@@ -20,7 +20,7 @@ from fem_tpu.solvers.static import gravity_force, make_static_solve_fn, solve_st
 from fem_tpu.utils.config import ObjectConfig, SimConfig
 from tests.utils import make_2d_object, make_3d_object
 
-MATERIALS = ["neo_hookean", "stvk", "linear", "corotated"]
+MATERIALS = ["neo_hookean", "stvk", "linear", "corotated", "stable_neo_hookean"]
 
 
 def surface_pinned_grid(sub=3, material="neo_hookean"):

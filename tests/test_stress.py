@@ -22,7 +22,7 @@ from fem_tpu.ops.element import (
 from fem_tpu.ops import smallmat as sm
 
 MU, LAM = 1.5e4, 2.3e4
-FINITE = ["neo_hookean", "stvk", "corotated"]
+FINITE = ["neo_hookean", "stvk", "corotated", "stable_neo_hookean"]
 ALL = FINITE + ["linear"]
 
 
