@@ -126,6 +126,21 @@ class Simulation:
             results.append(res)
         return results
 
+    def modes(self, k: int = 6, index: int = 0, at_equilibrium: bool = False,
+              **kw):
+        """Modal analysis extension (solvers/modal.py — the reference has no
+        eigenanalysis): smallest-``k`` natural frequencies and M-orthonormal
+        mode shapes of body ``index`` linearized at its current state (or at
+        the static equilibrium first, with ``at_equilibrium=True``; requires
+        ``pin_boxes`` for that).  Returns a ``ModalResult``; unpinned bodies
+        report the rigid-body motions as the leading ω ≈ 0 modes."""
+        from fem_tpu.solvers.modal import modal_analysis
+
+        if at_equilibrium:
+            self.solve_static(index=index)
+        s = self.scene[index]
+        return modal_analysis(s.obj, s.state.pos, k=k, **kw)
+
     def run(self, seconds: Optional[float] = None, frames: Optional[int] = None,
             nan_guard: bool = False) -> None:
         """Advance by virtual ``seconds`` or an explicit ``frames`` count."""

@@ -44,6 +44,7 @@ def _run(script, *args):
         ("examples/inverse_material.py", "recovered E"),
         ("examples/two_body_contact.py", "two_body_contact OK"),
         ("examples/static_sag.py", "dynamic drift off the static"),
+        ("examples/modal_modes.py", "natural frequencies (Hz):"),
     ],
 )
 def test_example_runs(script, expect):

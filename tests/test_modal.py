@@ -1,0 +1,123 @@
+# coding=utf-8
+"""Modal analysis (solvers/modal.py) — framework extension, no reference
+counterpart (the reference is dynamics-only).  Pinned against a dense
+float64 generalized-eigenvalue oracle (scipy.linalg.eigh on the explicitly
+assembled K from the same HVP) for free and Dirichlet-pinned bodies."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.linalg as sla
+
+from fem_tpu.models.mesh import construct_2d_mesh
+from fem_tpu.models.state import build_object
+from fem_tpu.solvers.modal import make_stiffness_hvp, modal_analysis
+from fem_tpu.utils.config import ObjectConfig
+from tests.utils import make_2d_object, make_3d_object
+
+
+def _dense_oracle(obj, pos, k):
+    """Assemble K column-by-column from the HVP; solve K φ = λ M φ densely."""
+    kv = make_stiffness_hvp(obj, pos)
+    n, d = pos.shape
+    nd = n * d
+    K = np.zeros((nd, nd))
+    for i in range(nd):
+        e = np.zeros(nd, np.float32)
+        e[i] = 1.0
+        K[:, i] = np.asarray(kv(jnp.asarray(e.reshape(n, d)))).reshape(nd)
+    M = np.repeat(np.asarray(obj.mass), d)
+    if obj.free_mask is not None:
+        free = np.repeat(np.asarray(obj.free_mask)[:, 0], d).astype(bool)
+        K = K[np.ix_(free, free)]
+        M = M[free]
+    return sla.eigh(K, np.diag(M), eigvals_only=True)[:k]
+
+
+def test_modal_free_body_matches_dense_oracle_2d():
+    _, obj, state = make_2d_object(subdivisions=4)
+    k = 8
+    res = modal_analysis(obj, state.pos, k=k, m=400)
+    oracle = _dense_oracle(obj, state.pos, k)
+    scale = abs(oracle[-1])
+    np.testing.assert_allclose(
+        np.asarray(res.omega_sq), oracle, rtol=0, atol=3e-4 * scale
+    )
+    # 2D free body: 3 rigid modes (2 translations + 1 rotation) at ω ≈ 0.
+    assert (np.abs(np.asarray(res.omega_sq[:3])) < 1e-4 * scale).all()
+    assert np.asarray(res.omega_sq)[3] > 1e-2 * scale
+
+
+def test_modal_pinned_matches_dense_oracle_and_is_m_orthonormal():
+    cfg = ObjectConfig(
+        center=(0.5, 0.5), side_length=0.2, subdivisions=4,
+        pin_boxes=(((0.0, 0.595), (1.0, 1.0)),),
+    )
+    v, f, e = construct_2d_mesh(cfg)
+    obj, state = build_object(cfg, v, f, e)
+    assert obj.free_mask is not None
+    k = 6
+    res = modal_analysis(obj, state.pos, k=k, m=500)
+    oracle = _dense_oracle(obj, state.pos, k)
+    np.testing.assert_allclose(
+        np.asarray(res.omega_sq), oracle, rtol=1e-3
+    )
+    assert (np.asarray(res.residuals) < 1e-3).all()
+    assert (np.asarray(res.omega_sq) > 0).all()  # no rigid modes when pinned
+    # M-orthonormality: φᵢᵀ M φⱼ = δᵢⱼ.
+    phi = np.asarray(res.modes)  # (k, N, d)
+    M = np.asarray(obj.mass)
+    gram = np.einsum("inj,n,mnj->im", phi, M, phi)
+    np.testing.assert_allclose(gram, np.eye(k), atol=1e-3)
+    # Pinned vertices do not move in any mode.
+    pinned = np.asarray(obj.free_mask)[:, 0] == 0.0
+    assert np.abs(phi[:, pinned, :]).max() == 0.0
+
+
+def test_modal_3d_runs_and_matches_oracle():
+    _, obj, state = make_3d_object(subdivisions=2)  # 27 particles, 81 DOFs
+    k = 8
+    res = modal_analysis(obj, state.pos, k=k, m=400)
+    oracle = _dense_oracle(obj, state.pos, k)
+    scale = abs(oracle[-1]) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(res.omega_sq), oracle, rtol=0, atol=5e-4 * scale
+    )
+    # 3D free body: 6 rigid modes.
+    assert (np.abs(np.asarray(res.omega_sq[:6])) < 1e-3 * scale).all()
+
+
+def test_modal_frequency_scales_with_sqrt_stiffness():
+    """ω ∝ √E: quadrupling Young's modulus doubles every frequency."""
+    _, obj, state = make_2d_object(subdivisions=3)
+    res1 = modal_analysis(obj, state.pos, k=5, m=400)
+    obj4 = obj.replace(mu=obj.mu * 4.0, s_lambda=obj.s_lambda * 4.0)
+    res4 = modal_analysis(obj4, state.pos, k=5, m=400)
+    f1 = np.asarray(res1.frequencies)[3:]  # skip rigid modes
+    f4 = np.asarray(res4.frequencies)[3:]
+    np.testing.assert_allclose(f4, 2.0 * f1, rtol=1e-3)
+
+
+def test_modal_materials_and_api():
+    """Every material runs through the generic HVP; the Simulation API
+    exposes modes() (pinned body via demo_hanging.json semantics)."""
+    _, obj, state = make_2d_object(subdivisions=3)
+    for material in ("stvk", "corotated", "stable_neo_hookean"):
+        res = modal_analysis(
+            obj.replace(material=material), state.pos, k=4, m=300
+        )
+        assert np.isfinite(np.asarray(res.omega_sq)).all(), material
+
+    from fem_tpu.api import Simulation
+
+    sim = Simulation.from_config("configs/demo_hanging.json")
+    res = sim.modes(k=4)
+    assert (np.asarray(res.omega_sq) > 0).all()
+    assert (np.asarray(res.residuals) < 5e-3).all()
+
+
+def test_modal_k_too_large_raises():
+    _, obj, state = make_2d_object(subdivisions=2)  # 9 particles, 18 DOFs
+    with pytest.raises(ValueError, match="LOBPCG"):
+        modal_analysis(obj, state.pos, k=4)
