@@ -93,6 +93,13 @@ def substep(
             advect_backend, obj.free_mask,
         )
         return state, zero_aux
+    if external_force is not None:
+        # Fold the external force into the implicit rhs: b = v + dt·M⁻¹f_el
+        # is linear in v, so solving with v' = v + dt·M⁻¹f_ext yields exactly
+        # b = v + dt·M⁻¹(f_el + f_ext) on every operator/kernel branch.
+        state = state.replace(
+            vel=state.vel + dt * external_force / obj.mass[:, None]
+        )
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
     # absolute CG tolerance the solver converges in a handful of iterations,
     # and the O(E) matrix-free operator beats dense materialization at every

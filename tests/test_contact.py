@@ -167,6 +167,65 @@ def test_contact_frame_matches_uncoupled_when_far_apart():
         assert (np.asarray(a.pos) == np.asarray(b.pos)).all()
 
 
+def test_implicit_substep_honors_external_force():
+    """Regression: the implicit branch must fold external_force into the rhs
+    (v' = v + dt·M⁻¹f_ext).  A silent drop makes contact='penalty' a no-op
+    under implicit integration — caught 2026-08-18: the fold documented in
+    substep's docstring was never applied."""
+    from fem_tpu.sim import _cfg_kwargs, substep
+    from tests.utils import make_2d_object
+
+    _, obj, state = make_2d_object(subdivisions=3)
+    cfg = _cfg(
+        use_explicit_method=False, implicit_method=1, preconditioned=0,
+        g_dir=(0.0, 0.0), contact="none", sim_count=1,
+    )
+    obs = Obstacles.from_configs((), 2)
+    f = jnp.ones_like(state.pos) * 10.0
+    s0, _ = substep(obj, state, obs, **_cfg_kwargs(cfg))
+    s1, _ = substep(obj, state, obs, external_force=f, **_cfg_kwargs(cfg))
+    dv = np.asarray(s1.vel - s0.vel)
+    assert np.abs(dv).max() > 1e-3  # the force must act at all
+    dp = (np.asarray(obj.mass)[:, None] * dv).sum(0)
+    expected = cfg.delta_time * 10.0 * state.pos.shape[0]
+    np.testing.assert_allclose(dp, [expected, expected], rtol=0.02)
+
+
+def test_bodies_do_not_interpenetrate_implicit():
+    """The interpenetration A/B of the explicit test, on the implicit-CG
+    path (whose rhs fold is the regression above): uncoupled the upper body
+    sinks into the lower; with contact='penalty' it rests on it."""
+    objs, states = _two_squares(gap=0.25)
+    obs = Obstacles.from_configs((), 2)
+    kw = dict(
+        use_explicit_method=False, implicit_method=1, preconditioned=0,
+        operator_mode="graph",
+    )
+    frames = [make_frame_fn(o, _cfg(contact="none", **kw)) for o in objs]
+    s_off = list(states)
+    for _ in range(160):
+        for i, fr in enumerate(frames):
+            s_off[i], _ = fr(s_off[i], obs)
+
+    def vertical_overlap(lower, upper):
+        return float(
+            np.asarray(lower.pos)[:, 1].max()
+            - np.asarray(upper.pos)[:, 1].min()
+        )
+
+    overlap_off = vertical_overlap(s_off[0], s_off[1])
+    cframe = make_contact_frame_fn(objs, _cfg(**kw))
+    s_on = tuple(states)
+    for _ in range(160):
+        s_on, _ = cframe(s_on, obs)
+        for s in s_on:
+            assert np.isfinite(np.asarray(s.pos)).all()
+    overlap_on = vertical_overlap(s_on[0], s_on[1])
+    r = auto_contact_radius(objs)
+    assert overlap_off > 2.0 * r, (overlap_off, r)
+    assert overlap_on < 1.0 * r, (overlap_on, r)
+
+
 def test_contact_implicit_cg_runs_and_separates():
     objs, states = _two_squares(gap=0.25)
     obs = Obstacles.from_configs((), 2)
