@@ -132,6 +132,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 state.pos, obj.element_indices, obj.ref_inv, obj.volume,
                 params.mu, params.s_lambda, material,
             )
+            if obj.static_load is not None:
+                grad = grad - obj.static_load
             return kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
                 free_mask=obj.free_mask,
@@ -147,6 +149,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 params.mu, params.s_lambda, material,
             )
             grad = assemble_for(obj, element_contrib_full(cols))
+            if obj.static_load is not None:
+                grad = grad - obj.static_load
             return kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
                 free_mask=obj.free_mask,
@@ -182,6 +186,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 params.mu, params.s_lambda, material,
             )
         f = assemble_for(obj, element_contrib_full(cols))
+        if obj.static_load is not None:
+            f = f + obj.static_load
         b = state.vel + dt * f / mass_col
 
         def apply_a(x):

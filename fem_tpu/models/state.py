@@ -75,6 +75,10 @@ class FemObject:
     # (reference behavior).  Pinned vertices are kinematic: zero velocity,
     # held position; the implicit solve projects them out (P·A·P + I−P).
     free_mask: jnp.ndarray = None
+    # Neumann loads (extension, ObjectConfig.load_boxes): (N, d) float32
+    # per-vertex static force, or None when no loads are configured.
+    # Folded into every substep as an external force and into solve_static.
+    static_load: jnp.ndarray = None
     # --- static metadata ---
     # "gather" (default, single-chip) or "segment" (used under shard_map
     # where each shard owns an element slice and psum-reduces).
@@ -171,6 +175,24 @@ def build_object(
             hi_a = np.asarray(hi, np.float32)
             pinned |= np.all((pos >= lo_a) & (pos <= hi_a), axis=1)
         free_mask = jnp.asarray((~pinned).astype(np.float32)[:, None])
+    static_load = None
+    load_boxes = getattr(cfg, "load_boxes", ())
+    if load_boxes:
+        load = np.zeros((n, d), np.float32)
+        for lo, hi, f_total in load_boxes:
+            lo_a = np.asarray(lo, np.float32)
+            hi_a = np.asarray(hi, np.float32)
+            sel = np.all((pos >= lo_a) & (pos <= hi_a), axis=1)
+            if not sel.any():
+                raise ValueError(
+                    f"load_boxes: box ({lo}, {hi}) selects no vertices"
+                )
+            # Mass-weighted distribution of the TOTAL force: refinement-
+            # independent (a body force over the selected region).
+            w = mass * sel
+            w = w / w.sum()
+            load += w[:, None] * np.asarray(f_total, np.float32)[None, :]
+        static_load = jnp.asarray(load)
     small_mesh = element_indices.shape[0] * d * n <= 16_000_000
     want_mxu = operator_mode == "mxu"
     # Blocked MXU operator (ops/blocking.py): measured fastest implicit
@@ -216,6 +238,7 @@ def build_object(
         jacobi_slots=jnp.asarray(jac_slots),
         jacobi_coeff=jnp.asarray(jac_coeff),
         free_mask=free_mask,
+        static_load=static_load,
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

@@ -176,6 +176,8 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
     )
     if padded.free_mask is not None:
         obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
+    if padded.static_load is not None:
+        obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
 
     def local_fn(obj_shard: FemObject, state, obstacles):
         local = obj_shard.replace(
@@ -257,6 +259,8 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
     )
     if padded.free_mask is not None:
         obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
+    if padded.static_load is not None:
+        obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
 
     kwargs = dict(
         dt=cfg.delta_time,

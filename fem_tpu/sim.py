@@ -67,6 +67,14 @@ def substep(
     substitution v' = v + dt·f_ext/m (b is linear in v; the solve then reads
     the correct rhs on every operator/kernel branch unchanged)."""
     zero_aux = StepAux(jnp.int32(0), jnp.float32(0.0))
+    if obj.static_load is not None:
+        # Neumann loads (ObjectConfig.load_boxes) compose with any caller-
+        # supplied force (e.g. body-body contact).
+        external_force = (
+            obj.static_load
+            if external_force is None
+            else external_force + obj.static_load
+        )
     # Advection stays on the XLA path: the fused Pallas advection kernels
     # (ops/pallas_advect.py) are parity-exact but measured 4x SLOWER here —
     # their (N, d) layout has d lanes, forcing Mosaic relayouts that cost
@@ -178,6 +186,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and cfg.solver_backend == "auto"
         and cfg.cg_precond in ("reference", "none")
         and obj.free_mask is None
+        and obj.static_load is None
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )
@@ -193,6 +202,7 @@ def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and (cfg.use_explicit_method or cfg.auto_diff)
         and cfg.element_backend in ("auto", "pallas")
         and obj.free_mask is None
+        and obj.static_load is None
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )

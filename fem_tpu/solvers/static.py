@@ -101,6 +101,10 @@ def solve_static(
         load = load + f_ext
     if g_dir is not None:
         load = load + gravity_force(obj, g_dir)
+    if obj.static_load is not None:
+        # Neumann loads (ObjectConfig.load_boxes) are part of the
+        # equilibrium the dynamics relaxes to — include them always.
+        load = load + obj.static_load
 
     def energy_grad(p: jnp.ndarray) -> jnp.ndarray:
         cols = explicit_grad_columns(

@@ -54,6 +54,16 @@ class ObjectConfig:
     # identically zero, position held.  The implicit system is solved with
     # the standard Dirichlet projection P·A·P + (I−P) (CG paths only).
     pin_boxes: Tuple[Tuple[Tuple[float, ...], Tuple[float, ...]], ...] = ()
+    # Neumann loads (extension — the reference's only external action is
+    # gravity).  Each entry is ((lo…), (hi…), (F…)): a TOTAL force vector F
+    # (Newtons) distributed over the vertices whose *initial world* position
+    # falls in the axis-aligned box, weighted by lumped mass — so the load
+    # is mesh-refinement-independent (a body force over the selected
+    # region).  Applied on every integration path and included in
+    # solve_static's equilibrium.
+    load_boxes: Tuple[
+        Tuple[Tuple[float, ...], Tuple[float, ...], Tuple[float, ...]], ...
+    ] = ()
 
     @property
     def mu(self) -> float:
@@ -229,6 +239,10 @@ def parse_config(data: dict) -> SimConfig:
             pin_boxes=tuple(
                 (_tupled(box[0]), _tupled(box[1]))
                 for box in o.get("pin_boxes", ())
+            ),
+            load_boxes=tuple(
+                (_tupled(box[0]), _tupled(box[1]), _tupled(box[2]))
+                for box in o.get("load_boxes", ())
             ),
         )
         for o in data.get("objects", [{}])
