@@ -136,7 +136,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 grad = grad - obj.static_load
             return kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
-                free_mask=obj.free_mask,
+                free_mask=obj.free_mask, pin_vel=obj.pin_vel,
             )
 
         return substep
@@ -153,7 +153,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 grad = grad - obj.static_load
             return kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
-                free_mask=obj.free_mask,
+                free_mask=obj.free_mask, pin_vel=obj.pin_vel,
             )
 
         return substep
@@ -201,12 +201,17 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
         if free is not None:
             # Dirichlet projection (pin_boxes): Â = P·A·P + (I−P), b̂ = P·b —
             # same construction as the non-diff solve (implicit.py), linear
-            # and therefore transparently differentiable.
+            # and therefore transparently differentiable.  Moving pins use
+            # the inhomogeneous form with particular solution x_h.
             held = 1.0 - free
             base_a, base_at = apply_a, apply_at
             apply_a = lambda x: free * base_a(free * x) + held * x
             apply_at = lambda y: free * base_at(free * y) + held * y
-            b = free * b
+            if obj.pin_vel is not None:
+                x_h = held * obj.pin_vel
+                b = free * (b - base_a(x_h)) + x_h
+            else:
+                b = free * b
 
         def normal_op(v):
             return apply_at(apply_a(v))
@@ -220,7 +225,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
         state = state.replace(vel=x)
         return advect_implicit_step(
             state, obstacles, dt, params.damping, g_dir,
-            free_mask=obj.free_mask,
+            free_mask=obj.free_mask, pin_vel=obj.pin_vel,
         )
 
     return substep

@@ -75,6 +75,10 @@ class FemObject:
     # (reference behavior).  Pinned vertices are kinematic: zero velocity,
     # held position; the implicit solve projects them out (P·A·P + I−P).
     free_mask: jnp.ndarray = None
+    # Prescribed pin velocity (extension, 3-element pin_boxes entries):
+    # (N, d) float32, zero on free and statically-pinned vertices, the
+    # prescribed constant velocity on moving pins.  None when no pin moves.
+    pin_vel: jnp.ndarray = None
     # Neumann loads (extension, ObjectConfig.load_boxes): (N, d) float32
     # per-vertex static force, or None when no loads are configured.
     # Folded into every substep as an external force and into solve_static.
@@ -168,13 +172,22 @@ def build_object(
     n = pos.shape[0]
     free_mask = None
     pin_boxes = getattr(cfg, "pin_boxes", ())
+    pin_vel = None
     if pin_boxes:
         pinned = np.zeros((n,), bool)
-        for lo, hi in pin_boxes:
-            lo_a = np.asarray(lo, np.float32)
-            hi_a = np.asarray(hi, np.float32)
-            pinned |= np.all((pos >= lo_a) & (pos <= hi_a), axis=1)
+        pin_vel_np = np.zeros((n, d), np.float32)
+        any_moving = False
+        for box in pin_boxes:
+            lo_a = np.asarray(box[0], np.float32)
+            hi_a = np.asarray(box[1], np.float32)
+            sel = np.all((pos >= lo_a) & (pos <= hi_a), axis=1)
+            pinned |= sel
+            if len(box) > 2:  # prescribed-velocity pin (kinematic loading)
+                pin_vel_np[sel] = np.asarray(box[2], np.float32)
+                any_moving = True
         free_mask = jnp.asarray((~pinned).astype(np.float32)[:, None])
+        if any_moving:
+            pin_vel = jnp.asarray(pin_vel_np)
     static_load = None
     load_boxes = getattr(cfg, "load_boxes", ())
     if load_boxes:
@@ -238,6 +251,7 @@ def build_object(
         jacobi_slots=jnp.asarray(jac_slots),
         jacobi_coeff=jnp.asarray(jac_coeff),
         free_mask=free_mask,
+        pin_vel=pin_vel,
         static_load=static_load,
         dim=d,
         particle_cnt=n,

@@ -178,6 +178,8 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
     if padded.static_load is not None:
         obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
+    if padded.pin_vel is not None:
+        obj_spec = obj_spec.replace(pin_vel=P())  # particle-space: replicate
 
     def local_fn(obj_shard: FemObject, state, obstacles):
         local = obj_shard.replace(
@@ -261,6 +263,8 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
     if padded.static_load is not None:
         obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
+    if padded.pin_vel is not None:
+        obj_spec = obj_spec.replace(pin_vel=P())  # particle-space: replicate
 
     kwargs = dict(
         dt=cfg.delta_time,

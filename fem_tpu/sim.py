@@ -87,7 +87,7 @@ def substep(
             grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
-            advect_backend, obj.free_mask,
+            advect_backend, obj.free_mask, obj.pin_vel,
         )
         return state, zero_aux
     if use_explicit_method:
@@ -98,7 +98,7 @@ def substep(
             grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
-            advect_backend, obj.free_mask,
+            advect_backend, obj.free_mask, obj.pin_vel,
         )
         return state, zero_aux
     if external_force is not None:
@@ -137,7 +137,7 @@ def substep(
         )
     state = advect_implicit_step(
         state, obstacles, dt, obj.damping, g_dir, advect_backend,
-        obj.free_mask,
+        obj.free_mask, obj.pin_vel,
     )
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 

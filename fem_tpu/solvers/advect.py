@@ -61,6 +61,7 @@ def kinematic_step(
     g_dir: Tuple[float, ...],
     backend: str = "xla",
     free_mask: jnp.ndarray | None = None,
+    pin_vel: jnp.ndarray | None = None,
 ) -> SimState:
     """Explicit-path advection (kinematic.py:14-45).
 
@@ -68,7 +69,9 @@ def kinematic_step(
     ``particles.force`` / ``pos.grad``), subtracted as −grad/m.
     ``backend="pallas"`` runs the whole stage as one fused kernel
     (ops/pallas_advect.py).  ``free_mask`` (N, 1) zeroes pinned vertices'
-    velocity before the position update (Dirichlet extension).
+    velocity before the position update (Dirichlet extension); ``pin_vel``
+    (N, d) overrides pinned vertices with a prescribed velocity instead
+    (kinematic loading — bypasses damping/walls/obstacles by construction).
     """
     if backend == "pallas":
         import jax
@@ -83,7 +86,13 @@ def kinematic_step(
         )
         if free_mask is not None:
             vel = vel * free_mask
-            pos = jnp.where(free_mask > 0.0, pos, state.pos)
+            if pin_vel is not None:
+                vel = vel + pin_vel
+                pos = jnp.where(
+                    free_mask > 0.0, pos, state.pos + pin_vel * dt
+                )
+            else:
+                pos = jnp.where(free_mask > 0.0, pos, state.pos)
         return state.replace(pos=pos, vel=vel, force=jnp.zeros_like(grad))
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel = state.vel + (g[None, :] - grad / mass[:, None]) * dt
@@ -97,6 +106,8 @@ def kinematic_step(
         vel = jnp.where(hit, vel - delta, vel)
     if free_mask is not None:
         vel = vel * free_mask
+        if pin_vel is not None:
+            vel = vel + pin_vel
     pos = state.pos + vel * dt
     return state.replace(pos=pos, vel=vel, force=jnp.zeros_like(grad))
 
@@ -109,11 +120,13 @@ def advect_implicit_step(
     g_dir: Tuple[float, ...],
     backend: str = "xla",
     free_mask: jnp.ndarray | None = None,
+    pin_vel: jnp.ndarray | None = None,
 ) -> SimState:
     """Implicit-path advection (implicit.py:407-438): gravity lives in the
     separate ``vel_g`` channel outside the linear solve.  ``free_mask``
     (N, 1) zeroes pinned vertices' velocity channels before the position
-    update (Dirichlet extension)."""
+    update (Dirichlet extension); ``pin_vel`` (N, d) overrides pinned
+    vertices with a prescribed velocity (kinematic loading)."""
     if backend == "pallas":
         import jax
 
@@ -128,7 +141,13 @@ def advect_implicit_step(
         if free_mask is not None:
             vel = vel * free_mask
             vel_g = vel_g * free_mask
-            pos = jnp.where(free_mask > 0.0, pos, state.pos)
+            if pin_vel is not None:
+                vel = vel + pin_vel
+                pos = jnp.where(
+                    free_mask > 0.0, pos, state.pos + pin_vel * dt
+                )
+            else:
+                pos = jnp.where(free_mask > 0.0, pos, state.pos)
         return state.replace(pos=pos, vel=vel, vel_g=vel_g)
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel_g = state.vel_g + g[None, :] * dt
@@ -165,5 +184,8 @@ def advect_implicit_step(
         vel = vel * free_mask
         vel_g = vel_g * free_mask
         v = v * free_mask
+        if pin_vel is not None:
+            vel = vel + pin_vel
+            v = v + pin_vel
     pos = state.pos + v * dt
     return state.replace(pos=pos, vel=vel, vel_g=vel_g)

@@ -472,6 +472,7 @@ def _cg_solve_dispatch(
     diag_fn: Callable[[], jnp.ndarray] | None,
     mass: jnp.ndarray | None = None,
     free: jnp.ndarray | None = None,
+    pin_vel: jnp.ndarray | None = None,
 ) -> CGResult:
     """Route one CG solve by ``cg_precond``:
 
@@ -490,7 +491,12 @@ def _cg_solve_dispatch(
     runs on Â = P·A·P + (I − P), b̂ = P·b with P = diag(free) — symmetric-
     positive-definite whenever A is, identity rows on pinned vertices, and
     the solution satisfies x_pinned = 0 exactly.  Âᵀ projects the same way;
-    Â's diagonal blocks are P·diag(A)·P + (I−P)·I for the PCG mode."""
+    Â's diagonal blocks are P·diag(A)·P + (I−P)·I for the PCG mode.
+
+    ``pin_vel`` (N, d) turns the projection inhomogeneous (prescribed-motion
+    pins): with particular solution x_h = (I−P)·v_pin the solve runs on
+    b̂ = P·(b − A·x_h) + x_h, so the free rows see the constraint's reaction
+    and the solution satisfies x_pinned = v_pin exactly."""
     if free is not None:
         base_a, base_at_fn, base_diag = apply_a, apply_at_fn, diag_fn
         held = 1.0 - free
@@ -510,7 +516,11 @@ def _cg_solve_dispatch(
                 f3 = free[..., None]  # (N, 1, 1)
                 return f3 * diag + (1.0 - f3) * eye
 
-        b = free * b
+        if pin_vel is not None:
+            x_h = held * pin_vel
+            b = free * (b - base_a(x_h)) + x_h
+        else:
+            b = free * b
     if cg_precond == "block_jacobi":
         if diag_fn is None:
             raise ValueError(
@@ -802,7 +812,7 @@ def implicit_velocity_solve(
 
         res = _cg_solve_dispatch(
             apply_a, lambda: apply_at, b, preconditioned, cg_precond, None,
-            free=obj.free_mask,
+            free=obj.free_mask, pin_vel=obj.pin_vel,
         )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 
@@ -907,6 +917,7 @@ def implicit_velocity_solve(
             ),
             obj.mass,
             free=obj.free_mask,
+            pin_vel=obj.pin_vel,
         )
         return state.replace(vel=res.x), ImplicitAux(
             res.iterations, res.residual
@@ -998,6 +1009,7 @@ def implicit_velocity_solve(
             lambda: diagonal_blocks(obj, K, dt, axis_name),
             obj.mass,
             free=obj.free_mask,
+            pin_vel=obj.pin_vel,
         )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 

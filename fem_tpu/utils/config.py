@@ -53,7 +53,11 @@ class ObjectConfig:
     # (vertices + center); vertices inside any box are pinned: velocity
     # identically zero, position held.  The implicit system is solved with
     # the standard Dirichlet projection P·A·P + (I−P) (CG paths only).
-    pin_boxes: Tuple[Tuple[Tuple[float, ...], Tuple[float, ...]], ...] = ()
+    # An entry may carry a third element ((lo…), (hi…), (v…)): a PRESCRIBED
+    # constant velocity — the pinned vertices translate kinematically
+    # (stretch / compression / shear loading); the implicit solve then uses
+    # the inhomogeneous projection with particular solution x_pinned = v.
+    pin_boxes: Tuple[Tuple[Tuple[float, ...], ...], ...] = ()
     # Neumann loads (extension — the reference's only external action is
     # gravity).  Each entry is ((lo…), (hi…), (F…)): a TOTAL force vector F
     # (Newtons) distributed over the vertices whose *initial world* position
@@ -237,7 +241,7 @@ def parse_config(data: dict) -> SimConfig:
             obj=o.get("obj"),
             material=str(o.get("material", "neo_hookean")),
             pin_boxes=tuple(
-                (_tupled(box[0]), _tupled(box[1]))
+                tuple(_tupled(part) for part in box)
                 for box in o.get("pin_boxes", ())
             ),
             load_boxes=tuple(
