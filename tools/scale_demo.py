@@ -48,9 +48,15 @@ def main():
                    choices=["reference", "none", "block_jacobi"],
                    help="CG preconditioning strategy (SimConfig.cg_precond)")
     p.add_argument("--material", default="neo_hookean",
-                   choices=["neo_hookean", "stvk", "linear", "corotated"])
+                   choices=["neo_hookean", "stvk", "linear", "corotated",
+                            "stable_neo_hookean"])
     p.add_argument("--adaptive-dt", action="store_true",
                    help="enable the kappa-guard substep splitter")
+    p.add_argument("--integrator", default="semi_implicit",
+                   choices=["semi_implicit", "newton"],
+                   help="implicit time integration: the reference's single "
+                        "linearized solve, or fully implicit backward Euler "
+                        "(solvers/newton.py — removes the dt~h cap)")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -83,6 +89,7 @@ def main():
         implicit_method=1, preconditioned=1,
         g_dir=(0.0, -1.0, 0.0), robust_inversion=args.robust_inversion,
         cg_precond=args.cg_precond, adaptive_dt=args.adaptive_dt,
+        integrator=args.integrator,
         objects=(ocfg,), blocks=(),
     )
     obstacles = Obstacles.from_configs((), 3)
