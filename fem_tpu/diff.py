@@ -164,6 +164,13 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             "(implicit_method=1); the Jacobi rollback loop is not "
             "reverse-differentiable"
         )
+    if cfg.integrator != "semi_implicit":
+        raise ValueError(
+            "differentiable implicit stepping supports only "
+            "integrator='semi_implicit' (the Newton loop's data-dependent "
+            "line search is not reverse-differentiable); use the "
+            "semi-implicit path for gradient rollouts"
+        )
 
     mass_col = obj.mass[:, None]
 

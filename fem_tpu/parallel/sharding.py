@@ -158,6 +158,10 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         robust_inversion=cfg.robust_inversion,
         element_backend=cfg.element_backend,
         hessian=cfg.hessian,
+        integrator=cfg.integrator,
+        newton_iters=cfg.newton_iters,
+        newton_cg_iters=cfg.newton_cg_iters,
+        newton_tol=cfg.newton_tol,
         axis_name=AXIS,
         solver_backend="matrix_free",  # dense backend is single-chip only
         # "fused" is the single-chip whole-solve kernel; under sharding it
@@ -278,6 +282,10 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         robust_inversion=cfg.robust_inversion,
         element_backend=cfg.element_backend,
         hessian=cfg.hessian,
+        integrator=cfg.integrator,
+        newton_iters=cfg.newton_iters,
+        newton_cg_iters=cfg.newton_cg_iters,
+        newton_tol=cfg.newton_tol,
         axis_name=AXIS,
         solver_backend="matrix_free",
         operator_mode="auto" if cfg.operator_mode == "fused"

@@ -53,6 +53,10 @@ def substep(
     operator_mode: str = "graph",
     jacobi_sweep: str = "serial",
     cg_precond: str = "reference",
+    integrator: str = "semi_implicit",
+    newton_iters: int = 10,
+    newton_cg_iters: int = 120,
+    newton_tol: float = 1e-5,
     external_force: jnp.ndarray | None = None,
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
@@ -108,6 +112,24 @@ def substep(
         state = state.replace(
             vel=state.vel + dt * external_force / obj.mass[:, None]
         )
+    if integrator == "newton":
+        # Fully implicit backward Euler (extension, solvers/newton.py):
+        # damped Newton closes the nonlinear elastic residual each substep —
+        # removes the dt ~ h stability cap of the reference's single
+        # linearized solve.  Advection (gravity/damping/collisions) below is
+        # shared with the semi-implicit path, reference structure.
+        from fem_tpu.solvers.newton import newton_velocity_solve
+
+        state, solve_aux = newton_velocity_solve(
+            obj, state, dt, axis_name,
+            max_newton=newton_iters, cg_iters=newton_cg_iters,
+            tol=newton_tol,
+        )
+        state = advect_implicit_step(
+            state, obstacles, dt, obj.damping, g_dir, advect_backend,
+            obj.free_mask, obj.pin_vel,
+        )
+        return state, StepAux(solve_aux.iterations, solve_aux.residual)
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
     # absolute CG tolerance the solver converges in a handful of iterations,
     # and the O(E) matrix-free operator beats dense materialization at every
@@ -157,6 +179,10 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         operator_mode=cfg.operator_mode,
         jacobi_sweep=cfg.jacobi_sweep,
         cg_precond=cfg.cg_precond,
+        integrator=cfg.integrator,
+        newton_iters=cfg.newton_iters,
+        newton_cg_iters=cfg.newton_cg_iters,
+        newton_tol=cfg.newton_tol,
     )
 
 
@@ -177,6 +203,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     return (
         obj.dim in (2, 3)
         and not cfg.adaptive_dt
+        and cfg.integrator == "semi_implicit"
         and not cfg.use_explicit_method
         and not cfg.auto_diff
         and cfg.implicit_method == CONJUGATE_GRADIENT_METHOD

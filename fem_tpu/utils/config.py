@@ -128,6 +128,23 @@ class SimConfig:
     # Hessian, exact parity) or "exact_jvp" (true Newton operator via
     # jax.jvp of the assembled force; CG only).
     hessian: str = "reference"
+    # Implicit time integration (extension, solvers/newton.py).
+    # "semi_implicit" (parity default): the reference's ONE linearized solve
+    # per substep (implicit.py:201-223) — blows up when κ = dt²‖K‖/m → 1
+    # (the dt ~ h wall, BASELINE.md).  "newton": fully implicit backward
+    # Euler on the elastic term — damped Newton with exact material-generic
+    # HVPs and a residual line search closes the nonlinear residual
+    # r(v) = (v−vₙ) − dt·M⁻¹·f(xₙ+dt·v) each substep, removing the dt ~ h
+    # cap (gravity/damping/collisions stay in advection, reference
+    # structure).  Inner solve is plain relative-tolerance CG; the
+    # `preconditioned` int and `implicit_method` are not consulted.
+    integrator: str = "semi_implicit"
+    # Newton caps for integrator="newton": max Newton steps per substep and
+    # max inner CG iterations per Newton step.
+    newton_iters: int = 10
+    newton_cg_iters: int = 120
+    # Convergence: max |r| ≤ newton_tol (velocity units).
+    newton_tol: float = 1e-5
     # Jacobi sweep semantics: "serial" is the parity default — the
     # reference's jacobi_iter_field_once (implicit.py:391-404) executes as a
     # serial in-place Gauss–Seidel-style sweep (Taichi parallelizes only
@@ -212,6 +229,11 @@ class SimConfig:
     def __post_init__(self):
         if self.dim not in (2, 3):
             raise ValueError(f"dim must be 2 or 3, got {self.dim}")
+        if self.integrator not in ("semi_implicit", "newton"):
+            raise ValueError(
+                f"integrator must be 'semi_implicit' or 'newton', "
+                f"got {self.integrator!r}"
+            )
         if len(self.g_dir) != self.dim:
             raise ValueError(
                 f"g_dir has {len(self.g_dir)} components for dim={self.dim}"
@@ -290,6 +312,10 @@ def parse_config(data: dict) -> SimConfig:
         adaptive_dt_threshold=float(data.get("adaptive_dt_threshold", 0.5)),
         cg_precond=str(data.get("cg_precond", "reference")),
         operator_mode=str(data.get("operator_mode", "auto")),
+        integrator=str(data.get("integrator", "semi_implicit")),
+        newton_iters=int(data.get("newton_iters", 10)),
+        newton_cg_iters=int(data.get("newton_cg_iters", 120)),
+        newton_tol=float(data.get("newton_tol", 1e-5)),
     )
 
 

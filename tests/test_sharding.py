@@ -300,3 +300,31 @@ def test_sharded_material_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_newton_matches_single_device():
+    """Round-4 integrator="newton" under shard_map: force assemblies and
+    HVPs psum per-shard, the Newton/CG/line-search iterations run
+    replicated — must match the single-device result."""
+    cfg_all = default_sim_config_3d(
+        sim_count=2, implicit_method=1, preconditioned=0,
+        integrator="newton",
+    )
+    _, obj, state = make_3d_object(subdivisions=3)
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+    rng = np.random.default_rng(11)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.3, size=state.pos.shape).astype(np.float32)
+        )
+    )
+    single = make_substep_fn(obj, cfg_all)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+    s1, aux1 = single(state, obstacles)
+    s2, aux2 = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
+    )
+    # Real Newton work happened (not a trivially-converged zero residual).
+    assert int(aux1.solver_iterations) > 0

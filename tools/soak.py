@@ -40,6 +40,10 @@ def main():
                    help="override SimConfig.cg_precond")
     p.add_argument("--adaptive-dt", action="store_true",
                    help="enable the kappa-guard substep splitter")
+    p.add_argument("--integrator", default=None,
+                   choices=["semi_implicit", "newton"],
+                   help="override SimConfig.integrator (newton = fully "
+                        "implicit backward Euler, solvers/newton.py)")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -60,6 +64,8 @@ def main():
         cfg = dataclasses.replace(cfg, cg_precond=args.cg_precond)
     if args.adaptive_dt:
         cfg = dataclasses.replace(cfg, adaptive_dt=True)
+    if args.integrator is not None:
+        cfg = dataclasses.replace(cfg, integrator=args.integrator)
     ocfg = cfg.objects[0]
     obj_path = os.path.join(here, ocfg.obj)
     ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
