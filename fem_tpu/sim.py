@@ -57,6 +57,7 @@ def substep(
     newton_iters: int = 10,
     newton_cg_iters: int = 120,
     newton_tol: float = 1e-5,
+    newton_hessian: str = "exact",
     external_force: jnp.ndarray | None = None,
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
@@ -123,7 +124,8 @@ def substep(
         state, solve_aux = newton_velocity_solve(
             obj, state, dt, axis_name,
             max_newton=newton_iters, cg_iters=newton_cg_iters,
-            tol=newton_tol,
+            tol=newton_tol, hessian_mode=newton_hessian,
+            element_backend=element_backend,
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,
@@ -183,6 +185,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         newton_iters=cfg.newton_iters,
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
+        newton_hessian=cfg.newton_hessian,
     )
 
 

@@ -24,22 +24,34 @@ unchanged and external forces / Neumann loads / contact fold in through the
 same rhs velocity substitution as the semi-implicit path.
 
 TPU-native design: one jitted ``lax.while_loop`` over damped Newton steps —
-each step is a matrix-free CG solve on the exact Hessian operator
-J(v) = I + dt²·M⁻¹·K(x_n + dt·v) (the same ``jax.jvp`` HVP as
-``hessian="exact_jvp"``, material-generic incl. corotated through the
-tie-robust polar), followed by a vectorized backtracking line search on the
-residual norm.  NaN residuals (an inversion attempt under plain
-neo-Hookean's log) read as +inf and are rejected, so the line search is what
-makes the method robust where the reference NaNs.  Everything is
-fixed-shape; element assemblies psum over ``axis_name`` under shard_map, and
-the particle-space Newton/CG iterations run replicated — the same sharding
-contract as the semi-implicit exact-JVP path.
+each step solves J·δ = −r matrix-free by CG and backtracks on the residual
+norm (sequentially: the full step is accepted on the first trial away from
+the stability boundary, so the common-case cost is one extra force
+evaluation).  NaN residuals (an inversion attempt under plain neo-Hookean's
+log) read as +inf and are rejected, which is what makes the method robust
+where the reference NaNs.  Everything is fixed-shape; element assemblies
+psum over ``axis_name`` under shard_map and the particle-space Newton/CG
+iterations run replicated — the same sharding contract as the semi-implicit
+paths.
 
-Cost model: each Newton step ≈ one semi-implicit solve on the same
-conditioning (identical operator structure).  At reference-stable dt the
-first Newton step already satisfies the tolerance most substeps, so the
-overhead is ~one extra force evaluation; the win is that dt is no longer
-capped by the mesh size (dt ~ h removed — BASELINE.md round-4 rows).
+Two Jacobians (``SimConfig.newton_hessian``):
+
+* ``"exact"`` — J = I + dt²·M⁻¹·K(x) with K·w the exact material-generic
+  Hessian-vector product (``jax.jvp`` of the assembled analytic force, the
+  ``hessian="exact_jvp"`` machinery).  Quadratic convergence; every
+  force/HVP rides the XLA gather/segment-sum graph chain.
+* ``"decoupled"`` — modified Newton on the reference's own decoupled
+  one-block-per-element linearization: each Newton step IS one
+  semi-implicit-shaped solve (blocked in-VMEM prep + blocked MXU operator
+  where the mesh has a Blocking — the full round-2/3 execution ladder), and
+  ONE prep yields both the residual force and the operator tables.
+  Convergence drops to superlinear-at-best, but each iteration runs at
+  semi-implicit speed — the fast path at scale.
+
+Cost model: at reference-stable dt the first Newton step already satisfies
+the tolerance most substeps, so the overhead is ~one extra force
+evaluation; the win is that dt is no longer capped by the mesh size
+(dt ~ h removed — BASELINE.md round-4 rows).
 """
 
 from __future__ import annotations
@@ -53,9 +65,69 @@ from fem_tpu.models.state import FemObject, SimState
 from fem_tpu.ops.assembly import assemble_for, element_contrib_full
 from fem_tpu.solvers.implicit import (
     ImplicitAux,
+    _k_and_force_cols,
     _material_force_columns,
     conjugate_gradient,
+    make_blocked_system_apply,
+    make_system_apply,
 )
+
+
+def _resolve_backend(element_backend: str) -> str:
+    if element_backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return element_backend
+
+
+def _decoupled_prep(
+    obj: FemObject, pos: jnp.ndarray, axis_name, element_backend: str
+):
+    """(assembled elastic force f, K representation) at ``pos`` on the best
+    available execution path.  The K representation is whatever
+    :func:`_decoupled_apply` for the same (obj, backend) consumes — kplane
+    (B, d², R) from the in-VMEM blocked prep, block-ordered k_flat, or
+    element-ordered k_flat for the graph operator."""
+    blk = obj.blocking
+    if blk is not None and element_backend == "pallas":
+        from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
+
+        kplane, yt = blocked_prep(
+            blk, pos, obj.dim, obj.mu, obj.s_lambda, False, obj.material
+        )
+        f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
+        return f, kplane
+    if blk is not None:
+        from fem_tpu.ops.blocking import blocked_assemble
+
+        k_flat, cols = _k_and_force_cols(
+            obj, pos, blk.element_indices, blk.ref_inv, blk.volume,
+            False, "xla",
+        )
+        f = blocked_assemble(blk, cols, obj.particle_cnt, obj.dim, axis_name)
+        return f, k_flat
+    k_flat, cols = _k_and_force_cols(
+        obj, pos, obj.element_indices, obj.ref_inv, obj.volume, False,
+        element_backend,
+    )
+    f = assemble_for(obj, element_contrib_full(cols), axis_name)
+    return f, k_flat
+
+
+def _decoupled_apply(
+    obj: FemObject, krep: jnp.ndarray, dt: float, axis_name,
+    element_backend: str,
+):
+    """Operator w ↦ w − dt²·M⁻¹·(∂f/∂x)|_dec·w from a stored K
+    representation (same arithmetic as the semi-implicit solve's A — the
+    decoupled Jacobian evaluated at the Newton iterate's positions)."""
+    blk = obj.blocking
+    if blk is not None and element_backend == "pallas":
+        return make_blocked_system_apply(
+            obj, None, dt, axis_name, kplane=krep
+        )[0]
+    if blk is not None:
+        return make_blocked_system_apply(obj, krep, dt, axis_name)[0]
+    return make_system_apply(obj, krep, dt, axis_name)
 
 
 def newton_velocity_solve(
@@ -67,6 +139,8 @@ def newton_velocity_solve(
     cg_iters: int = 120,
     tol: float = 1e-5,
     n_backtrack: int = 10,
+    hessian_mode: str = "exact",
+    element_backend: str = "auto",
 ) -> Tuple[SimState, ImplicitAux]:
     """Solve r(v) = 0 for the end-of-substep velocity; vel ← v.
 
@@ -78,17 +152,36 @@ def newton_velocity_solve(
     solve.  Reported aux: total inner CG iterations (comparable with the
     semi-implicit paths' iteration counter) and the final ‖P·r‖².
     """
+    if hessian_mode not in ("exact", "decoupled"):
+        raise ValueError(
+            f"newton_hessian must be 'exact' or 'decoupled', "
+            f"got {hessian_mode!r}"
+        )
+    element_backend = _resolve_backend(element_backend)
     inv_m = 1.0 / obj.mass[:, None]
     free = obj.free_mask  # (N, 1) or None
     held = None if free is None else 1.0 - free
     v_n = state.vel
     x_n = state.pos
+    decoupled = hessian_mode == "decoupled"
 
-    def residual(v: jnp.ndarray) -> jnp.ndarray:
-        cols = _material_force_columns(obj, x_n + dt * v, False)
-        f = assemble_for(obj, element_contrib_full(cols), axis_name)
-        r = (v - v_n) - dt * inv_m * f
+    def project(r: jnp.ndarray) -> jnp.ndarray:
         return r if free is None else free * r
+
+    def force_exact(pos: jnp.ndarray) -> jnp.ndarray:
+        cols = _material_force_columns(obj, pos, False)
+        return assemble_for(obj, element_contrib_full(cols), axis_name)
+
+    def eval_at(v: jnp.ndarray):
+        """(projected residual, K representation) at iterate ``v``.  In
+        decoupled mode ONE element prep yields both."""
+        pos = x_n + dt * v
+        if decoupled:
+            f, krep = _decoupled_prep(obj, pos, axis_name, element_backend)
+        else:
+            f, krep = force_exact(pos), jnp.zeros((0,), jnp.float32)
+        r = project((v - v_n) - dt * inv_m * f)
+        return r, krep
 
     def res_norm(r: jnp.ndarray) -> jnp.ndarray:
         m = jnp.max(jnp.abs(r))
@@ -105,60 +198,69 @@ def newton_velocity_solve(
         v0 = free * v_n
 
     def body(carry):
-        v, _, it, cg_total, fails = carry
-        r = residual(v)
+        v, r, krep, _, it, cg_total, fails = carry
 
-        def hvp(w: jnp.ndarray) -> jnp.ndarray:
-            def force(p):
-                cols = _material_force_columns(obj, p, False)
-                return assemble_for(obj, element_contrib_full(cols), axis_name)
+        if decoupled:
+            base_op = _decoupled_apply(
+                obj, krep, dt, axis_name, element_backend
+            )
+        else:
+            x_i = x_n + dt * v
 
-            _, df = jax.jvp(force, (x_n + dt * v,), (w,))
-            return w - (dt * dt) * inv_m * df
+            def base_op(w: jnp.ndarray) -> jnp.ndarray:
+                _, df = jax.jvp(force_exact, (x_i,), (w,))
+                return w - (dt * dt) * inv_m * df
 
         if free is None:
-            op = hvp
+            op = base_op
         else:
 
             def op(w):
-                return free * hvp(free * w) + held * w
+                return free * base_op(free * w) + held * w
 
         rr = jnp.sum(r * r)
         sol = conjugate_gradient(
             op, -r, jnp.zeros_like(r), max_iter=cg_iters, tol=1e-8 * rr
         )
-        delta = sol.x if free is None else free * sol.x
+        delta = project(sol.x)
         r0n = res_norm(r)
-        # Sequential backtracking: the full step is accepted on the first
-        # trial away from the stability boundary, so the common-case cost is
-        # ONE extra force evaluation (a vmapped all-candidates search would
-        # pay n_backtrack assemblies every step).
-        rn1 = res_norm(residual(v + delta))
+        # Sequential backtracking on ‖r‖∞ (NaN-safe: inversion under plain
+        # NH reads +inf and is rejected).
+        r1, k1 = eval_at(v + delta)
 
         def ls_cond(c):
-            _, rn, k = c
+            _, rn, _, _, k = c
             return (rn >= r0n) & (k < n_backtrack)
 
         def ls_body(c):
-            t, _, k = c
+            t, _, _, _, k = c
             t2 = 0.5 * t
-            return (t2, res_norm(residual(v + t2 * delta)), k + 1)
+            r_c, k_c = eval_at(v + t2 * delta)
+            return (t2, res_norm(r_c), r_c, k_c, k + 1)
 
-        t, rn, _ = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.float32(1.0), rn1, jnp.int32(1))
+        t, rn, r_new, k_new, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.float32(1.0), res_norm(r1), r1, k1, jnp.int32(1)),
         )
         any_ok = rn < r0n
-        v_new = jnp.where(any_ok, v + t * delta, v)
+        v_out = jnp.where(any_ok, v + t * delta, v)
+        r_out = jnp.where(any_ok, r_new, r)
+        krep_out = jnp.where(any_ok, k_new, krep)
         gn = jnp.where(any_ok, rn, r0n)
         fails_new = jnp.where(any_ok, jnp.int32(0), fails + 1)
-        return (v_new, gn, it + 1, cg_total + sol.iterations, fails_new)
+        return (
+            v_out, r_out, krep_out, gn, it + 1,
+            cg_total + sol.iterations, fails_new,
+        )
 
     def cond(carry):
-        _, gn, it, _, fails = carry
+        _, _, _, gn, it, _, fails = carry
         return (it < max_newton) & (gn > tol) & (fails < 3)
 
-    gn0 = res_norm(residual(v0))
-    v, gn, _, cg_total, _ = jax.lax.while_loop(
-        cond, body, (v0, gn0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    r0, krep0 = eval_at(v0)
+    carry0 = (
+        v0, r0, krep0, res_norm(r0), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0),
     )
+    v, _, _, gn, _, cg_total, _ = jax.lax.while_loop(cond, body, carry0)
     return state.replace(vel=v), ImplicitAux(cg_total, gn * gn)

@@ -145,6 +145,14 @@ class SimConfig:
     newton_cg_iters: int = 120
     # Convergence: max |r| ≤ newton_tol (velocity units).
     newton_tol: float = 1e-5
+    # Newton Jacobian (solvers/newton.py): "exact" = true quadratic Newton
+    # via the exact material HVP (jax.jvp of the assembled force, graph
+    # chain); "decoupled" = modified Newton on the reference's decoupled
+    # one-block-per-element linearization — each Newton step is one
+    # semi-implicit-shaped solve riding the blocked in-VMEM prep + blocked
+    # MXU operator (one prep yields both the residual force and the
+    # operator tables), the fast path at scale.
+    newton_hessian: str = "exact"
     # Jacobi sweep semantics: "serial" is the parity default — the
     # reference's jacobi_iter_field_once (implicit.py:391-404) executes as a
     # serial in-place Gauss–Seidel-style sweep (Taichi parallelizes only
@@ -316,6 +324,7 @@ def parse_config(data: dict) -> SimConfig:
         newton_iters=int(data.get("newton_iters", 10)),
         newton_cg_iters=int(data.get("newton_cg_iters", 120)),
         newton_tol=float(data.get("newton_tol", 1e-5)),
+        newton_hessian=str(data.get("newton_hessian", "exact")),
     )
 
 

@@ -241,3 +241,47 @@ def test_newton_external_force_matches_semi_in_linear_limit():
     np.testing.assert_allclose(
         np.asarray(sa.vel), np.asarray(sb.vel), rtol=0, atol=1e-6
     )
+
+
+def test_decoupled_mode_agrees_in_stable_regime():
+    """Modified Newton (newton_hessian="decoupled" — each step a
+    semi-implicit-shaped solve on the blocked operator) must land on the
+    same nonlinear root as exact Newton: both drive max|r| below
+    newton_tol, so the velocities agree to ~tol."""
+    _, obj, state = make_2d_object(subdivisions=5)
+    state = state.replace(
+        vel=state.vel + jnp.asarray([[0.15, -0.3]], jnp.float32)
+    )
+    obs = default_obstacles()
+    s_ex, aux_ex = make_substep_fn(
+        obj, _cfg(5e-4, integrator="newton")
+    )(state, obs)
+    s_dec, aux_dec = make_substep_fn(
+        obj, _cfg(5e-4, integrator="newton", newton_hessian="decoupled")
+    )(state, obs)
+    diff = np.abs(np.asarray(s_ex.vel) - np.asarray(s_dec.vel)).max()
+    assert diff < 3e-5, diff
+    assert float(aux_dec.solver_residual) <= (1e-5) ** 2 + 1e-12
+
+
+def test_decoupled_mode_rescues_kappa_blowup():
+    """The decoupled Jacobian is an approximation, but the residual line
+    search still guarantees monotone progress — the κ ≈ 60 reproducer must
+    stay finite on the fast path too."""
+    _, obj, s0 = make_2d_object(subdivisions=7, E=4e5)
+    obs = default_obstacles()
+    frame_n = make_frame_fn(
+        obj, _cfg(2e-3, integrator="newton", newton_hessian="decoupled")
+    )
+    s = s0
+    for i in range(12):
+        s, _ = frame_n(s, obs)
+        assert np.isfinite(np.asarray(s.pos)).all(), f"NaN at frame {i}"
+
+
+def test_newton_hessian_validated():
+    from fem_tpu.solvers.newton import newton_velocity_solve
+
+    _, obj, state = make_2d_object(subdivisions=3)
+    with pytest.raises(ValueError, match="newton_hessian"):
+        newton_velocity_solve(obj, state, 5e-4, hessian_mode="bogus")

@@ -328,3 +328,29 @@ def test_sharded_newton_matches_single_device():
     )
     # Real Newton work happened (not a trivially-converged zero residual).
     assert int(aux1.solver_iterations) > 0
+
+
+def test_sharded_newton_decoupled_matches_single_device():
+    """newton_hessian="decoupled" under shard_map: each Newton step's prep
+    and blocked operator run per-shard (one psum per assembly/apply)."""
+    cfg_all = default_sim_config_3d(
+        sim_count=2, implicit_method=1, preconditioned=0,
+        integrator="newton", newton_hessian="decoupled",
+    )
+    _, obj, state = make_3d_object(subdivisions=3)
+    obstacles = Obstacles.from_configs((), 3)
+    mesh = make_element_mesh(8)
+    rng = np.random.default_rng(13)
+    state = state.replace(
+        vel=jnp.asarray(
+            rng.normal(scale=0.3, size=state.pos.shape).astype(np.float32)
+        )
+    )
+    single = make_substep_fn(obj, cfg_all)
+    sharded = make_sharded_substep_fn(obj, cfg_all, mesh)
+    s1, aux1 = single(state, obstacles)
+    s2, aux2 = sharded(state, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
+    )
+    assert int(aux1.solver_iterations) > 0
