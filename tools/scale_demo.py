@@ -57,6 +57,10 @@ def main():
                    help="implicit time integration: the reference's single "
                         "linearized solve, or fully implicit backward Euler "
                         "(solvers/newton.py — removes the dt~h cap)")
+    p.add_argument("--newton-hessian", default="exact",
+                   choices=["exact", "decoupled"],
+                   help="Newton Jacobian: exact HVP (graph) or the "
+                        "decoupled blocked fast path")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -90,6 +94,7 @@ def main():
         g_dir=(0.0, -1.0, 0.0), robust_inversion=args.robust_inversion,
         cg_precond=args.cg_precond, adaptive_dt=args.adaptive_dt,
         integrator=args.integrator,
+        newton_hessian=args.newton_hessian,
         objects=(ocfg,), blocks=(),
     )
     obstacles = Obstacles.from_configs((), 3)

@@ -44,6 +44,10 @@ def main():
                    choices=["semi_implicit", "newton"],
                    help="override SimConfig.integrator (newton = fully "
                         "implicit backward Euler, solvers/newton.py)")
+    p.add_argument("--newton-hessian", default=None,
+                   choices=["exact", "decoupled"],
+                   help="Newton Jacobian: exact HVP (graph) or the "
+                        "decoupled blocked fast path")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -66,6 +70,8 @@ def main():
         cfg = dataclasses.replace(cfg, adaptive_dt=True)
     if args.integrator is not None:
         cfg = dataclasses.replace(cfg, integrator=args.integrator)
+    if args.newton_hessian is not None:
+        cfg = dataclasses.replace(cfg, newton_hessian=args.newton_hessian)
     ocfg = cfg.objects[0]
     obj_path = os.path.join(here, ocfg.obj)
     ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
