@@ -126,6 +126,12 @@ def substep(
             max_newton=newton_iters, cg_iters=newton_cg_iters,
             tol=newton_tol, hessian_mode=newton_hessian,
             element_backend=element_backend,
+            # "reference"/"none" both mean plain CG inside Newton (there is
+            # no normal-equations variant here); "block_jacobi" turns on
+            # the mass-symmetrized PCG inner solves (decoupled mode).
+            cg_precond=(
+                "block_jacobi" if cg_precond == "block_jacobi" else "none"
+            ),
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,

@@ -185,28 +185,32 @@ def modal_analysis(
         phi = (
             u.reshape(n, d, k) * inv_sqrt_m[..., None] * free[..., None]
         )
-        return lam, phi
+        # Residual check INSIDE the jit (k HVPs as one traced computation —
+        # the eager per-op dispatch of the same loop at 68k tets reproducibly
+        # crashed this environment's relayed TPU worker).
+        mass_col = obj.mass[:, None]
 
-    lam, phi = solve()
-    # Residual check outside the jit for clarity (cheap: k HVPs).
-    mass_col = obj.mass[:, None]
-    res = []
-    for i in range(k):
-        p_i = phi[..., i]
-        k_p = kv(p_i)
-        if obj.free_mask is not None:
-            k_p = k_p * obj.free_mask
-        m_p = mass_col * p_i
-        num = jnp.linalg.norm(k_p - lam[i] * m_p)
-        den = jnp.linalg.norm(k_p) + jnp.abs(lam[i]) * jnp.linalg.norm(m_p)
-        res.append(num / (den + 1e-30))
+        def one_res(p_i, lam_i):
+            k_p = kv(p_i) * free
+            m_p = mass_col * p_i
+            num = jnp.linalg.norm(k_p - lam_i * m_p)
+            den = (
+                jnp.linalg.norm(k_p)
+                + jnp.abs(lam_i) * jnp.linalg.norm(m_p)
+            )
+            return num / (den + 1e-30)
+
+        res = jax.vmap(one_res, in_axes=(-1, 0))(phi, lam)
+        return lam, phi, res
+
+    lam, phi, res = solve()
     omega_sq = lam
     omega = jnp.sqrt(jnp.maximum(omega_sq, 0.0))
     return ModalResult(
         omega_sq=omega_sq,
         frequencies=omega / (2.0 * jnp.pi),
         modes=jnp.moveaxis(phi, -1, 0),
-        residuals=jnp.stack(res),
+        residuals=res,
     )
 
 

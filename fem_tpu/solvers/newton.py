@@ -68,8 +68,10 @@ from fem_tpu.solvers.implicit import (
     _k_and_force_cols,
     _material_force_columns,
     conjugate_gradient,
+    diagonal_blocks_from,
     make_blocked_system_apply,
     make_system_apply,
+    preconditioned_conjugate_gradient,
 )
 
 
@@ -141,21 +143,36 @@ def newton_velocity_solve(
     n_backtrack: int = 10,
     hessian_mode: str = "exact",
     element_backend: str = "auto",
+    cg_precond: str = "none",
 ) -> Tuple[SimState, ImplicitAux]:
     """Solve r(v) = 0 for the end-of-substep velocity; vel ← v.
 
     Convergence: max |P·r| ≤ ``tol`` (velocity units — matches the scale of
     the reference CG's absolute tolerance on the same unknown), or
     ``max_newton`` steps, or 3 consecutive line-search failures (the f32
-    progress floor, as in solvers/static.py).  The inner CG runs to a
-    relative 1e-8 on rᵀr — a Newton step needs a direction, not a tight
+    progress floor, as in solvers/static.py).  The inner CG runs inexactly
+    (1e-4 relative forcing) — a Newton step needs a direction, not a tight
     solve.  Reported aux: total inner CG iterations (comparable with the
     semi-implicit paths' iteration counter) and the final ‖P·r‖².
+
+    ``cg_precond="block_jacobi"`` applies the mass-symmetrized block-Jacobi
+    PCG (solvers/implicit.preconditioned_conjugate_gradient) to the inner
+    solves — decoupled mode only (the diagonal blocks fall out of the prep
+    tables; the exact-HVP mode assembles no diagonal).  The lever for the
+    ill-conditioned large-dt regimes where plain CG needs ~100
+    iterations/substep (BASELINE.md round-4 newton rows).
     """
     if hessian_mode not in ("exact", "decoupled"):
         raise ValueError(
             f"newton_hessian must be 'exact' or 'decoupled', "
             f"got {hessian_mode!r}"
+        )
+    use_pcg = cg_precond == "block_jacobi"
+    if use_pcg and hessian_mode != "decoupled":
+        raise ValueError(
+            "integrator='newton' with cg_precond='block_jacobi' requires "
+            "newton_hessian='decoupled' (the exact-HVP mode assembles no "
+            "diagonal blocks; use cg_precond='none' there)"
         )
     element_backend = _resolve_backend(element_backend)
     inv_m = 1.0 / obj.mass[:, None]
@@ -182,6 +199,21 @@ def newton_velocity_solve(
             f, krep = force_exact(pos), jnp.zeros((0,), jnp.float32)
         r = project((v - v_n) - dt * inv_m * f)
         return r, krep
+
+    def _diag_from_krep(krep: jnp.ndarray) -> jnp.ndarray:
+        """Per-particle diagonal blocks of the decoupled Jacobian from the
+        stored K representation (block-Jacobi PCG inner solves)."""
+        blk = obj.blocking
+        if blk is not None and element_backend == "pallas":
+            from fem_tpu.ops.blocking import kplane_to_kflat
+
+            k_flat = kplane_to_kflat(blk, krep, obj.dim)
+        else:
+            k_flat = krep
+        idx = blk.element_indices if blk is not None else obj.element_indices
+        return diagonal_blocks_from(
+            idx, k_flat, obj.mass, dt, obj.particle_cnt, axis_name
+        )
 
     def res_norm(r: jnp.ndarray) -> jnp.ndarray:
         m = jnp.max(jnp.abs(r))
@@ -225,10 +257,21 @@ def newton_velocity_solve(
         # global convergence.  A 1e-8 relative tol was measured to over-
         # solve by ~20× in CG iterations for identical trajectories.
         # Absolute floor: never iterate below the outer tolerance's scale.
-        sol = conjugate_gradient(
-            op, -r, jnp.zeros_like(r), max_iter=cg_iters,
-            tol=jnp.maximum(1e-4 * rr, jnp.float32(tol * tol)),
-        )
+        inner_tol = jnp.maximum(1e-4 * rr, jnp.float32(tol * tol))
+        if use_pcg:
+            diag = _diag_from_krep(krep)
+            if free is not None:
+                eye = jnp.eye(obj.dim, dtype=diag.dtype)[None]
+                f3 = free[..., None]
+                diag = f3 * diag + (1.0 - f3) * eye
+            sol = preconditioned_conjugate_gradient(
+                op, diag, obj.mass, -r, jnp.zeros_like(r),
+                max_iter=cg_iters, tol=inner_tol,
+            )
+        else:
+            sol = conjugate_gradient(
+                op, -r, jnp.zeros_like(r), max_iter=cg_iters, tol=inner_tol,
+            )
         delta = project(sol.x)
         r0n = res_norm(r)
         # Sequential backtracking on ‖r‖∞ (NaN-safe: inversion under plain

@@ -285,3 +285,32 @@ def test_newton_hessian_validated():
     _, obj, state = make_2d_object(subdivisions=3)
     with pytest.raises(ValueError, match="newton_hessian"):
         newton_velocity_solve(obj, state, 5e-4, hessian_mode="bogus")
+
+
+def test_pcg_inner_solve_matches_plain():
+    """cg_precond="block_jacobi" + decoupled Newton: the PCG inner solves
+    land on the same nonlinear root as plain-CG inner solves."""
+    _, obj, state = make_2d_object(subdivisions=5)
+    state = state.replace(
+        vel=state.vel + jnp.asarray([[0.15, -0.3]], jnp.float32)
+    )
+    obs = default_obstacles()
+    kw = dict(integrator="newton", newton_hessian="decoupled")
+    s_a, _ = make_substep_fn(obj, _cfg(5e-4, **kw))(state, obs)
+    s_b, aux_b = make_substep_fn(
+        obj, _cfg(5e-4, cg_precond="block_jacobi", **kw)
+    )(state, obs)
+    diff = np.abs(np.asarray(s_a.vel) - np.asarray(s_b.vel)).max()
+    assert diff < 3e-5, diff
+    assert float(aux_b.solver_residual) <= (1e-5) ** 2 + 1e-12
+
+
+def test_pcg_with_exact_mode_rejected():
+    from fem_tpu.solvers.newton import newton_velocity_solve
+
+    _, obj, state = make_2d_object(subdivisions=3)
+    with pytest.raises(ValueError, match="block_jacobi"):
+        newton_velocity_solve(
+            obj, state, 5e-4, hessian_mode="exact",
+            cg_precond="block_jacobi",
+        )
