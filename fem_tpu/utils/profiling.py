@@ -68,8 +68,18 @@ def _metrics_impl(obj: FemObject, state: SimState):
     v = state.vel + state.vel_g
     ke = 0.5 * jnp.sum(obj.mass * jnp.sum(v * v, axis=-1))
     speed = jnp.sqrt(jnp.max(jnp.sum(v * v, axis=-1)))
-    pos_nan = ~jnp.all(jnp.isfinite(state.pos))
-    return u, ke, jnp.min(det), speed, pos_nan
+    # Divergence flag over the FULL kinematic state, not positions alone:
+    # a stalling solver can blow velocities/energy sky-high while positions
+    # remain representable for a while (measured: the unfloored-PCG Newton
+    # divergence at 68k reported finite positions with KE ≈ 6e7 and
+    # min det F ≈ −3e8 — a soak must not print OK for that state).
+    bad = (
+        ~jnp.all(jnp.isfinite(state.pos))
+        | ~jnp.all(jnp.isfinite(v))
+        | ~jnp.isfinite(u)
+        | (jnp.max(jnp.abs(det)) > 1e3)  # an element grew 1000×: garbage
+    )
+    return u, ke, jnp.min(det), speed, bad
 
 
 def frame_metrics(obj: FemObject, state: SimState) -> FrameMetrics:

@@ -314,3 +314,24 @@ def test_pcg_with_exact_mode_rejected():
             obj, state, 5e-4, hessian_mode="exact",
             cg_precond="block_jacobi",
         )
+
+
+def test_pcg_inner_solve_stable_at_kappa_blowup():
+    """Regression for the measured 68k divergence: at κ ≈ 1 the diagonal
+    blocks of A are near-singular and an unfloored block-Jacobi inverse
+    produces divergent PCG directions (line-search stall → skipped elastic
+    solves → explosion).  With the Gershgorin SPD floor
+    (solvers/implicit.preconditioned_conjugate_gradient) the κ ≈ 60
+    reproducer must stay finite AND bounded under newton + block_jacobi."""
+    _, obj, s0 = make_2d_object(subdivisions=7, E=4e5)
+    obs = default_obstacles()
+    frame = make_frame_fn(
+        obj, _cfg(2e-3, integrator="newton", newton_hessian="decoupled",
+                  cg_precond="block_jacobi")
+    )
+    s = s0
+    for i in range(12):
+        s, _ = frame(s, obs)
+        p = np.asarray(s.pos)
+        assert np.isfinite(p).all(), f"NaN at frame {i}"
+        assert np.abs(p).max() < 10.0, f"exploded at frame {i}"
