@@ -37,6 +37,7 @@ motions at ω ≈ 0 — physical, reported as-is.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -90,6 +91,7 @@ def modal_analysis(
     inner_iters: int = 400,
     eps_rel: float = 1e-4,
     seed: int = 0,
+    chunk_m: Optional[int] = None,
 ) -> ModalResult:
     """Smallest-``k`` vibration modes of ``obj`` linearized at ``pos``.
 
@@ -99,7 +101,9 @@ def modal_analysis(
     ε = ``eps_rel``·λmax.  Each LOBPCG step applies an inner CG solve of at
     most ``inner_iters`` iterations (matrix-free — k HVPs per CG step).
     ``k`` must satisfy LOBPCG's blocking constraint 5·k < N·dim (small
-    meshes: reduce k)."""
+    meshes: reduce k).  ``chunk_m`` splits the LOBPCG into warm-restarted
+    device programs of that many steps — required at large mesh sizes on
+    relayed backends that kill long single programs."""
     n, d = pos.shape
     nd = n * d
     if 5 * k >= nd:
@@ -125,18 +129,7 @@ def modal_analysis(
         w = kv(v) * free * inv_sqrt_m
         return w.reshape(nd)
 
-    @jax.jit
-    def solve():
-        key = jax.random.PRNGKey(seed)
-        # λmax bound via power iteration on C (pinned DOFs contribute 0).
-        v0 = jax.random.normal(key, (nd,), pos.dtype)
-
-        def power_step(_, v):
-            w = c_single(v)
-            return w / (jnp.linalg.norm(w) + 1e-30)
-
-        v_fin = jax.lax.fori_loop(0, 30, power_step, v0)
-        lam_max = jnp.abs(jnp.vdot(v_fin, c_single(v_fin))) + 1.0
+    def make_inv_block(lam_max):
         eps = eps_rel * lam_max
 
         def op(y):
@@ -173,10 +166,34 @@ def modal_analysis(
             )
             return x
 
+        return inv_block, eps
+
+    @jax.jit
+    def setup():
+        key = jax.random.PRNGKey(seed)
+        # λmax bound via power iteration on C (pinned DOFs contribute 0).
+        v0 = jax.random.normal(key, (nd,), pos.dtype)
+
+        def power_step(_, v):
+            w = c_single(v)
+            return w / (jnp.linalg.norm(w) + 1e-30)
+
+        v_fin = jax.lax.fori_loop(0, 30, power_step, v0)
+        lam_max = jnp.abs(jnp.vdot(v_fin, c_single(v_fin))) + 1.0
         x0 = jax.random.normal(
             jax.random.fold_in(key, 1), (nd, kq), pos.dtype
         )
-        theta, u, _ = _lobpcg(inv_block, x0, m, tol)
+        return lam_max, x0
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run_chunk(lam_max, x0, steps):
+        inv_block, _ = make_inv_block(lam_max)
+        theta, u, _ = _lobpcg(inv_block, x0, steps, tol)
+        return theta, u
+
+    @jax.jit
+    def finish(lam_max, theta, u):
+        _, eps = make_inv_block(lam_max)
         lam = 1.0 / jnp.maximum(theta, 1e-30) - eps  # ascending smallest of Ĉ
         order = jnp.argsort(lam)[:k]
         lam = lam[order]
@@ -203,7 +220,22 @@ def modal_analysis(
         res = jax.vmap(one_res, in_axes=(-1, 0))(phi, lam)
         return lam, phi, res
 
-    lam, phi, res = solve()
+    lam_max, x = setup()
+    # Host-chunked warm restarts: each chunk is one bounded device program
+    # (chunk_m LOBPCG steps × inner_iters CG applies) re-seeded with the
+    # previous chunk's Ritz vectors.  A single m×inner program at 68k tets
+    # reproducibly crashed this environment's relayed TPU worker (the short
+    # program survives — a long-single-program limit of the relay, not a
+    # memory issue); chunking trades LOBPCG's conjugate directions at
+    # restart boundaries for bounded program length.  chunk_m=None keeps
+    # the single-program behavior.
+    steps = m if chunk_m is None else min(chunk_m, m)
+    done = 0
+    theta = None
+    while done < m:
+        theta, x = run_chunk(lam_max, x, min(steps, m - done))
+        done += steps
+    lam, phi, res = finish(lam_max, theta, x)
     omega_sq = lam
     omega = jnp.sqrt(jnp.maximum(omega_sq, 0.0))
     return ModalResult(

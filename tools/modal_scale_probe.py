@@ -33,6 +33,10 @@ def main():
     p.add_argument("--k", type=int, default=6)
     p.add_argument("--m", type=int, default=60)
     p.add_argument("--inner", type=int, default=300)
+    p.add_argument("--chunk-m", type=int, default=4,
+                   help="LOBPCG steps per device program (warm restarts; "
+                        "this relayed backend kills long single programs "
+                        "at scale — 0 = single program)")
     p.add_argument("--material", default="neo_hookean")
     p.add_argument("--pin-top", type=float, default=0.1,
                    help="pin vertices in the top FRACTION of the body height"
@@ -70,7 +74,8 @@ def main():
     )
     t0 = time.time()
     res = modal_analysis(
-        obj, state.pos, k=args.k, m=args.m, inner_iters=args.inner
+        obj, state.pos, k=args.k, m=args.m, inner_iters=args.inner,
+        chunk_m=args.chunk_m or None,
     )
     omega_sq = np.asarray(res.omega_sq)  # device fetch = completion barrier
     wall = time.time() - t0
