@@ -127,18 +127,27 @@ class Simulation:
         return results
 
     def modes(self, k: int = 6, index: int = 0, at_equilibrium: bool = False,
-              **kw):
+              method: str = "chebyshev", **kw):
         """Modal analysis extension (solvers/modal.py — the reference has no
         eigenanalysis): smallest-``k`` natural frequencies and M-orthonormal
         mode shapes of body ``index`` linearized at its current state (or at
         the static equilibrium first, with ``at_equilibrium=True``; requires
         ``pin_boxes`` for that).  Returns a ``ModalResult``; unpinned bodies
-        report the rigid-body motions as the leading ω ≈ 0 modes."""
-        from fem_tpu.solvers.modal import modal_analysis
+        report the rigid-body motions as the leading ω ≈ 0 modes.
 
+        ``method``: "chebyshev" (default — filtered subspace iteration, no
+        inner solves, scales to 68k+ tets and matches the f64 oracle to
+        ~1e-6 relative) or "shift_invert" (inner-CG LOBPCG; fine on small
+        meshes, collapses at scale — BASELINE.md)."""
         if at_equilibrium:
             self.solve_static(index=index)
         s = self.scene[index]
+        if method == "chebyshev":
+            from fem_tpu.solvers.modal import modal_analysis_chebyshev
+
+            return modal_analysis_chebyshev(s.obj, s.state.pos, k=k, **kw)
+        from fem_tpu.solvers.modal import modal_analysis
+
         return modal_analysis(s.obj, s.state.pos, k=k, **kw)
 
     def run(self, seconds: Optional[float] = None, frames: Optional[int] = None,

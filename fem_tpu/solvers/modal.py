@@ -251,3 +251,131 @@ def _lobpcg(a_block, x0, m, tol):
 
     theta, u, iters = lobpcg_standard(a_block, x0, m=m, tol=tol)
     return theta, u, iters
+
+
+def modal_analysis_chebyshev(
+    obj: FemObject,
+    pos: jnp.ndarray,
+    k: int = 6,
+    rounds: int = 8,
+    degree: int = 150,
+    seed: int = 0,
+    target_tol: float = 1e-3,
+) -> ModalResult:
+    """Smallest-``k`` modes via Chebyshev-filtered subspace iteration — the
+    matrix-free method that *scales*.
+
+    The shift-invert route (:func:`modal_analysis`) needs its inner CG to
+    invert (C + εI); keeping the inverse spectrum's bottom gaps open needs
+    ε ≲ λ₁, which drives the inner conditioning to λmax/λ₁ — measured at
+    68k tets: λmax ≈ 1.6e7 vs λ₁ ≈ 9, so a well-gapped inverse would need
+    thousands of CG iterations per application while the default ε = 1e-4
+    λmax collapses every bottom gap to ~1e-3 and LOBPCG stalls at
+    residual ~0.8 (BASELINE.md).  The Chebyshev filter needs NO inverse:
+    each round applies p(C) = T_deg((2C − (a+b))/(b − a)) to the block by
+    the three-term recurrence (``degree`` HVPs, with per-column rescaling
+    against f32 overflow — T_deg at λ ≈ 0 reaches cosh(deg·acosh(e₀)) ≫
+    f32 max), which amplifies [0, a] over [a, λmax] by an exponential
+    factor — the f32 relative-gap problem disappears.  Then one QR
+    orthonormalization + Rayleigh–Ritz on C (kq HVPs + a kq×kq eigh)
+    extracts Ritz pairs, and the cutoff ``a`` is re-adapted from the Ritz
+    values, so no spectral knowledge is required up front.  Each round is
+    one bounded device program (long single programs crash this relayed
+    backend — BASELINE.md).
+
+    Pinned DOFs are parked at λmax by the same projection as the
+    shift-invert route (the filter damps them maximally).  Converges when
+    the max relative residual over the k wanted modes drops below
+    ``target_tol``; always runs at least 3 rounds.
+    """
+    n, d = pos.shape
+    nd = n * d
+    if 2 * k >= nd:
+        raise ValueError(
+            f"modal_analysis_chebyshev: need 2*k < N*dim, got {2 * k} vs {nd}"
+        )
+    kq = min(k + max(2, k // 2), nd // 2)
+    kv = make_stiffness_hvp(obj, pos)
+    inv_sqrt_m = (1.0 / jnp.sqrt(obj.mass))[:, None]
+    free = obj.free_mask if obj.free_mask is not None else jnp.ones((n, 1))
+    free = free.astype(pos.dtype)
+    free_flat = jnp.repeat(free[:, 0], d)
+
+    def c_single(y: jnp.ndarray) -> jnp.ndarray:
+        v = (y.reshape(n, d) * inv_sqrt_m) * free
+        w = kv(v) * free * inv_sqrt_m
+        return w.reshape(nd)
+
+    def c_parked(lam_max):
+        def op(y):
+            return c_single(y * free_flat) + lam_max * (y - y * free_flat)
+
+        return jax.vmap(op, in_axes=1, out_axes=1)
+
+    @jax.jit
+    def setup():
+        key = jax.random.PRNGKey(seed)
+        v0 = jax.random.normal(key, (nd,), pos.dtype)
+
+        def power_step(_, v):
+            w = c_single(v)
+            return w / (jnp.linalg.norm(w) + 1e-30)
+
+        v_fin = jax.lax.fori_loop(0, 40, power_step, v0)
+        lam_max = jnp.abs(jnp.vdot(v_fin, c_single(v_fin)))
+        x0 = jax.random.normal(jax.random.fold_in(key, 1), (nd, kq), pos.dtype)
+        return lam_max * 1.05 + 1.0, x0
+
+    @jax.jit
+    def one_round(lam_max, a, x):
+        cb = c_parked(lam_max)
+        b = lam_max
+        e = (b - a) / 2.0
+        c0 = (b + a) / 2.0
+
+        def cheb_step(_, carry):
+            tj, tjm1 = carry
+            tnext = (cb(tj) - c0 * tj) * (2.0 / e) - tjm1
+            # Per-column rescale (same factor applied to both terms keeps
+            # the recurrence exact in direction): T_deg at the bottom of
+            # the spectrum overflows f32 long before deg ~ 100s otherwise.
+            s = 1.0 / (jnp.max(jnp.abs(tnext), axis=0, keepdims=True) + 1e-30)
+            return tnext * s, tj * s
+
+        t1 = (cb(x) - c0 * x) / e
+        y, _ = jax.lax.fori_loop(0, degree - 1, cheb_step, (t1, x))
+        q, _ = jnp.linalg.qr(y)
+        h = q.T @ cb(q)
+        h = 0.5 * (h + h.T)
+        theta, s = jnp.linalg.eigh(h)  # ascending
+        x_new = q @ s
+        cx = cb(x_new)
+        # Relative residual with a λmax-scaled floor: rigid modes sit at
+        # θ ≈ 0 where a pure |θ| denominator is meaningless noise.
+        res = jnp.linalg.norm(
+            cx - theta[None, :] * x_new, axis=0
+        ) / jnp.maximum(jnp.abs(theta), 1e-7 * lam_max)
+        # Next window: amplify everything up to just above the guard Ritz
+        # value (never above the parked pins / mid-spectrum).
+        a_next = jnp.clip(1.5 * theta[kq - 1], 1e-6 * lam_max, 0.5 * lam_max)
+        return x_new, theta, res, a_next
+
+    lam_max, x = setup()
+    a = 1e-4 * lam_max
+    theta = res = None
+    for r in range(rounds):
+        x, theta, res, a = one_round(lam_max, a, x)
+        if r >= 2 and bool(jnp.max(res[:k]) < target_tol):
+            break
+
+    theta_k = theta[:k]
+    phi = (
+        x[:, :k].reshape(n, d, k) * inv_sqrt_m[..., None] * free[..., None]
+    )
+    omega = jnp.sqrt(jnp.maximum(theta_k, 0.0))
+    return ModalResult(
+        omega_sq=theta_k,
+        frequencies=omega / (2.0 * jnp.pi),
+        modes=jnp.moveaxis(phi, -1, 0),
+        residuals=res[:k],
+    )

@@ -121,3 +121,46 @@ def test_modal_k_too_large_raises():
     _, obj, state = make_2d_object(subdivisions=2)  # 9 particles, 18 DOFs
     with pytest.raises(ValueError, match="LOBPCG"):
         modal_analysis(obj, state.pos, k=4)
+
+
+def test_chebyshev_pinned_matches_dense_oracle():
+    """Chebyshev-filtered subspace iteration (modal_analysis_chebyshev —
+    the method that scales: no inner solves, so no shift-invert gap
+    collapse) against the same f64 dense oracle.  Measured agreement is
+    ~1e-6 relative — far inside the shift-invert route's tolerance."""
+    from fem_tpu.solvers.modal import modal_analysis_chebyshev
+
+    cfg = ObjectConfig(
+        center=(0.5, 0.5), side_length=0.2, subdivisions=4,
+        pin_boxes=(((0.0, 0.595), (1.0, 1.0)),),
+    )
+    v, f, e = construct_2d_mesh(cfg)
+    obj, state = build_object(cfg, v, f, e)
+    k = 6
+    res = modal_analysis_chebyshev(obj, state.pos, k=k, rounds=10, degree=80)
+    oracle = _dense_oracle(obj, state.pos, k)
+    scale = abs(oracle[-1])
+    np.testing.assert_allclose(
+        np.asarray(res.omega_sq), oracle, rtol=0, atol=1e-4 * scale
+    )
+    assert (np.asarray(res.residuals) < 1e-3).all()
+    # M-orthonormal mode shapes.
+    phi = np.asarray(res.modes)  # (k, N, d)
+    m = np.asarray(obj.mass)
+    gram = np.einsum("ind,n,jnd->ij", phi, m, phi)
+    np.testing.assert_allclose(gram, np.eye(k), rtol=0, atol=1e-3)
+
+
+def test_chebyshev_free_body_rigid_modes():
+    from fem_tpu.solvers.modal import modal_analysis_chebyshev
+
+    _, obj, state = make_2d_object(subdivisions=4)
+    k = 8
+    res = modal_analysis_chebyshev(obj, state.pos, k=k, rounds=10, degree=80)
+    oracle = _dense_oracle(obj, state.pos, k)
+    scale = abs(oracle[-1])
+    np.testing.assert_allclose(
+        np.asarray(res.omega_sq), oracle, rtol=0, atol=1e-4 * scale
+    )
+    assert (np.abs(np.asarray(res.omega_sq[:3])) < 1e-4 * scale).all()
+    assert np.asarray(res.omega_sq)[3] > 1e-2 * scale

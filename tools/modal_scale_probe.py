@@ -38,6 +38,14 @@ def main():
                         "this relayed backend kills long single programs "
                         "at scale — 0 = single program)")
     p.add_argument("--material", default="neo_hookean")
+    p.add_argument("--method", default="chebyshev",
+                   choices=["chebyshev", "shift_invert"],
+                   help="chebyshev = filtered subspace iteration (scales; "
+                        "no inner solves); shift_invert = inner-CG LOBPCG "
+                        "(collapses at scale: eps >> lambda_1, BASELINE.md)")
+    p.add_argument("--degree", type=int, default=500,
+                   help="Chebyshev filter degree per round (HVPs/round)")
+    p.add_argument("--rounds", type=int, default=10)
     p.add_argument("--pin-top", type=float, default=0.1,
                    help="pin vertices in the top FRACTION of the body height"
                         " (0 = free-floating: expect 6 rigid modes at ~0 Hz)")
@@ -73,10 +81,18 @@ def main():
         file=sys.stderr,
     )
     t0 = time.time()
-    res = modal_analysis(
-        obj, state.pos, k=args.k, m=args.m, inner_iters=args.inner,
-        chunk_m=args.chunk_m or None,
-    )
+    if args.method == "chebyshev":
+        from fem_tpu.solvers.modal import modal_analysis_chebyshev
+
+        res = modal_analysis_chebyshev(
+            obj, state.pos, k=args.k, rounds=args.rounds,
+            degree=args.degree,
+        )
+    else:
+        res = modal_analysis(
+            obj, state.pos, k=args.k, m=args.m, inner_iters=args.inner,
+            chunk_m=args.chunk_m or None,
+        )
     omega_sq = np.asarray(res.omega_sq)  # device fetch = completion barrier
     wall = time.time() - t0
     print(f"modal solve ({args.k} modes, m={args.m}, inner={args.inner}): "
