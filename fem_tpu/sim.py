@@ -132,6 +132,7 @@ def substep(
             cg_precond=(
                 "block_jacobi" if cg_precond == "block_jacobi" else "none"
             ),
+            robust=robust_inversion,
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,

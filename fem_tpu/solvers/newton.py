@@ -82,7 +82,8 @@ def _resolve_backend(element_backend: str) -> str:
 
 
 def _decoupled_prep(
-    obj: FemObject, pos: jnp.ndarray, axis_name, element_backend: str
+    obj: FemObject, pos: jnp.ndarray, axis_name, element_backend: str,
+    robust: bool = False,
 ):
     """(assembled elastic force f, K representation) at ``pos`` on the best
     available execution path.  The K representation is whatever
@@ -94,7 +95,7 @@ def _decoupled_prep(
         from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
 
         kplane, yt = blocked_prep(
-            blk, pos, obj.dim, obj.mu, obj.s_lambda, False, obj.material
+            blk, pos, obj.dim, obj.mu, obj.s_lambda, robust, obj.material
         )
         f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
         return f, kplane
@@ -103,12 +104,12 @@ def _decoupled_prep(
 
         k_flat, cols = _k_and_force_cols(
             obj, pos, blk.element_indices, blk.ref_inv, blk.volume,
-            False, "xla",
+            robust, "xla",
         )
         f = blocked_assemble(blk, cols, obj.particle_cnt, obj.dim, axis_name)
         return f, k_flat
     k_flat, cols = _k_and_force_cols(
-        obj, pos, obj.element_indices, obj.ref_inv, obj.volume, False,
+        obj, pos, obj.element_indices, obj.ref_inv, obj.volume, robust,
         element_backend,
     )
     f = assemble_for(obj, element_contrib_full(cols), axis_name)
@@ -144,6 +145,7 @@ def newton_velocity_solve(
     hessian_mode: str = "exact",
     element_backend: str = "auto",
     cg_precond: str = "none",
+    robust: bool = False,
 ) -> Tuple[SimState, ImplicitAux]:
     """Solve r(v) = 0 for the end-of-substep velocity; vel ← v.
 
@@ -186,7 +188,7 @@ def newton_velocity_solve(
         return r if free is None else free * r
 
     def force_exact(pos: jnp.ndarray) -> jnp.ndarray:
-        cols = _material_force_columns(obj, pos, False)
+        cols = _material_force_columns(obj, pos, robust)
         return assemble_for(obj, element_contrib_full(cols), axis_name)
 
     def eval_at(v: jnp.ndarray):
@@ -194,7 +196,9 @@ def newton_velocity_solve(
         decoupled mode ONE element prep yields both."""
         pos = x_n + dt * v
         if decoupled:
-            f, krep = _decoupled_prep(obj, pos, axis_name, element_backend)
+            f, krep = _decoupled_prep(
+                obj, pos, axis_name, element_backend, robust
+            )
         else:
             f, krep = force_exact(pos), jnp.zeros((0,), jnp.float32)
         r = project((v - v_n) - dt * inv_m * f)
