@@ -45,6 +45,7 @@ def _run(script, *args):
         ("examples/two_body_contact.py", "two_body_contact OK"),
         ("examples/static_sag.py", "dynamic drift off the static"),
         ("examples/modal_modes.py", "natural frequencies (Hz):"),
+        ("examples/newton_large_dt.py", "newton_large_dt OK"),
     ],
 )
 def test_example_runs(script, expect):
