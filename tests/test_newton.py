@@ -335,3 +335,57 @@ def test_pcg_inner_solve_stable_at_kappa_blowup():
         p = np.asarray(s.pos)
         assert np.isfinite(p).all(), f"NaN at frame {i}"
         assert np.abs(p).max() < 10.0, f"exploded at frame {i}"
+
+
+def test_newton_with_contact_frame():
+    """Composition: integrator="newton" inside the multi-body penalty
+    contact frame (contact folds pair forces via substep(external_force=…),
+    the Newton rhs velocity substitution handles them like the
+    semi-implicit path) — the upper body must come to rest ON the lower
+    one, both finite."""
+    from fem_tpu.contact import make_contact_frame_fn
+    from fem_tpu.models.mesh import construct_2d_mesh
+    from fem_tpu.models.state import build_object
+
+    objs, states = [], []
+    for i, (cx, cy) in enumerate(((0.5, 0.35), (0.5, 0.65))):
+        ocfg = ObjectConfig(
+            id=i, center=(cx, cy), side_length=0.18, subdivisions=4,
+            rho=600.0, E=4e4, nu=0.25, damping=10.0,
+        )
+        v, f, e = construct_2d_mesh(ocfg)
+        obj, state = build_object(ocfg, v, f, e)
+        objs.append(obj)
+        states.append(state)
+    cfg = SimConfig(
+        dim=2, delta_time=5e-4, sim_count=10, auto_diff=False,
+        use_explicit_method=False, implicit_method=1, preconditioned=0,
+        g_dir=(0.0, -1.0), contact="penalty",
+        integrator="newton", newton_hessian="decoupled",
+    )
+    frame = make_contact_frame_fn(objs, cfg)
+    obs = no_obstacles()
+    for _ in range(30):
+        states, _ = frame(states, obs)
+    pa, pb = np.asarray(states[0].pos), np.asarray(states[1].pos)
+    assert np.isfinite(pa).all() and np.isfinite(pb).all()
+    # Upper body rests above the lower one (no pass-through).
+    assert pb[:, 1].min() > pa[:, 1].mean() - 0.02
+
+
+def test_newton_composes_with_adaptive_dt():
+    """adaptive_dt + newton: the guard wraps the Newton substep; benign κ
+    runs one inner step bit-identical to the unguarded Newton substep."""
+    _, obj, state = make_2d_object(subdivisions=5)
+    state = state.replace(
+        vel=state.vel + jnp.asarray([[0.1, -0.2]], jnp.float32)
+    )
+    obs = default_obstacles()
+    kw = dict(integrator="newton", newton_hessian="decoupled")
+    s_plain, _ = make_substep_fn(obj, _cfg(5e-4, **kw))(state, obs)
+    s_guard, _ = make_substep_fn(
+        obj, _cfg(5e-4, adaptive_dt=True, **kw)
+    )(state, obs)
+    np.testing.assert_array_equal(
+        np.asarray(s_guard.pos), np.asarray(s_plain.pos)
+    )
