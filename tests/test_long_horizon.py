@@ -89,3 +89,39 @@ def test_2d_default_scene_5s_arc():
     # Settled inside the unit box on the floor.
     assert pos[:, 1].min() > -1e-3 and pos.max() < 1.2
     assert ke_arc[-1] < 1e-2 * (max(ke_arc) + 1e-12)
+
+
+@pytest.mark.slow
+def test_newton_long_arc_at_blowup_dt():
+    """Round-4 integrator="newton" long-horizon pin: the κ ≈ 60 stiff-fine
+    2D reproducer (the mesh/dt class where the reference integrator NaNs
+    within ~3 frames) runs 1.5 virtual seconds of fully implicit backward
+    Euler — finite throughout, kinetic energy decayed to the damped rest
+    jitter, elements recovered from the impact.  Material is the
+    inversion-robust stable Neo-Hookean: at this dt the impact transiently
+    INVERTS elements (measured min det F −0.18 at frame ~14), which plain
+    NH cannot represent (NaN energy) — the newton+stable-NH composition is
+    the production large-dt configuration."""
+    _, obj, s0 = make_2d_object(
+        subdivisions=7, E=4e5, material="stable_neo_hookean"
+    )
+    obs = default_obstacles()
+    cfg = SimConfig(
+        dim=2, delta_time=2e-3, sim_count=10, use_explicit_method=False,
+        auto_diff=False, implicit_method=1, preconditioned=0,
+        g_dir=(0.0, -1.0), integrator="newton", newton_hessian="decoupled",
+    )
+    frame = make_frame_fn(obj, cfg)
+    s = s0
+    min_det_arc = []
+    for i in range(75):  # 75 frames x 10 substeps x 2e-3 = 1.5 virtual s
+        s, _ = frame(s, obs)
+        if i % 5 == 4:
+            m = frame_metrics(obj, s)
+            assert not m.any_nan, f"diverged at frame {i}"
+            min_det_arc.append(m.min_det_f)
+    m = frame_metrics(obj, s)
+    assert m.kinetic_energy < 1e-3, m.kinetic_energy
+    assert m.min_det_f > 0.3, m.min_det_f
+    # No slow drift toward inversion after settling.
+    assert min(min_det_arc[-5:]) > 0.9 * max(min_det_arc[-5:])
