@@ -124,6 +124,17 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
     g_dir = tuple(cfg.g_dir)
     robust = cfg.robust_inversion
     material = obj.material
+    beta = obj.damping_beta  # Rayleigh damping extension (static scalar)
+
+    def _rayleigh_grad(params: DiffParams, state: SimState) -> jnp.ndarray:
+        """−β·G(K)·v with K on the traced material parameters — the same
+        decoupled damping operator as the non-diff paths
+        (solvers/implicit.rayleigh_damping_grad), differentiable in μ/λ."""
+        K = hessian_blocks(
+            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            params.mu, params.s_lambda, False, material,
+        )
+        return -beta * graph_block_apply(obj, K, state.vel)
 
     if cfg.auto_diff:
 
@@ -132,6 +143,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 state.pos, obj.element_indices, obj.ref_inv, obj.volume,
                 params.mu, params.s_lambda, material,
             )
+            if beta != 0.0:
+                grad = grad + _rayleigh_grad(params, state)
             if obj.static_load is not None:
                 grad = grad - obj.static_load
             return kinematic_step(
@@ -149,6 +162,8 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
                 params.mu, params.s_lambda, material,
             )
             grad = assemble_for(obj, element_contrib_full(cols))
+            if beta != 0.0:
+                grad = grad + _rayleigh_grad(params, state)
             if obj.static_load is not None:
                 grad = grad - obj.static_load
             return kinematic_step(
@@ -197,12 +212,14 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             f = f + obj.static_load
         b = state.vel + dt * f / mass_col
 
+        c = dt * (dt + beta)  # solvers/implicit.system_coeff (β extension)
+
         def apply_a(x):
-            return x - (dt * dt) * graph_block_apply(obj, K, x) / mass_col
+            return x - c * graph_block_apply(obj, K, x) / mass_col
 
         def apply_at(y):
             gz = graph_block_apply(obj, sm.mT(K), y / mass_col)
-            return y - (dt * dt) * gz
+            return y - c * gz
 
         free = obj.free_mask
         if free is not None:

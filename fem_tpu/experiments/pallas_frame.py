@@ -350,6 +350,10 @@ def supports_fused_frame(obj, cfg) -> bool:
         return False
     if obj.free_mask is not None:  # Dirichlet pins run op-composed
         return False
+    if obj.damping_beta != 0.0:  # Rayleigh damping runs op-composed
+        return False
+    if any(o.type != "sphere" for o in getattr(cfg, "obstacles", ())):
+        return False  # SDF obstacle extensions run op-composed
     if cfg.sim_count > 128:
         return False
     d = obj.dim

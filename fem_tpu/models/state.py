@@ -94,6 +94,10 @@ class FemObject:
     mu: float = struct.field(pytree_node=False, default=0.0)
     s_lambda: float = struct.field(pytree_node=False, default=0.0)
     damping: float = struct.field(pytree_node=False, default=0.0)
+    # Stiffness-proportional Rayleigh damping β (ObjectConfig.damping_beta,
+    # extension): damping force β·G(K)·v on the decoupled block Hessian.
+    # 0.0 = reference parity (and the fused whole-frame kernels require it).
+    damping_beta: float = struct.field(pytree_node=False, default=0.0)
     rho: float = struct.field(pytree_node=False, default=0.0)
     material: str = struct.field(pytree_node=False, default="neo_hookean")
 
@@ -102,21 +106,44 @@ class FemObject:
 class Obstacles:
     """Circular obstacle set (reference: circle_blocks.py:6-25).  Zero-radius
     blocks are skipped by the collision predicate (kinematic.py:34-35), so
-    padding with radius 0 is free."""
+    padding with radius 0 is free.
+
+    Extension fields (SimConfig.obstacles / fem_tpu/obstacles.py — all None
+    under pure reference configs): typed SDF obstacles with the reference's
+    slide-collision semantics.  ``sphere`` entries are folded straight into
+    ``centers``/``radii`` (the circle math is dimension-generic)."""
 
     centers: jnp.ndarray  # (B, d)
     radii: jnp.ndarray  # (B,)
+    half_p: jnp.ndarray = None  # (H, d) half-space anchor points
+    half_n: jnp.ndarray = None  # (H, d) outward unit normals
+    box_lo: jnp.ndarray = None  # (Bx, d) solid-box corners
+    box_hi: jnp.ndarray = None  # (Bx, d)
+    sdf_grid: jnp.ndarray = None  # (M, nx, ny, nz) mesh SDF grids
+    sdf_origin: jnp.ndarray = None  # (M, 3)
+    sdf_spacing: jnp.ndarray = None  # (M,)
 
     @staticmethod
-    def from_configs(blocks: Tuple[BlockConfig, ...], dim: int) -> "Obstacles":
-        if len(blocks) == 0:
-            return Obstacles(
-                centers=jnp.zeros((1, dim), jnp.float32),
-                radii=jnp.zeros((1,), jnp.float32),
-            )
-        centers = np.array([b.block_center for b in blocks], np.float32)
-        radii = np.array([b.block_radius for b in blocks], np.float32)
-        return Obstacles(centers=jnp.asarray(centers), radii=jnp.asarray(radii))
+    def from_configs(
+        blocks: Tuple[BlockConfig, ...], dim: int, obstacle_cfgs=(),
+    ) -> "Obstacles":
+        centers_l = [b.block_center for b in blocks]
+        radii_l = [b.block_radius for b in blocks]
+        fields = {}
+        if obstacle_cfgs:
+            from fem_tpu.obstacles import build_extension_arrays
+
+            fields, spheres = build_extension_arrays(obstacle_cfgs, dim)
+            for c, r in spheres:
+                centers_l.append(c)
+                radii_l.append(r)
+        if not centers_l:
+            centers_l, radii_l = [np.zeros((dim,), np.float32)], [0.0]
+        return Obstacles(
+            centers=jnp.asarray(np.array(centers_l, np.float32)),
+            radii=jnp.asarray(np.array(radii_l, np.float32)),
+            **fields,
+        )
 
 
 def init_element_data(
@@ -260,6 +287,7 @@ def build_object(
         mu=cfg.mu,
         s_lambda=cfg.s_lambda,
         damping=cfg.damping,
+        damping_beta=getattr(cfg, "damping_beta", 0.0),
         rho=cfg.rho,
         material=getattr(cfg, "material", "neo_hookean"),
     )

@@ -86,6 +86,16 @@ def substep(
     # more than the ~8 fused XLA ops they replace.  (The element-column
     # kernels use the component-planar layout and do win.)
     advect_backend = "xla"
+    if obj.damping_beta != 0.0 and (auto_diff or use_explicit_method):
+        # Rayleigh damping on the explicit paths (extension): an extra
+        # gradient term −β·G(K)·v on the decoupled block-Hessian operator
+        # (solvers/implicit.rayleigh_damping_grad).
+        from fem_tpu.solvers.implicit import rayleigh_damping_grad
+
+        damp = rayleigh_damping_grad(obj, state.pos, state.vel, axis_name)
+        external_force = (
+            -damp if external_force is None else external_force - damp
+        )
     if auto_diff:
         grad = autodiff_energy_gradient(obj, state.pos, axis_name)
         if external_force is not None:
@@ -133,6 +143,7 @@ def substep(
                 "block_jacobi" if cg_precond == "block_jacobi" else "none"
             ),
             robust=robust_inversion,
+            beta=obj.damping_beta,
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,
@@ -203,6 +214,13 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
 # (10.5 ms vs 41 us) than the same kernel with the arrays passed as inputs.
 
 
+def _circles_only(cfg: SimConfig) -> bool:
+    """The fused whole-frame kernels implement the reference circle
+    obstacles only; SDF obstacle extensions (other than spheres, which fold
+    into the circle arrays) run the op-composed path."""
+    return all(o.type == "sphere" for o in cfg.obstacles)
+
+
 def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     """Eligibility for the whole-frame blocked kernel
     (ops/pallas_blocked_frame.py): the 3D implicit-CG reference path with
@@ -213,6 +231,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     return (
         obj.dim in (2, 3)
         and not cfg.adaptive_dt
+        and _circles_only(cfg)
         and cfg.integrator == "semi_implicit"
         and not cfg.use_explicit_method
         and not cfg.auto_diff
@@ -224,6 +243,7 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and cfg.cg_precond in ("reference", "none")
         and obj.free_mask is None
         and obj.static_load is None
+        and obj.damping_beta == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )
@@ -236,10 +256,12 @@ def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
     return (
         obj.dim in (2, 3)
         and not cfg.adaptive_dt
+        and _circles_only(cfg)
         and (cfg.use_explicit_method or cfg.auto_diff)
         and cfg.element_backend in ("auto", "pallas")
         and obj.free_mask is None
         and obj.static_load is None
+        and obj.damping_beta == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )

@@ -40,7 +40,8 @@ from fem_tpu.solvers.implicit import (
 from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD, JACOBI_METHOD
 
 def assemble_dense_system(
-    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None,
+    beta: float = 0.0,
 ) -> jnp.ndarray:
     """Materialize A (N·d, N·d) from the per-element blocks K_e with one
     segment-sum scatter over (row, col) particle pairs.
@@ -78,7 +79,9 @@ def assemble_dense_system(
     if axis_name is not None:  # per-shard element slices → full K grid
         blocks = jax.lax.psum(blocks, axis_name)
 
-    a = -(dt * dt) * blocks / obj.mass[:, None, None, None]
+    from fem_tpu.solvers.implicit import system_coeff
+
+    a = -system_coeff(dt, beta) * blocks / obj.mass[:, None, None, None]
     eye_blocks = jnp.eye(d, dtype=K.dtype)[None, None] * jnp.eye(
         n, dtype=K.dtype
     )[:, :, None, None]
@@ -107,7 +110,7 @@ def implicit_velocity_solve_dense(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
         obj.mu, obj.s_lambda, robust, obj.material,
     )
-    A = assemble_dense_system(obj, K, dt)
+    A = assemble_dense_system(obj, K, dt, beta=obj.damping_beta)
     b = implicit_rhs(obj, state, dt, robust=robust).reshape(-1)
 
     if method == JACOBI_METHOD:

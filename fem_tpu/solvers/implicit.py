@@ -60,39 +60,56 @@ def graph_block_apply(
     return assemble_for(obj, element_contrib_full(t), axis_name)
 
 
+def system_coeff(dt: float, beta: float = 0.0) -> float:
+    """Coefficient on M⁻¹·G(K) in the implicit system.
+
+    Reference semantics (implicit.py:183-194): ``dt²``.  With stiffness-
+    proportional Rayleigh damping β (ObjectConfig.damping_beta, extension)
+    the backward-Euler treatment of the damping force β·G(K)·v' folds into
+    the SAME operator: A = I − dt·(dt+β)·M⁻¹·G(K) — no extra applies.
+    β = 0 reproduces the reference exactly."""
+    return dt * (dt + beta)
+
+
 def make_system_apply(
-    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None,
+    beta: float = 0.0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """A·x = x − dt²·M⁻¹·(K·x)  (scaling semantics of implicit.py:183-194)."""
+    """A·x = x − dt·(dt+β)·M⁻¹·(K·x)  (scaling semantics of
+    implicit.py:183-194; β = Rayleigh damping extension, 0 = parity)."""
+    c = system_coeff(dt, beta)
 
     def apply_a(x: jnp.ndarray) -> jnp.ndarray:
         kx = graph_block_apply(obj, K, x, axis_name)
-        return x - (dt * dt) * kx / obj.mass[:, None]
+        return x - c * kx / obj.mass[:, None]
 
     return apply_a
 
 
 def make_system_apply_t(
-    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None,
+    beta: float = 0.0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Aᵀ·y, exact transpose of :func:`make_system_apply` in closed form
     (replaces the reference's explicit Aᵀ formation, implicit.py:289-292).
 
-    A = I − dt²·M⁻¹·G(K) ⇒ Aᵀ = I − dt²·G(K)ᵀ·M⁻¹, and the transpose of the
+    A = I − c·M⁻¹·G(K) ⇒ Aᵀ = I − c·G(K)ᵀ·M⁻¹, and the transpose of the
     graph scatter is the *same* scatter pattern with each block transposed
     ((Gᵀ)[i,j] = G[j,i]ᵀ, symmetric sparsity).
     """
+    c = system_coeff(dt, beta)
 
     def apply_at(y: jnp.ndarray) -> jnp.ndarray:
         z = y / obj.mass[:, None]
         gz = graph_block_apply(obj, sm.mT(K), z, axis_name)
-        return y - (dt * dt) * gz
+        return y - c * gz
 
     return apply_at
 
 
 def diagonal_blocks(
-    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None,
+    beta: float = 0.0,
 ) -> jnp.ndarray:
     """Per-particle diagonal dim×dim blocks of A (Jacobi + block-Jacobi PCG).
 
@@ -109,7 +126,7 @@ def diagonal_blocks(
         obj.particle_cnt, d, d
     )
     eye = jnp.eye(d, dtype=K.dtype)[None]
-    return eye - (dt * dt) * diag_k / obj.mass[:, None, None]
+    return eye - system_coeff(dt, beta) * diag_k / obj.mass[:, None, None]
 
 
 def diagonal_blocks_from(
@@ -119,6 +136,7 @@ def diagonal_blocks_from(
     dt: float,
     num_particles: int,
     axis_name: str | None = None,
+    beta: float = 0.0,
 ) -> jnp.ndarray:
     """:func:`diagonal_blocks` over explicit element arrays — used by the
     blocked operator paths whose K blocks live on the block-ordered padded
@@ -136,7 +154,7 @@ def diagonal_blocks_from(
         contrib, element_indices, num_particles, axis_name
     ).reshape(num_particles, d, d)
     eye = jnp.eye(d, dtype=K.dtype)[None]
-    return eye - (dt * dt) * diag_k / mass[:, None, None]
+    return eye - system_coeff(dt, beta) * diag_k / mass[:, None, None]
 
 
 def build_edge_matrix(element_indices, num_particles: int):
@@ -162,13 +180,15 @@ def build_edge_matrix(element_indices, num_particles: int):
 
 
 def make_mxu_system_apply(
-    obj: FemObject, K: jnp.ndarray, s_mat: jnp.ndarray, dt: float
+    obj: FemObject, K: jnp.ndarray, s_mat: jnp.ndarray, dt: float,
+    beta: float = 0.0,
 ):
     """(apply_a, apply_at) in the MXU formulation.  ``s_mat`` is the dense S
     from :func:`build_edge_matrix`; K blocks reshape to (E·d, d) row blocks so
     ``K ∘ t`` is one einsum."""
     e, d = K.shape[0], obj.dim
     hp = jax.lax.Precision.HIGHEST
+    c = system_coeff(dt, beta)
 
     def g_apply(k_blocks, x):
         s = jnp.dot(s_mat, x, precision=hp)  # row (e,j) = edge diff vector j
@@ -179,10 +199,10 @@ def make_mxu_system_apply(
         return jnp.dot(s_mat.T, t, precision=hp)
 
     def apply_a(x):
-        return x - (dt * dt) * g_apply(K, x) / obj.mass[:, None]
+        return x - c * g_apply(K, x) / obj.mass[:, None]
 
     def apply_at(y):
-        return y - (dt * dt) * g_apply(sm.mT(K), y / obj.mass[:, None])
+        return y - c * g_apply(sm.mT(K), y / obj.mass[:, None])
 
     return apply_a, apply_at
 
@@ -190,6 +210,7 @@ def make_mxu_system_apply(
 def make_blocked_system_apply(
     obj: FemObject, k_flat: jnp.ndarray, dt: float,
     axis_name: str | None = None, kplane: jnp.ndarray | None = None,
+    beta: float = 0.0,
 ):
     """(apply_a, apply_at) through the block-partitioned MXU operator
     (ops/blocking.py) — ``k_flat`` is (B·Eb, d, d) in *block order* (i.e.
@@ -205,6 +226,7 @@ def make_blocked_system_apply(
     from fem_tpu.ops.blocking import blocked_graph_apply, make_kplane
 
     blk, d, n = obj.blocking, obj.dim, obj.particle_cnt
+    c = system_coeff(dt, beta)
     if kplane is None:
         kplane = make_kplane(blk, k_flat, d)
 
@@ -212,14 +234,14 @@ def make_blocked_system_apply(
         gx = blocked_graph_apply(
             blk, kplane, x, n, d, transpose_k=False, axis_name=axis_name
         )
-        return x - (dt * dt) * gx / obj.mass[:, None]
+        return x - c * gx / obj.mass[:, None]
 
     def apply_at(y):
         gz = blocked_graph_apply(
             blk, kplane, y / obj.mass[:, None], n, d, transpose_k=True,
             axis_name=axis_name,
         )
-        return y - (dt * dt) * gz
+        return y - c * gz
 
     return apply_a, apply_at
 
@@ -230,6 +252,7 @@ def make_exact_hvp_apply(
     dt: float,
     axis_name: str | None = None,
     robust: bool = False,
+    beta: float = 0.0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Extension: the *true* Newton operator A = I − dt²·M⁻¹·∂f/∂x via a
     Hessian-vector product (``jax.jvp`` of the assembled elastic force).
@@ -242,15 +265,38 @@ def make_exact_hvp_apply(
     decoupled formula is NH-specific).
     """
 
+    c = system_coeff(dt, beta)
+
     def force(p: jnp.ndarray) -> jnp.ndarray:
         cols = _material_force_columns(obj, p, robust)
         return assemble_for(obj, element_contrib_full(cols), axis_name)
 
     def apply_a(x: jnp.ndarray) -> jnp.ndarray:
         _, df_x = jax.jvp(force, (pos,), (x,))
-        return x - (dt * dt) * df_x / obj.mass[:, None]
+        return x - c * df_x / obj.mass[:, None]
 
     return apply_a
+
+
+def rayleigh_damping_grad(
+    obj: FemObject,
+    pos: jnp.ndarray,
+    vel: jnp.ndarray,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """Energy-gradient contribution of stiffness-proportional Rayleigh
+    damping for the explicit/autodiff paths: −β·G(K)·v, where G(K) is the
+    decoupled block-Hessian operator (≈ ∂f/∂x, negative semi-definite — so
+    the damping force β·G(K)·v is dissipative and leaves rigid-body motion
+    untouched).  Returned in the reference's *gradient* sign convention
+    (added to ``particles.force``, subtracted in kinematic —
+    solver/kinematic.py:19).  Extension; β = obj.damping_beta."""
+    K = hessian_blocks(
+        pos, obj.element_indices, obj.ref_inv, obj.volume,
+        obj.mu, obj.s_lambda, False, obj.material,
+    )
+    kv = graph_block_apply(obj, K, vel, axis_name)
+    return -obj.damping_beta * kv
 
 
 # ---------------------------------------------------------------------------
@@ -693,7 +739,8 @@ def jacobi_solve_serial(
 
 
 def sparse_system_rows(
-    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None
+    obj: FemObject, K: jnp.ndarray, dt: float, axis_name: str | None = None,
+    beta: float = 0.0,
 ) -> jnp.ndarray:
     """Block-sparse rows of A = I − dt²M⁻¹K over the precomputed neighbor
     slots (ops/assembly.py::build_jacobi_plan) — the O(E) replacement for
@@ -715,7 +762,7 @@ def sparse_system_rows(
     if axis_name is not None:
         acc = jax.lax.psum(acc, axis_name)
     acc = acc.reshape(n, max_nb, d, d)
-    a = -(dt * dt) * acc / obj.mass[:, None, None, None]
+    a = -system_coeff(dt, beta) * acc / obj.mass[:, None, None, None]
     # Padded slots carry nb_id −1, so the self test is exact for every row.
     self_slot = (
         obj.jacobi_nb == jnp.arange(n, dtype=obj.jacobi_nb.dtype)[:, None]
@@ -808,6 +855,11 @@ def implicit_velocity_solve(
     """
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Stiffness-proportional Rayleigh damping (ObjectConfig.damping_beta,
+    # extension): backward-Euler on β·G(K)·v' folds into the system
+    # coefficient — A = I − dt·(dt+β)·M⁻¹·G(K) — so every operator backend
+    # supports it at zero extra applies (system_coeff).  β=0 is parity.
+    beta = obj.damping_beta
     # Material extensions ride the reference's decoupled one-block-per-
     # element structure with the material's own DP(F)[R⁻¹] integrand
     # (ops/element.first_piola_dp) under hessian="reference", so they get
@@ -819,7 +871,9 @@ def implicit_velocity_solve(
                 "hessian='exact_jvp' supports only the CG solver (Jacobi "
                 "needs explicit diagonal blocks)"
             )
-        apply_a = make_exact_hvp_apply(obj, state.pos, dt, axis_name, robust)
+        apply_a = make_exact_hvp_apply(
+            obj, state.pos, dt, axis_name, robust, beta
+        )
         b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
         # ∂f/∂x of a conservative force is symmetric ⇒ Aᵀ = I − dt²·Jᵀ·M⁻¹
         # realized with the VJP of the same force function.
@@ -831,7 +885,7 @@ def implicit_velocity_solve(
 
         def apply_at(y):
             (jt,) = vjp_fn(y / obj.mass[:, None])
-            return y - (dt * dt) * jt
+            return y - system_coeff(dt, beta) * jt
 
         res = _cg_solve_dispatch(
             apply_a, lambda: apply_at, b, preconditioned, cg_precond, None,
@@ -871,9 +925,10 @@ def implicit_velocity_solve(
             and (operator_mode == "fused" or jax.default_backend() == "tpu")
             # The whole-solve kernel implements the reference CG (plain or
             # normal-equations); block-Jacobi PCG runs op-composed, and so
-            # does the Dirichlet projection (pin_boxes).
+            # do the Dirichlet projection (pin_boxes) and Rayleigh damping.
             and cg_precond in ("reference", "none")
             and obj.free_mask is None
+            and beta == 0.0
         )
         if use_fused:
             # Whole-solve fused kernel (ops/pallas_blocked_cg.py): rhs
@@ -907,7 +962,7 @@ def implicit_velocity_solve(
             f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
             b = state.vel + dt * f / obj.mass[:, None]
             apply_a, apply_at = make_blocked_system_apply(
-                obj, None, dt, axis_name, kplane=kplane
+                obj, None, dt, axis_name, kplane=kplane, beta=beta
             )
 
             def k_for_diag():
@@ -926,7 +981,7 @@ def implicit_velocity_solve(
             )
             b = state.vel + dt * f / obj.mass[:, None]
             apply_a, apply_at = make_blocked_system_apply(
-                obj, k_flat, dt, axis_name
+                obj, k_flat, dt, axis_name, beta=beta
             )
 
             def k_for_diag():
@@ -936,7 +991,7 @@ def implicit_velocity_solve(
             apply_a, lambda: apply_at, b, preconditioned, cg_precond,
             lambda: diagonal_blocks_from(
                 blk.element_indices, k_for_diag(), obj.mass, dt,
-                obj.particle_cnt, axis_name,
+                obj.particle_cnt, axis_name, beta,
             ),
             obj.mass,
             free=obj.free_mask,
@@ -968,10 +1023,10 @@ def implicit_velocity_solve(
     )
     if use_mxu:
         apply_a, apply_at_mxu = make_mxu_system_apply(
-            obj, K, obj.edge_matrix, dt
+            obj, K, obj.edge_matrix, dt, beta
         )
     else:
-        apply_a = make_system_apply(obj, K, dt, axis_name)
+        apply_a = make_system_apply(obj, K, dt, axis_name, beta)
 
     if method == JACOBI_METHOD:
         if obj.free_mask is not None:
@@ -985,17 +1040,17 @@ def implicit_velocity_solve(
             # attached; the dense row scan remains as fallback and as the
             # cross-check target (test_implicit).
             if obj.jacobi_nb is not None:
-                rows_a = sparse_system_rows(obj, K, dt, axis_name)
+                rows_a = sparse_system_rows(obj, K, dt, axis_name, beta)
                 res = jacobi_solve_serial_sparse(
                     obj.jacobi_nb, rows_a, b, state.jacobi_past_x
                 )
             else:
                 from fem_tpu.solvers.dense import assemble_dense_system
 
-                a_dense = assemble_dense_system(obj, K, dt, axis_name)
+                a_dense = assemble_dense_system(obj, K, dt, axis_name, beta)
                 res = jacobi_solve_serial(a_dense, b, state.jacobi_past_x)
         elif jacobi_sweep == "snapshot":
-            diag = diagonal_blocks(obj, K, dt, axis_name)
+            diag = diagonal_blocks(obj, K, dt, axis_name, beta)
             apply_j = apply_a
             if obj.blocking is not None and operator_mode in (
                 "auto", "blocked",
@@ -1013,7 +1068,7 @@ def implicit_velocity_solve(
                     obj.mu, obj.s_lambda, robust, obj.material,
                 )
                 apply_j, _ = make_blocked_system_apply(
-                    obj, k_blk, dt, axis_name
+                    obj, k_blk, dt, axis_name, beta=beta
                 )
             res = jacobi_solve(apply_j, diag, b, state.jacobi_past_x)
         else:
@@ -1025,11 +1080,11 @@ def implicit_velocity_solve(
         def apply_at_fn():
             if use_mxu:
                 return apply_at_mxu
-            return make_system_apply_t(obj, K, dt, axis_name)
+            return make_system_apply_t(obj, K, dt, axis_name, beta)
 
         res = _cg_solve_dispatch(
             apply_a, apply_at_fn, b, preconditioned, cg_precond,
-            lambda: diagonal_blocks(obj, K, dt, axis_name),
+            lambda: diagonal_blocks(obj, K, dt, axis_name, beta),
             obj.mass,
             free=obj.free_mask,
             pin_vel=obj.pin_vel,

@@ -118,19 +118,52 @@ def _decoupled_prep(
 
 def _decoupled_apply(
     obj: FemObject, krep: jnp.ndarray, dt: float, axis_name,
-    element_backend: str,
+    element_backend: str, beta: float = 0.0,
 ):
-    """Operator w ↦ w − dt²·M⁻¹·(∂f/∂x)|_dec·w from a stored K
+    """Operator w ↦ w − dt·(dt+β)·M⁻¹·(∂f/∂x)|_dec·w from a stored K
     representation (same arithmetic as the semi-implicit solve's A — the
-    decoupled Jacobian evaluated at the Newton iterate's positions)."""
+    decoupled Jacobian evaluated at the Newton iterate's positions; β is
+    the Rayleigh-damping extension, solvers/implicit.system_coeff)."""
     blk = obj.blocking
     if blk is not None and element_backend == "pallas":
         return make_blocked_system_apply(
-            obj, None, dt, axis_name, kplane=krep
+            obj, None, dt, axis_name, kplane=krep, beta=beta
         )[0]
     if blk is not None:
-        return make_blocked_system_apply(obj, krep, dt, axis_name)[0]
-    return make_system_apply(obj, krep, dt, axis_name)
+        return make_blocked_system_apply(
+            obj, krep, dt, axis_name, beta=beta
+        )[0]
+    return make_system_apply(obj, krep, dt, axis_name, beta)
+
+
+def _decoupled_minv_gk(
+    obj: FemObject, krep: jnp.ndarray, axis_name, element_backend: str,
+):
+    """w ↦ M⁻¹·G(K)·w from a stored K representation — the raw decoupled
+    force-Jacobian product (used for the Rayleigh damping force in the
+    Newton residual)."""
+    blk = obj.blocking
+    n, d = obj.particle_cnt, obj.dim
+
+    def apply_gk(w: jnp.ndarray) -> jnp.ndarray:
+        if blk is not None:
+            from fem_tpu.ops.blocking import blocked_graph_apply, make_kplane
+
+            kplane = (
+                krep
+                if element_backend == "pallas"
+                else make_kplane(blk, krep, d)
+            )
+            gw = blocked_graph_apply(
+                blk, kplane, w, n, d, transpose_k=False, axis_name=axis_name
+            )
+        else:
+            from fem_tpu.solvers.implicit import graph_block_apply
+
+            gw = graph_block_apply(obj, krep, w, axis_name)
+        return gw / obj.mass[:, None]
+
+    return apply_gk
 
 
 def newton_velocity_solve(
@@ -146,6 +179,7 @@ def newton_velocity_solve(
     element_backend: str = "auto",
     cg_precond: str = "none",
     robust: bool = False,
+    beta: float = 0.0,
 ) -> Tuple[SimState, ImplicitAux]:
     """Solve r(v) = 0 for the end-of-substep velocity; vel ← v.
 
@@ -163,6 +197,15 @@ def newton_velocity_solve(
     tables; the exact-HVP mode assembles no diagonal).  The lever for the
     ill-conditioned large-dt regimes where plain CG needs ~100
     iterations/substep (BASELINE.md round-4 newton rows).
+
+    ``beta`` (Rayleigh damping extension, ObjectConfig.damping_beta) adds
+    the damping force β·G(K(x))·v to the residual —
+    r(v) = (v−vₙ) − dt·M⁻¹·[f_el(x) + β·(∂f/∂x)·v] — and folds β into the
+    Jacobian coefficient (J ≈ I − dt·(dt+β)·M⁻¹·∂f/∂x, the exact Jacobian
+    minus the second-order β·dt·∂²f/∂x²·v curvature term; the line search
+    owns global convergence as usual).  In decoupled mode the damping
+    operator is the decoupled G(K) — consistent with the semi-implicit
+    path; in exact mode it is the exact HVP.
     """
     if hessian_mode not in ("exact", "decoupled"):
         raise ValueError(
@@ -199,10 +242,17 @@ def newton_velocity_solve(
             f, krep = _decoupled_prep(
                 obj, pos, axis_name, element_backend, robust
             )
+            r = (v - v_n) - dt * inv_m * f
+            if beta != 0.0:
+                gk = _decoupled_minv_gk(obj, krep, axis_name, element_backend)
+                r = r - dt * beta * gk(v)
         else:
             f, krep = force_exact(pos), jnp.zeros((0,), jnp.float32)
-        r = project((v - v_n) - dt * inv_m * f)
-        return r, krep
+            if beta != 0.0:
+                _, df_v = jax.jvp(force_exact, (pos,), (v,))
+                f = f + beta * df_v
+            r = (v - v_n) - dt * inv_m * f
+        return project(r), krep
 
     def _diag_from_krep(krep: jnp.ndarray) -> jnp.ndarray:
         """Per-particle diagonal blocks of the decoupled Jacobian from the
@@ -216,7 +266,7 @@ def newton_velocity_solve(
             k_flat = krep
         idx = blk.element_indices if blk is not None else obj.element_indices
         return diagonal_blocks_from(
-            idx, k_flat, obj.mass, dt, obj.particle_cnt, axis_name
+            idx, k_flat, obj.mass, dt, obj.particle_cnt, axis_name, beta
         )
 
     def res_norm(r: jnp.ndarray) -> jnp.ndarray:
@@ -238,14 +288,15 @@ def newton_velocity_solve(
 
         if decoupled:
             base_op = _decoupled_apply(
-                obj, krep, dt, axis_name, element_backend
+                obj, krep, dt, axis_name, element_backend, beta
             )
         else:
             x_i = x_n + dt * v
+            coeff = dt * (dt + beta)
 
             def base_op(w: jnp.ndarray) -> jnp.ndarray:
                 _, df = jax.jvp(force_exact, (x_i,), (w,))
-                return w - (dt * dt) * inv_m * df
+                return w - coeff * inv_m * df
 
         if free is None:
             op = base_op

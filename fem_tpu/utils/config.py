@@ -28,6 +28,18 @@ class ObjectConfig:
     E: float = 4e4
     nu: float = 0.2
     damping: float = 14.5
+    # Stiffness-proportional Rayleigh damping coefficient β (seconds) —
+    # extension; the reference's only dissipation is the exponential
+    # velocity decay ``damping`` (solver/kinematic.py:23).  Adds the damping
+    # force f_d = β·(∂f/∂x)·v built on the decoupled block Hessian
+    # (ops/element.hessian_blocks) on every integration path: explicit /
+    # autodiff apply it as an extra force; the semi-implicit solve folds it
+    # into the system exactly (backward-Euler on the damping term:
+    # A = I − dt·(dt+β)·M⁻¹·G(K)).  Unlike ``damping``, which damps rigid
+    # translation too, β damps only *deformation* rates — high-frequency
+    # element jitter dies at rate ~β·ω² while rigid modes are untouched.
+    # 0.0 = exact reference parity.
+    damping_beta: float = 0.0
     # 2D procedural grid (reference: object.py:95-126)
     side_length: float = 0.2
     subdivisions: int = 10
@@ -90,6 +102,40 @@ class BlockConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ObstacleConfig:
+    """Typed rigid obstacle (extension — the reference has only circles,
+    circle_blocks.py, plus the sticky unit-box walls, kinematic.py:25-30).
+    All types use the reference circles' slide-collision semantics
+    generalized to signed distance fields (fem_tpu/obstacles.py).
+
+    * ``halfspace``: infinite wall through ``point`` with outward unit
+      ``normal`` (solid side: normal·(x−point) < 0) — any orientation.
+    * ``box``: SOLID axis-aligned box [lo, hi].
+    * ``sphere``: center/radius — folded into the reference circle arrays
+      (their math is dimension-generic).
+    * ``mesh``: rigid triangle-mesh obstacle (3D) from ``obj`` (OBJ path),
+      scaled by ``scale`` then offset, discretized to a signed-distance
+      grid of ``resolution`` cells along the longest axis.
+    """
+
+    type: str = "halfspace"
+    # halfspace
+    point: Tuple[float, ...] = ()
+    normal: Tuple[float, ...] = ()
+    # box
+    lo: Tuple[float, ...] = ()
+    hi: Tuple[float, ...] = ()
+    # sphere
+    center: Tuple[float, ...] = ()
+    radius: float = 0.0
+    # mesh
+    obj: Optional[str] = None
+    scale: float = 1.0
+    offset: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    resolution: int = 48
+
+
+@dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Top-level simulation config (reference: default.json schema)."""
 
@@ -111,6 +157,9 @@ class SimConfig:
     output_fps: int = 60
     objects: Tuple[ObjectConfig, ...] = (ObjectConfig(),)
     blocks: Tuple[BlockConfig, ...] = ()
+    # Typed rigid obstacles beyond the reference's circles (extension —
+    # ObstacleConfig: halfspace / box / sphere / mesh SDF); empty = parity.
+    obstacles: Tuple[ObstacleConfig, ...] = ()
     # Extension beyond the reference schema: implicit solve execution strategy.
     # "auto" picks the dense MXU backend for small systems (solvers/dense.py)
     # and the matrix-free operator otherwise; "matrix_free"/"dense" force one.
@@ -266,6 +315,7 @@ def parse_config(data: dict) -> SimConfig:
             E=float(o.get("E", 4e4)),
             nu=float(o.get("nu", 0.2)),
             damping=float(o.get("damping", 14.5)),
+            damping_beta=float(o.get("damping_beta", 0.0)),
             side_length=float(o.get("side_length", 0.2)),
             subdivisions=int(o.get("subdivisions", 10)),
             obj=o.get("obj"),
@@ -289,6 +339,22 @@ def parse_config(data: dict) -> SimConfig:
         )
         for b in data.get("blocks", [])
     )
+    obstacles = tuple(
+        ObstacleConfig(
+            type=str(o.get("type", "halfspace")),
+            point=_tupled(o.get("point", ())),
+            normal=_tupled(o.get("normal", ())),
+            lo=_tupled(o.get("lo", ())),
+            hi=_tupled(o.get("hi", ())),
+            center=_tupled(o.get("center", ())),
+            radius=float(o.get("radius", 0.0)),
+            obj=o.get("obj"),
+            scale=float(o.get("scale", 1.0)),
+            offset=_tupled(o.get("offset", (0.0, 0.0, 0.0))),
+            resolution=int(o.get("resolution", 48)),
+        )
+        for o in data.get("obstacles", [])
+    )
     return SimConfig(
         dim=int(data.get("dim", 2)),
         delta_time=float(data.get("delta_time", 5e-4)),
@@ -303,6 +369,7 @@ def parse_config(data: dict) -> SimConfig:
         output_fps=int(data.get("output_fps", 60)),
         objects=objects,
         blocks=blocks,
+        obstacles=obstacles,
         solver_backend=str(data.get("solver_backend", "auto")),
         element_backend=str(data.get("element_backend", "auto")),
         robust_inversion=bool(data.get("robust_inversion", False)),
