@@ -143,7 +143,10 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
 
     state_spec = SimState(pos=P(), vel=P(), vel_g=P(), force=P(),
                           jacobi_past_x=P())
-    obs_spec = Obstacles(centers=P(), radii=P())
+    # Pytree-prefix spec: one replicated P() covers every obstacle
+    # leaf, including the optional SDF extension fields (which are
+    # None under pure reference configs).
+    obs_spec = P()
     aux_spec = StepAux(P(), P())
 
     kwargs = dict(
@@ -256,7 +259,10 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         pos=P("batch"), vel=P("batch"), vel_g=P("batch"),
         force=P("batch"), jacobi_past_x=P("batch"),
     )
-    obs_spec = Obstacles(centers=P(), radii=P())
+    # Pytree-prefix spec: one replicated P() covers every obstacle
+    # leaf, including the optional SDF extension fields (which are
+    # None under pure reference configs).
+    obs_spec = P()
     aux_spec = StepAux(P("batch"), P("batch"))
     obj_spec = padded.replace(
         element_indices=P(AXIS), ref_inv=P(AXIS), volume=P(AXIS),

@@ -41,7 +41,7 @@ def load_scene(
         print(f"Mesh count: {obj.mesh_cnt}")
         print(f"Element count: {obj.element_cnt}")
         scene.append(SceneObject(obj, state, aux))
-    obstacles = Obstacles.from_configs(cfg.blocks, cfg.dim)
+    obstacles = Obstacles.from_configs(cfg.blocks, cfg.dim, cfg.obstacles)
     return scene, obstacles
 
 

@@ -73,11 +73,19 @@ def kinematic_step(
     (N, d) overrides pinned vertices with a prescribed velocity instead
     (kinematic loading — bypasses damping/walls/obstacles by construction).
     """
+    from fem_tpu.obstacles import apply_extensions_explicit, has_extensions
+
     if backend == "pallas":
         import jax
 
         from fem_tpu.ops.pallas_advect import kinematic_pallas
 
+        if has_extensions(obstacles):
+            raise ValueError(
+                "SDF obstacle extensions require the XLA advection path "
+                "(backend='xla'); the fused Pallas advection kernel "
+                "implements reference circles only"
+            )
         pos, vel = kinematic_pallas(
             state.pos, state.vel, grad, (1.0 / mass)[:, None],
             obstacles.centers, obstacles.radii[None, :],
@@ -104,6 +112,11 @@ def kinematic_step(
             state.pos, vel, obstacles.centers[b], obstacles.radii[b]
         )
         vel = jnp.where(hit, vel - delta, vel)
+    if has_extensions(obstacles):
+        # SDF obstacle extensions (fem_tpu/obstacles.py): halfspaces, solid
+        # boxes, mesh SDFs — same slide semantics, applied after the
+        # reference circles in the same sequential fashion.
+        vel = apply_extensions_explicit(state.pos, vel, obstacles)
     if free_mask is not None:
         vel = vel * free_mask
         if pin_vel is not None:
@@ -127,11 +140,19 @@ def advect_implicit_step(
     (N, 1) zeroes pinned vertices' velocity channels before the position
     update (Dirichlet extension); ``pin_vel`` (N, d) overrides pinned
     vertices with a prescribed velocity (kinematic loading)."""
+    from fem_tpu.obstacles import apply_extensions_implicit, has_extensions
+
     if backend == "pallas":
         import jax
 
         from fem_tpu.ops.pallas_advect import advect_implicit_pallas
 
+        if has_extensions(obstacles):
+            raise ValueError(
+                "SDF obstacle extensions require the XLA advection path "
+                "(backend='xla'); the fused Pallas advection kernel "
+                "implements reference circles only"
+            )
         pos, vel, vel_g = advect_implicit_pallas(
             state.pos, state.vel, state.vel_g,
             obstacles.centers, obstacles.radii[None, :],
@@ -179,6 +200,13 @@ def advect_implicit_step(
         v = jnp.where(hit, v - delta_v, v)
         vel = jnp.where(hit, vel - proj(vel), vel)
         vel_g = jnp.where(hit, vel_g - proj(vel_g), vel_g)
+
+    if has_extensions(obstacles):
+        # SDF obstacle extensions — hit test on the combined v, both
+        # channels projected (the reference's implicit circle structure).
+        v, vel, vel_g = apply_extensions_implicit(
+            state.pos, v, vel, vel_g, obstacles
+        )
 
     if free_mask is not None:
         vel = vel * free_mask
