@@ -125,6 +125,13 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
     robust = cfg.robust_inversion
     material = obj.material
     beta = obj.damping_beta  # Rayleigh damping extension (static scalar)
+    if obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0:
+        raise ValueError(
+            "differentiable stepping does not support the inelastic "
+            "material extensions (plastic_yield/viscous_mu): the SVD "
+            "return maps have non-smooth yield branches; use the forward "
+            "paths for those"
+        )
 
     def _rayleigh_grad(params: DiffParams, state: SimState) -> jnp.ndarray:
         """−β·G(K)·v with K on the traced material parameters — the same

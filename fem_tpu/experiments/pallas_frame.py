@@ -348,6 +348,12 @@ def supports_fused_frame(obj, cfg) -> bool:
         return False
     if any(o.material != "neo_hookean" for o in cfg.objects):
         return False
+    if any(
+        getattr(o, "plastic_yield", 0.0) > 0.0
+        or getattr(o, "viscous_mu", 0.0) > 0.0
+        for o in cfg.objects
+    ):
+        return False  # inelastic internal variables run op-composed
     if obj.free_mask is not None:  # Dirichlet pins run op-composed
         return False
     if obj.damping_beta != 0.0:  # Rayleigh damping runs op-composed

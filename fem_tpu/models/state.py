@@ -34,6 +34,14 @@ class SimState:
     # reference's never-reset ``past_vec_x`` field (object.py:85; used at
     # solver/implicit.py:404 before any cache_x of the current step).
     jacobi_past_x: jnp.ndarray  # (N, d)
+    # Per-element internal variables of the inelastic material extensions
+    # (fem_tpu/ops/inelastic.py; None under pure reference configs):
+    # plastic_inv = F_p⁻¹ (multiplicative von-Mises plasticity, elastic part
+    # F_e = F·F_p⁻¹), viscous_inv = F_v⁻¹ (generalized-Maxwell branch strain
+    # F·F_v⁻¹, relaxing with time constant viscous_tau).  Both (E, d, d),
+    # initialized to identity.
+    plastic_inv: jnp.ndarray = None
+    viscous_inv: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -98,6 +106,11 @@ class FemObject:
     # extension): damping force β·G(K)·v on the decoupled block Hessian.
     # 0.0 = reference parity (and the fused whole-frame kernels require it).
     damping_beta: float = struct.field(pytree_node=False, default=0.0)
+    # Inelastic material extensions (ObjectConfig.plastic_yield /
+    # viscous_mu / viscous_tau; fem_tpu/ops/inelastic.py).  0.0 = off.
+    plastic_yield: float = struct.field(pytree_node=False, default=0.0)
+    viscous_mu: float = struct.field(pytree_node=False, default=0.0)
+    viscous_tau: float = struct.field(pytree_node=False, default=0.1)
     rho: float = struct.field(pytree_node=False, default=0.0)
     material: str = struct.field(pytree_node=False, default="neo_hookean")
 
@@ -288,13 +301,22 @@ def build_object(
         s_lambda=cfg.s_lambda,
         damping=cfg.damping,
         damping_beta=getattr(cfg, "damping_beta", 0.0),
+        plastic_yield=getattr(cfg, "plastic_yield", 0.0),
+        viscous_mu=getattr(cfg, "viscous_mu", 0.0),
+        viscous_tau=getattr(cfg, "viscous_tau", 0.1),
         rho=cfg.rho,
         material=getattr(cfg, "material", "neo_hookean"),
     )
     zeros = jnp.zeros((n, d), jnp.float32)
+    e_cnt = int(element_indices.shape[0])
+    eye_e = jnp.broadcast_to(
+        jnp.eye(d, dtype=jnp.float32), (e_cnt, d, d)
+    )
     state = SimState(
         pos=jnp.asarray(pos), vel=zeros, vel_g=zeros, force=zeros,
         jacobi_past_x=zeros,
+        plastic_inv=eye_e if obj.plastic_yield > 0.0 else None,
+        viscous_inv=eye_e if obj.viscous_mu > 0.0 else None,
     )
     return obj, state
 

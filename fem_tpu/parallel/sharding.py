@@ -127,6 +127,13 @@ def make_element_mesh(
 
 def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
     """Shared builder for the sharded substep / frame functions."""
+    if obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0:
+        raise ValueError(
+            "sharded execution does not support the inelastic material "
+            "extensions yet: the per-element internal variables "
+            "(SimState.plastic_inv/viscous_inv) would need element-axis "
+            "PartitionSpecs threaded through the state pytree"
+        )
     n_shards = mesh.devices.size
     padded = pad_elements(obj, n_shards)
     if padded.element_cnt == obj.element_cnt:

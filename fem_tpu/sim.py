@@ -86,6 +86,16 @@ def substep(
     # more than the ~8 fused XLA ops they replace.  (The element-column
     # kernels use the component-planar layout and do win.)
     advect_backend = "xla"
+    # Inelastic material extensions (plastic_yield / viscous_mu,
+    # fem_tpu/ops/inelastic.py): per-element internal variables ride the
+    # graph chain; the grad/solve below swap in the inelastic operator and
+    # ``advance_internal`` updates the internal state after advection.
+    inelastic = obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0
+    if inelastic and integrator == "newton":
+        raise ValueError(
+            "inelastic materials (plastic_yield/viscous_mu) support the "
+            "explicit and semi-implicit integrators only"
+        )
     if obj.damping_beta != 0.0 and (auto_diff or use_explicit_method):
         # Rayleigh damping on the explicit paths (extension): an extra
         # gradient term −β·G(K)·v on the decoupled block-Hessian operator
@@ -96,25 +106,32 @@ def substep(
         external_force = (
             -damp if external_force is None else external_force - damp
         )
-    if auto_diff:
-        grad = autodiff_energy_gradient(obj, state.pos, axis_name)
+    if auto_diff or use_explicit_method:
+        if inelastic:
+            # The analytic inelastic gradient IS the gradient of the total
+            # (base + branch) energy at frozen internal variables, so the
+            # autodiff and analytic dispatches coincide here.
+            from fem_tpu.ops.inelastic import (
+                advance_internal, inelastic_energy_gradient,
+            )
+
+            grad = inelastic_energy_gradient(
+                obj, state, state.pos, axis_name
+            )
+        elif auto_diff:
+            grad = autodiff_energy_gradient(obj, state.pos, axis_name)
+        else:
+            grad = analytic_energy_gradient(
+                obj, state.pos, axis_name, element_backend
+            )
         if external_force is not None:
             grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
             advect_backend, obj.free_mask, obj.pin_vel,
         )
-        return state, zero_aux
-    if use_explicit_method:
-        grad = analytic_energy_gradient(
-            obj, state.pos, axis_name, element_backend
-        )
-        if external_force is not None:
-            grad = grad - external_force
-        state = kinematic_step(
-            state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
-            advect_backend, obj.free_mask, obj.pin_vel,
-        )
+        if inelastic:
+            state = advance_internal(obj, state, dt)
         return state, zero_aux
     if external_force is not None:
         # Fold the external force into the implicit rhs: b = v + dt·M⁻¹f_el
@@ -123,6 +140,28 @@ def substep(
         state = state.replace(
             vel=state.vel + dt * external_force / obj.mass[:, None]
         )
+    if inelastic:
+        from fem_tpu.ops.inelastic import (
+            advance_internal, inelastic_velocity_solve,
+        )
+        from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD
+
+        if implicit_method != CONJUGATE_GRADIENT_METHOD:
+            raise ValueError(
+                "inelastic materials support only the CG solver "
+                "(implicit_method=1); the Jacobi sweeps keep pure "
+                "reference semantics"
+            )
+        state, solve_aux = inelastic_velocity_solve(
+            obj, state, dt, preconditioned, cg_precond, robust_inversion,
+            axis_name,
+        )
+        state = advect_implicit_step(
+            state, obstacles, dt, obj.damping, g_dir, advect_backend,
+            obj.free_mask, obj.pin_vel,
+        )
+        state = advance_internal(obj, state, dt)
+        return state, StepAux(solve_aux.iterations, solve_aux.residual)
     if integrator == "newton":
         # Fully implicit backward Euler (extension, solvers/newton.py):
         # damped Newton closes the nonlinear elastic residual each substep —
@@ -164,6 +203,7 @@ def substep(
         and cg_precond == "reference"
         and obj.free_mask is None  # Dirichlet projection is matrix-free-only
     )
+    assert not inelastic  # handled above (dedicated solve)
     if use_dense:
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
 
@@ -244,6 +284,8 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and obj.free_mask is None
         and obj.static_load is None
         and obj.damping_beta == 0.0
+        and obj.plastic_yield == 0.0
+        and obj.viscous_mu == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )
@@ -262,6 +304,8 @@ def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and obj.free_mask is None
         and obj.static_load is None
         and obj.damping_beta == 0.0
+        and obj.plastic_yield == 0.0
+        and obj.viscous_mu == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
     )
@@ -465,6 +509,10 @@ def element_phi(obj: FemObject, state: SimState) -> jnp.ndarray:
     """Per-element energy V·φ for render coloring (reference ``obj.phi``,
     explicit_auto_diff.py:29 — sized (E,), fixing the reference's
     surface-count sizing bug at object.py:68)."""
+    if obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0:
+        from fem_tpu.ops.inelastic import inelastic_element_energies
+
+        return inelastic_element_energies(obj, state, state.pos)
     return element_energies(
         state.pos, obj.element_indices, obj.ref_inv, obj.volume,
         obj.mu, obj.s_lambda, obj.material,

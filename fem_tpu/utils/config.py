@@ -69,6 +69,23 @@ class ObjectConfig:
     # constant velocity — the pinned vertices translate kinematically
     # (stretch / compression / shear loading); the implicit solve then uses
     # the inhomogeneous projection with particular solution x_pinned = v.
+    # --- Inelastic material ladder (extensions, fem_tpu/ops/inelastic.py;
+    # the reference is purely hyperelastic).  Both use per-element internal
+    # variables (SimState.plastic_inv / viscous_inv) updated once per
+    # substep from the end-of-substep positions (explicit treatment of the
+    # internal variables — standard operator splitting).
+    # Von-Mises multiplicative plasticity on the BASE material: yield when
+    # the deviatoric principal Hencky strain ‖dev log Σ(F_e)‖ exceeds
+    # plastic_yield; the return map projects back onto the yield surface
+    # (perfect plasticity, isochoric flow — det F_p = 1 exactly).  0 = off.
+    plastic_yield: float = 0.0
+    # One generalized-Maxwell branch: an extra stable-Neo-Hookean stress
+    # with shear modulus viscous_mu evaluated on F·F_v⁻¹, where the branch
+    # strain relaxes exponentially with time constant viscous_tau
+    # (log-space decay exp(−dt/τ) per substep).  Captures rate-dependent
+    # stiffness + stress relaxation/creep.  viscous_mu = 0 = off.
+    viscous_mu: float = 0.0
+    viscous_tau: float = 0.1
     pin_boxes: Tuple[Tuple[Tuple[float, ...], ...], ...] = ()
     # Neumann loads (extension — the reference's only external action is
     # gravity).  Each entry is ((lo…), (hi…), (F…)): a TOTAL force vector F
@@ -320,6 +337,9 @@ def parse_config(data: dict) -> SimConfig:
             subdivisions=int(o.get("subdivisions", 10)),
             obj=o.get("obj"),
             material=str(o.get("material", "neo_hookean")),
+            plastic_yield=float(o.get("plastic_yield", 0.0)),
+            viscous_mu=float(o.get("viscous_mu", 0.0)),
+            viscous_tau=float(o.get("viscous_tau", 0.1)),
             pin_boxes=tuple(
                 tuple(_tupled(part) for part in box)
                 for box in o.get("pin_boxes", ())

@@ -34,6 +34,9 @@ def export_deformed_obj(
 
 
 _STATE_FIELDS = ("pos", "vel", "vel_g", "force", "jacobi_past_x")
+# Optional per-element internal variables (inelastic material extensions) —
+# written only when present, absent keys load as None.
+_OPT_STATE_FIELDS = ("plastic_inv", "viscous_inv")
 
 
 def save_checkpoint(
@@ -68,6 +71,10 @@ def save_scene_checkpoint(
     for i, state in enumerate(states):
         for field in _STATE_FIELDS:
             arrays[f"b{i}_{field}"] = np.asarray(getattr(state, field))
+        for field in _OPT_STATE_FIELDS:
+            val = getattr(state, field, None)
+            if val is not None:
+                arrays[f"b{i}_{field}"] = np.asarray(val)
     np.savez(path, **arrays)
 
 
@@ -79,9 +86,17 @@ def load_scene_checkpoint(
     data = np.load(path)
     if "n_bodies" in data:
         states = [
-            SimState(**{
-                f: jnp.asarray(data[f"b{i}_{f}"]) for f in _STATE_FIELDS
-            })
+            SimState(
+                **{
+                    f: jnp.asarray(data[f"b{i}_{f}"])
+                    for f in _STATE_FIELDS
+                },
+                **{
+                    f: jnp.asarray(data[f"b{i}_{f}"])
+                    for f in _OPT_STATE_FIELDS
+                    if f"b{i}_{f}" in data
+                },
+            )
             for i in range(int(data["n_bodies"]))
         ]
         ply_cnt = int(data["ply_cnt"]) if "ply_cnt" in data else 0
