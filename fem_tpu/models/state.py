@@ -91,6 +91,11 @@ class FemObject:
     # per-vertex static force, or None when no loads are configured.
     # Folded into every substep as an external force and into solve_static.
     static_load: jnp.ndarray = None
+    # Two-level preconditioner coarse space (extension, solvers/multilevel):
+    # Morton particle aggregates + per-particle rigid-body basis rows,
+    # built host-side at load.  None only for hand-built FemObjects.
+    agg_ids: jnp.ndarray = None  # (N,) int32
+    agg_basis: jnp.ndarray = None  # (N, d, n_rb) float32
     # --- static metadata ---
     # "gather" (default, single-chip) or "segment" (used under shard_map
     # where each shard owns an element slice and psum-reduces).
@@ -111,6 +116,7 @@ class FemObject:
     plastic_yield: float = struct.field(pytree_node=False, default=0.0)
     viscous_mu: float = struct.field(pytree_node=False, default=0.0)
     viscous_tau: float = struct.field(pytree_node=False, default=0.1)
+    num_aggregates: int = struct.field(pytree_node=False, default=0)
     rho: float = struct.field(pytree_node=False, default=0.0)
     material: str = struct.field(pytree_node=False, default="neo_hookean")
 
@@ -268,6 +274,15 @@ def build_object(
         np.asarray(element_indices).reshape(-1), minlength=n
     )
     g_lo, g_hi, g_out = split_two_tier(plan, valence)
+    # Two-level preconditioner coarse space (solvers/multilevel.py): Morton
+    # aggregates + rigid-body basis, O(N) host work at load.
+    from fem_tpu.solvers.multilevel import (
+        build_aggregates, default_aggregate_size,
+    )
+
+    agg_ids_np, agg_basis_np = build_aggregates(
+        pos, default_aggregate_size(d)
+    )
     obj = FemObject(
         element_indices=jnp.asarray(element_indices.astype(np.int32)),
         ref_inv=jnp.asarray(ref_inv),
@@ -293,6 +308,9 @@ def build_object(
         free_mask=free_mask,
         pin_vel=pin_vel,
         static_load=static_load,
+        agg_ids=jnp.asarray(agg_ids_np),
+        agg_basis=jnp.asarray(agg_basis_np),
+        num_aggregates=int(agg_ids_np.max()) + 1,
         dim=d,
         particle_cnt=n,
         element_cnt=int(element_indices.shape[0]),

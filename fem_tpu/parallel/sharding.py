@@ -195,6 +195,8 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
     if padded.pin_vel is not None:
         obj_spec = obj_spec.replace(pin_vel=P())  # particle-space: replicate
+    if padded.agg_ids is not None:  # coarse space: replicate
+        obj_spec = obj_spec.replace(agg_ids=P(), agg_basis=P())
 
     def local_fn(obj_shard: FemObject, state, obstacles):
         local = obj_shard.replace(
@@ -283,6 +285,8 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
     if padded.pin_vel is not None:
         obj_spec = obj_spec.replace(pin_vel=P())  # particle-space: replicate
+    if padded.agg_ids is not None:  # coarse space: replicate
+        obj_spec = obj_spec.replace(agg_ids=P(), agg_basis=P())
 
     kwargs = dict(
         dt=cfg.delta_time,

@@ -177,9 +177,12 @@ def substep(
             element_backend=element_backend,
             # "reference"/"none" both mean plain CG inside Newton (there is
             # no normal-equations variant here); "block_jacobi" turns on
-            # the mass-symmetrized PCG inner solves (decoupled mode).
+            # the mass-symmetrized PCG inner solves and "two_level" the
+            # coarse-space V-cycle PCG (both decoupled mode).
             cg_precond=(
-                "block_jacobi" if cg_precond == "block_jacobi" else "none"
+                cg_precond
+                if cg_precond in ("block_jacobi", "two_level")
+                else "none"
             ),
             robust=robust_inversion,
             beta=obj.damping_beta,

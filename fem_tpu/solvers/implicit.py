@@ -542,6 +542,7 @@ def _cg_solve_dispatch(
     mass: jnp.ndarray | None = None,
     free: jnp.ndarray | None = None,
     pin_vel: jnp.ndarray | None = None,
+    two_level_fn: Callable[[], tuple] | None = None,
 ) -> CGResult:
     """Route one CG solve by ``cg_precond``:
 
@@ -550,7 +551,10 @@ def _cg_solve_dispatch(
       CG otherwise;
     * ``"none"``: force plain CG (the measured-fastest reference-semantics
       variant at scale) regardless of ``preconditioned``;
-    * ``"block_jacobi"``: block-Jacobi PCG on A (extension).
+    * ``"block_jacobi"``: block-Jacobi PCG on A (extension);
+    * ``"two_level"``: PCG with the coarse-space V-cycle preconditioner
+      (solvers/multilevel.py — ``two_level_fn`` thunk supplies the coarse
+      space + assembled/factored coarse matrix).
 
     ``apply_at_fn`` / ``diag_fn`` are thunks so the transpose operator and
     the diagonal blocks are only materialized when the mode needs them.
@@ -599,6 +603,20 @@ def _cg_solve_dispatch(
             )
         return preconditioned_conjugate_gradient(
             apply_a, diag_fn(), mass, b, x0=b
+        )
+    if cg_precond == "two_level":
+        if two_level_fn is None or diag_fn is None:
+            raise ValueError(
+                "cg_precond='two_level' requires explicit K blocks and the "
+                "attached coarse space; unavailable for "
+                "hessian='exact_jvp' (use cg_precond='none' there)"
+            )
+        from fem_tpu.solvers.multilevel import two_level_pcg
+
+        coarse, c_mat = two_level_fn()
+        return two_level_pcg(
+            apply_a, diag_fn(), mass, coarse, c_mat, b, x0=b,
+            free_mask=free,
         )
     if cg_precond not in ("reference", "none"):
         raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -987,6 +1005,23 @@ def implicit_velocity_solve(
             def k_for_diag():
                 return k_flat
 
+        def two_level_fn_blocked():
+            from fem_tpu.solvers.multilevel import (
+                coarse_matrix, make_coarse_space,
+            )
+
+            if obj.agg_ids is None:
+                raise ValueError(
+                    "cg_precond='two_level' needs the coarse space "
+                    "attached at build time (models/state.build_object)"
+                )
+            coarse = make_coarse_space(obj)
+            c = coarse_matrix(
+                coarse, obj, k_for_diag(), dt, beta, obj.free_mask,
+                blk.element_indices, axis_name,
+            )
+            return coarse, c
+
         res = _cg_solve_dispatch(
             apply_a, lambda: apply_at, b, preconditioned, cg_precond,
             lambda: diagonal_blocks_from(
@@ -996,6 +1031,7 @@ def implicit_velocity_solve(
             obj.mass,
             free=obj.free_mask,
             pin_vel=obj.pin_vel,
+            two_level_fn=two_level_fn_blocked,
         )
         return state.replace(vel=res.x), ImplicitAux(
             res.iterations, res.residual
@@ -1082,12 +1118,30 @@ def implicit_velocity_solve(
                 return apply_at_mxu
             return make_system_apply_t(obj, K, dt, axis_name, beta)
 
+        def two_level_fn_graph():
+            from fem_tpu.solvers.multilevel import (
+                coarse_matrix, make_coarse_space,
+            )
+
+            if obj.agg_ids is None:
+                raise ValueError(
+                    "cg_precond='two_level' needs the coarse space "
+                    "attached at build time (models/state.build_object)"
+                )
+            coarse = make_coarse_space(obj)
+            c = coarse_matrix(
+                coarse, obj, K, dt, beta, obj.free_mask,
+                axis_name=axis_name,
+            )
+            return coarse, c
+
         res = _cg_solve_dispatch(
             apply_a, apply_at_fn, b, preconditioned, cg_precond,
             lambda: diagonal_blocks(obj, K, dt, axis_name, beta),
             obj.mass,
             free=obj.free_mask,
             pin_vel=obj.pin_vel,
+            two_level_fn=two_level_fn_graph,
         )
         return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)
 

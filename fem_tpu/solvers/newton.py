@@ -213,11 +213,17 @@ def newton_velocity_solve(
             f"got {hessian_mode!r}"
         )
     use_pcg = cg_precond == "block_jacobi"
-    if use_pcg and hessian_mode != "decoupled":
+    use_two_level = cg_precond == "two_level"
+    if (use_pcg or use_two_level) and hessian_mode != "decoupled":
         raise ValueError(
-            "integrator='newton' with cg_precond='block_jacobi' requires "
+            f"integrator='newton' with cg_precond={cg_precond!r} requires "
             "newton_hessian='decoupled' (the exact-HVP mode assembles no "
-            "diagonal blocks; use cg_precond='none' there)"
+            "K blocks; use cg_precond='none' there)"
+        )
+    if use_two_level and obj.agg_ids is None:
+        raise ValueError(
+            "cg_precond='two_level' needs the coarse space attached at "
+            "build time (models/state.build_object)"
         )
     element_backend = _resolve_backend(element_backend)
     inv_m = 1.0 / obj.mass[:, None]
@@ -254,9 +260,7 @@ def newton_velocity_solve(
             r = (v - v_n) - dt * inv_m * f
         return project(r), krep
 
-    def _diag_from_krep(krep: jnp.ndarray) -> jnp.ndarray:
-        """Per-particle diagonal blocks of the decoupled Jacobian from the
-        stored K representation (block-Jacobi PCG inner solves)."""
+    def _kflat_and_idx(krep: jnp.ndarray):
         blk = obj.blocking
         if blk is not None and element_backend == "pallas":
             from fem_tpu.ops.blocking import kplane_to_kflat
@@ -265,6 +269,12 @@ def newton_velocity_solve(
         else:
             k_flat = krep
         idx = blk.element_indices if blk is not None else obj.element_indices
+        return k_flat, idx
+
+    def _diag_from_krep(krep: jnp.ndarray) -> jnp.ndarray:
+        """Per-particle diagonal blocks of the decoupled Jacobian from the
+        stored K representation (block-Jacobi PCG inner solves)."""
+        k_flat, idx = _kflat_and_idx(krep)
         return diagonal_blocks_from(
             idx, k_flat, obj.mass, dt, obj.particle_cnt, axis_name, beta
         )
@@ -313,7 +323,20 @@ def newton_velocity_solve(
         # solve by ~20× in CG iterations for identical trajectories.
         # Absolute floor: never iterate below the outer tolerance's scale.
         inner_tol = jnp.maximum(1e-4 * rr, jnp.float32(tol * tol))
-        if use_pcg:
+        if use_two_level:
+            # Coarse-space additive-Schwarz PCG (solvers/multilevel.py)
+            # with the preconditioner FROZEN at the substep's initial
+            # iterate (tl_setup, built once below) — quality only; each
+            # inner iteration still applies the CURRENT iterate's exact
+            # decoupled operator and accepts on its residual.
+            from fem_tpu.solvers.multilevel import two_level_pcg
+
+            sol = two_level_pcg(
+                op, None, obj.mass, None, None, -r,
+                jnp.zeros_like(r), max_iter=cg_iters, tol=inner_tol,
+                free_mask=free, setup=tl_setup,
+            )
+        elif use_pcg:
             diag = _diag_from_krep(krep)
             if free is not None:
                 eye = jnp.eye(obj.dim, dtype=diag.dtype)[None]
@@ -363,6 +386,41 @@ def newton_velocity_solve(
         return (it < max_newton) & (gn > tol) & (fails < 3)
 
     r0, krep0 = eval_at(v0)
+    tl_setup = None
+    if use_two_level:
+        # Build the two-level preconditioner ONCE per substep from the
+        # initial iterate's decoupled blocks (one coarse assembly + one
+        # Cholesky, hoisted out of the Newton loop — the per-iterate
+        # rebuild measured 10× the whole plain solve's wall time on TPU).
+        from fem_tpu.solvers.multilevel import (
+            coarse_matrix, make_coarse_space, two_level_setup,
+        )
+
+        diag0 = _diag_from_krep(krep0)
+        if free is not None:
+            eye0 = jnp.eye(obj.dim, dtype=diag0.dtype)[None]
+            f30 = free[..., None]
+            diag0 = f30 * diag0 + (1.0 - f30) * eye0
+        k_flat0, idx0 = _kflat_and_idx(krep0)
+        coarse0 = make_coarse_space(obj)
+        c_mat0 = coarse_matrix(
+            coarse0, obj, k_flat0, dt, beta, free, idx0, axis_name
+        )
+        base_op0 = _decoupled_apply(
+            obj, krep0, dt, axis_name, element_backend, beta
+        )
+        if free is None:
+            op0 = base_op0
+        else:
+            def op0(w):
+                return free * base_op0(free * w) + held * w
+
+        # operator=op0 hoists the smoother-damping power iteration here
+        # too — the whole preconditioner (blocks, coarse factor, ω) costs
+        # one assembly + one Cholesky + 12 applies per SUBSTEP.
+        tl_setup = two_level_setup(
+            diag0, obj.mass, coarse0, c_mat0, free, operator=op0
+        )
     carry0 = (
         v0, r0, krep0, res_norm(r0), jnp.int32(0), jnp.int32(0),
         jnp.int32(0),

@@ -39,6 +39,7 @@ class StaticResult(NamedTuple):
     energy: jnp.ndarray  # final total potential Π
     converged: jnp.ndarray  # bool: grad_norm ≤ the effective tolerance
     stalled: jnp.ndarray  # bool: stopped at the f32 progress floor instead
+    cg_iterations: jnp.ndarray = jnp.int32(0)  # total inner CG iterations
 
 
 def gravity_force(
@@ -59,6 +60,7 @@ def solve_static(
     max_newton: int = 60,
     cg_iters: int = 400,
     n_backtrack: int = 12,
+    cg_precond: str = "none",
 ) -> StaticResult:
     """Solve for static equilibrium from initial guess ``pos0``.
 
@@ -94,6 +96,17 @@ def solve_static(
             "pin_boxes / obj.free_mask): an unconstrained body has a "
             "rigid-motion null space and no unique equilibrium"
         )
+    if cg_precond not in ("none", "two_level"):
+        raise ValueError(
+            f"solve_static cg_precond must be 'none' or 'two_level', "
+            f"got {cg_precond!r}"
+        )
+    use_two_level = cg_precond == "two_level"
+    if use_two_level and obj.agg_ids is None:
+        raise ValueError(
+            "cg_precond='two_level' needs the coarse space attached at "
+            "build time (models/state.build_object)"
+        )
     free = obj.free_mask  # (N, 1)
     held = 1.0 - free
     load = jnp.zeros_like(pos0)
@@ -123,6 +136,54 @@ def solve_static(
     def residual(p: jnp.ndarray) -> jnp.ndarray:
         return free * (energy_grad(p) - load)
 
+    tl_setup = None
+    if use_two_level:
+        # Coarse-space preconditioner (solvers/multilevel.py), built ONCE
+        # at pos0 and FROZEN across Newton iterates: the static operator
+        # has NO mass regularization — its conditioning is the raw
+        # elliptic (L/h)², exactly the regime the coarse space owns — and
+        # the per-iterate rebuild (decoupled blocks + coarse Cholesky +
+        # power-iterated ω) measured 3× the whole plain solve's wall time
+        # on the TPU slab.  Frozen-preconditioner staleness under the
+        # moderate deformations of a statics solve costs iterations, not
+        # correctness (the operator stays the exact HVP at the current
+        # iterate; ω's 0.7 safety absorbs the λmax drift).
+        from fem_tpu.ops.element import hessian_blocks
+        from fem_tpu.solvers.multilevel import (
+            coarse_matrix, make_coarse_space, static_diag_blocks,
+            two_level_setup,
+        )
+
+        k_dec0 = hessian_blocks(
+            pos0, obj.element_indices, obj.ref_inv, obj.volume,
+            obj.mu, obj.s_lambda, True, obj.material,
+        )
+        diag0 = static_diag_blocks(obj, k_dec0, jnp.float32(0.0))
+        eye0 = jnp.eye(obj.dim, dtype=diag0.dtype)[None]
+        f30 = free[..., None]
+        diag0 = f30 * diag0 + (1.0 - f30) * eye0
+        coarse0 = make_coarse_space(obj)
+        c_mat0 = coarse_matrix(
+            coarse0, obj, k_dec0, 0.0, free_mask=free, coeff=1.0,
+            mass_vec=jnp.zeros_like(obj.mass),
+        )
+
+        def energy_grad0(p):
+            cols = explicit_grad_columns(
+                p, obj.element_indices, obj.ref_inv, obj.volume,
+                obj.mu, obj.s_lambda, obj.material,
+            )
+            return assemble_for(obj, element_contrib_full(cols), None)
+
+        def op0(v):
+            hv = jax.jvp(energy_grad0, (pos0,), (free * v,))[1]
+            return free * hv + (1.0 - free) * v
+
+        tl_setup = two_level_setup(
+            diag0, jnp.ones_like(obj.mass), coarse0, c_mat0, free,
+            operator=op0,
+        )
+
     ts = 2.0 ** (-jnp.arange(n_backtrack, dtype=jnp.float32))  # 1, ½, …
     rinv_norm = jnp.sqrt(
         jnp.max(jnp.sum(obj.ref_inv * obj.ref_inv, axis=(-2, -1)))
@@ -136,7 +197,7 @@ def solve_static(
     tol_eff = jnp.maximum(jnp.float32(tol), 16.0 * f32_floor)
 
     def body(carry):
-        x, lam, it, _, _, fails = carry
+        x, lam, it, _, _, fails, cg_total = carry
         g = residual(x)
 
         def hvp(v):
@@ -148,10 +209,29 @@ def solve_static(
         gg = jnp.sum(g * g)
         # Relative CG tolerance on rᵀr (the Newton inner solve needs only a
         # direction; 1e-8 relative is far below line-search resolution).
-        delta = conjugate_gradient(
-            op, -g, jnp.zeros_like(g), max_iter=cg_iters,
-            tol=1e-8 * gg,
-        ).x
+        inner_tol = 1e-8 * gg
+        if use_two_level:
+            # V-cycle PCG on the exact HVP with the pos0-frozen setup
+            # (built above).  The internal residual applies are the exact
+            # operator at the CURRENT iterate — the earlier decoupled-
+            # surrogate ω (power-iterated on a DIFFERENT operator than
+            # the cycle applies) under-damped the smoother against the
+            # exact Hessian's sharper top, turned M indefinite, and
+            # stalled the TPU slab solve (recorded A/B).
+            from fem_tpu.solvers.multilevel import two_level_pcg
+
+            ones = jnp.ones_like(obj.mass)
+            sol = two_level_pcg(
+                op, None, ones, None, None, -g, jnp.zeros_like(g),
+                max_iter=cg_iters, tol=inner_tol, free_mask=free,
+                setup=tl_setup,
+            )
+        else:
+            sol = conjugate_gradient(
+                op, -g, jnp.zeros_like(g), max_iter=cg_iters,
+                tol=inner_tol,
+            )
+        delta = sol.x
         e0 = potential(x)
         g0n = jnp.max(jnp.abs(g))
         cand = x[None] + ts[:, None, None] * delta[None]
@@ -182,22 +262,28 @@ def solve_static(
         g_new = residual(x_new)
         gnorm = jnp.max(jnp.abs(g_new))
         fails_new = jnp.where(any_ok, jnp.int32(0), fails + 1)
-        return (x_new, lam_new, it + 1, gnorm, potential(x_new), fails_new)
+        return (
+            x_new, lam_new, it + 1, gnorm, potential(x_new), fails_new,
+            cg_total + sol.iterations,
+        )
 
     def cond(carry):
-        _, _, it, gnorm, _, fails = carry
+        _, _, it, gnorm, _, fails, _ = carry
         return (it < max_newton) & (gnorm > tol_eff) & (fails < 3)
 
     g0 = residual(pos0)
     carry0 = (
         pos0, jnp.float32(0.0), jnp.int32(0),
-        jnp.max(jnp.abs(g0)), potential(pos0), jnp.int32(0),
+        jnp.max(jnp.abs(g0)), potential(pos0), jnp.int32(0), jnp.int32(0),
     )
-    x, _, it, gnorm, e_fin, fails = jax.lax.while_loop(cond, body, carry0)
+    x, _, it, gnorm, e_fin, fails, cg_total = jax.lax.while_loop(
+        cond, body, carry0
+    )
     return StaticResult(
         pos=x, iterations=it, grad_norm=gnorm, energy=e_fin,
         converged=gnorm <= tol_eff,
         stalled=(fails >= 3) & (gnorm > tol_eff),
+        cg_iterations=cg_total,
     )
 
 

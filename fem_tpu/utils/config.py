@@ -286,6 +286,17 @@ class SimConfig:
     # "block_jacobi" runs true PCG on A with M⁻¹ = inverted per-particle
     # d×d diagonal blocks (solvers/implicit.preconditioned_conjugate_
     # gradient) — 1 operator apply/iter, same absolute rᵀr tolerance.
+    # "two_level" runs PCG with the coarse-space V-cycle preconditioner
+    # (solvers/multilevel.py): damped block-Jacobi smoother for the
+    # element-scale top of the spectrum + per-aggregate rigid-body coarse
+    # space (dense-factored once per substep) for the smooth bottom — the
+    # condition number of the implicit system grows as dt², and this is
+    # the fix for the extreme-dt and quasi-static regimes where plain CG
+    # ramps or stops converging (ladder: 32/51/69 iters vs plain
+    # 160/442/500+-diverged at 16/64/256× the reference dt).  Honest cost
+    # model: 3 operator applies/iter — it wins wall-clock only where the
+    # iteration cut exceeds ~3× (≈64× dt and up, quasi-statics); at
+    # moderate dt plain CG stays faster (BASELINE.md rows).
     cg_precond: str = "reference"
     # Matrix-free operator execution: "auto" prefers the block-partitioned
     # MXU operator (ops/blocking.py — in-VMEM one-hot incidence per

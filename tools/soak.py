@@ -36,7 +36,7 @@ def main():
                         "thin-feature element inversions that NaN the "
                         "reference's unclamped log under deep squash)")
     p.add_argument("--cg-precond", default=None,
-                   choices=["reference", "none", "block_jacobi"],
+                   choices=["reference", "none", "block_jacobi", "two_level"],
                    help="override SimConfig.cg_precond")
     p.add_argument("--adaptive-dt", action="store_true",
                    help="enable the kappa-guard substep splitter")
@@ -44,6 +44,8 @@ def main():
                    choices=["semi_implicit", "newton"],
                    help="override SimConfig.integrator (newton = fully "
                         "implicit backward Euler, solvers/newton.py)")
+    p.add_argument("--newton-cg-iters", type=int, default=None,
+                   help="override SimConfig.newton_cg_iters (inner CG cap)")
     p.add_argument("--newton-hessian", default=None,
                    choices=["exact", "decoupled"],
                    help="Newton Jacobian: exact HVP (graph) or the "
@@ -72,6 +74,8 @@ def main():
         cfg = dataclasses.replace(cfg, integrator=args.integrator)
     if args.newton_hessian is not None:
         cfg = dataclasses.replace(cfg, newton_hessian=args.newton_hessian)
+    if args.newton_cg_iters is not None:
+        cfg = dataclasses.replace(cfg, newton_cg_iters=args.newton_cg_iters)
     ocfg = cfg.objects[0]
     obj_path = os.path.join(here, ocfg.obj)
     ocfg = type(ocfg)(**{**ocfg.__dict__, "obj": obj_path})
