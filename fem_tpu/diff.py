@@ -157,6 +157,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             return kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
                 free_mask=obj.free_mask, pin_vel=obj.pin_vel,
+                wall_friction=cfg.wall_friction,
             )
 
         return substep
@@ -176,6 +177,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             return kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
                 free_mask=obj.free_mask, pin_vel=obj.pin_vel,
+                wall_friction=cfg.wall_friction,
             )
 
         return substep
@@ -257,6 +259,7 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
         return advect_implicit_step(
             state, obstacles, dt, params.damping, g_dir,
             free_mask=obj.free_mask, pin_vel=obj.pin_vel,
+            wall_friction=cfg.wall_friction,
         )
 
     return substep

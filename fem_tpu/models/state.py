@@ -141,6 +141,17 @@ class Obstacles:
     sdf_grid: jnp.ndarray = None  # (M, nx, ny, nz) mesh SDF grids
     sdf_origin: jnp.ndarray = None  # (M, 3)
     sdf_spacing: jnp.ndarray = None  # (M,)
+    # Frictional spheres (extension): spheres whose config carries a
+    # Coulomb coefficient live here instead of the reference circle arrays
+    # (same slide math, plus the tangential Coulomb reduction).
+    sph_c: jnp.ndarray = None  # (S, d)
+    sph_r: jnp.ndarray = None  # (S,)
+    # Per-obstacle Coulomb coefficients μ (static: config constants — the
+    # zero-friction case compiles to the exact reference slide).
+    half_f: Tuple[float, ...] = struct.field(pytree_node=False, default=())
+    box_f: Tuple[float, ...] = struct.field(pytree_node=False, default=())
+    sdf_f: Tuple[float, ...] = struct.field(pytree_node=False, default=())
+    sph_f: Tuple[float, ...] = struct.field(pytree_node=False, default=())
 
     @staticmethod
     def from_configs(

@@ -128,14 +128,27 @@ def build_extension_arrays(
     Returns ``(fields, extra_spheres)``: ``fields`` is a dict of the
     extension fields (``None`` when a type is absent), ``extra_spheres`` a
     list of ``(center, radius)`` to append to the reference circle arrays.
+    Spheres with ``friction > 0`` stay on the extension path instead
+    (``sph_c``/``sph_r``) — the reference circle arrays carry no
+    per-obstacle friction.
     """
     halves_p, halves_n, box_lo, box_hi = [], [], [], []
     grids, origins, spacings = [], [], []
+    half_f, box_f, sdf_f, sph_f = [], [], [], []
+    sph_c, sph_r = [], []
     spheres = []
     for oc in obstacle_cfgs:
         kind = oc.type
+        mu = float(getattr(oc, "friction", 0.0))
+        if mu < 0.0:
+            raise ValueError("obstacle friction must be >= 0")
         if kind == "sphere":
-            spheres.append((tuple(oc.center), float(oc.radius)))
+            if mu > 0.0:
+                sph_c.append(np.asarray(oc.center, np.float32))
+                sph_r.append(float(oc.radius))
+                sph_f.append(mu)
+            else:
+                spheres.append((tuple(oc.center), float(oc.radius)))
         elif kind == "halfspace":
             n = np.asarray(oc.normal, np.float32)
             norm = float(np.linalg.norm(n))
@@ -143,9 +156,11 @@ def build_extension_arrays(
                 raise ValueError("halfspace obstacle needs a nonzero normal")
             halves_p.append(np.asarray(oc.point, np.float32))
             halves_n.append(n / norm)
+            half_f.append(mu)
         elif kind == "box":
             box_lo.append(np.asarray(oc.lo, np.float32))
             box_hi.append(np.asarray(oc.hi, np.float32))
+            box_f.append(mu)
         elif kind == "mesh":
             if dim != 3:
                 raise ValueError("mesh obstacles are 3D only")
@@ -155,11 +170,15 @@ def build_extension_arrays(
             grids.append(g)
             origins.append(o)
             spacings.append(s)
+            sdf_f.append(mu)
         else:
             raise ValueError(f"unknown obstacle type {kind!r}")
     fields = dict(
         half_p=None, half_n=None, box_lo=None, box_hi=None,
         sdf_grid=None, sdf_origin=None, sdf_spacing=None,
+        sph_c=None, sph_r=None,
+        half_f=tuple(half_f), box_f=tuple(box_f), sdf_f=tuple(sdf_f),
+        sph_f=tuple(sph_f),
     )
     if halves_p:
         fields["half_p"] = jnp.asarray(np.stack(halves_p))
@@ -167,6 +186,9 @@ def build_extension_arrays(
     if box_lo:
         fields["box_lo"] = jnp.asarray(np.stack(box_lo))
         fields["box_hi"] = jnp.asarray(np.stack(box_hi))
+    if sph_c:
+        fields["sph_c"] = jnp.asarray(np.stack(sph_c))
+        fields["sph_r"] = jnp.asarray(np.asarray(sph_r, np.float32))
     if grids:
         shapes = {g.shape for g in grids}
         if len(shapes) > 1:
@@ -258,19 +280,35 @@ def _box_phi_normal(lo, hi, pos) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return phi, normal
 
 
-def _slide(v, phi, normal):
+def _slide(v, phi, normal, mu: float = 0.0):
     """Reference circle slide semantics on an SDF (kinematic.py:36-41):
     penetrating and moving inward → remove the normal velocity component.
-    Returns (v', hit (N,1), normal)."""
+    Returns (v', hit (N,1), normal, s (N,1) tangential Coulomb scale).
+
+    ``mu`` > 0 (extension — ObstacleConfig.friction) additionally applies
+    an impulse-level Coulomb cone: the normal impulse removed the speed
+    |v_n|, so the tangential speed drops by min(μ·|v_n|, |v_t|), i.e. the
+    tangential velocity scales by s = max(0, 1 − μ·|v_n|/|v_t|).  μ = 0
+    compiles to the exact reference slide (s ≡ 1 never materializes)."""
     vn = jnp.sum(v * normal, axis=-1, keepdims=True)
     hit = (phi < 0.0) & (vn < 0.0)
-    return jnp.where(hit, v - vn * normal, v), hit, normal
+    v_t = v - vn * normal  # tangential part (zero normal component)
+    if mu > 0.0:
+        t_speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True))
+        s = jnp.maximum(0.0, 1.0 - mu * (-vn) / jnp.maximum(t_speed, 1e-20))
+        return jnp.where(hit, s * v_t, v), hit, normal, s
+    return jnp.where(hit, v_t, v), hit, normal, None
 
 
 def _iter_obstacles(obstacles, pos):
-    """Yield (φ, normal) per extension obstacle, in config order class by
-    class: halfspaces, boxes, mesh SDFs (circles/spheres ride the reference
-    loop in solvers/advect.py)."""
+    """Yield (φ, normal, μ) per extension obstacle, in config order class
+    by class: halfspaces, boxes, frictional spheres, mesh SDFs
+    (frictionless circles/spheres ride the reference loop in
+    solvers/advect.py)."""
+
+    def _mu(fric, k):
+        return float(fric[k]) if k < len(fric) else 0.0
+
     if obstacles.half_p is not None:
         for k in range(int(obstacles.half_p.shape[0])):
             p, n = obstacles.half_p[k], obstacles.half_n[k]
@@ -278,24 +316,36 @@ def _iter_obstacles(obstacles, pos):
                 (pos - p[None, :]) * n[None, :], axis=-1, keepdims=True
             )
             normal = jnp.broadcast_to(n[None, :], pos.shape)
-            yield phi, normal
+            yield phi, normal, _mu(obstacles.half_f, k)
     if obstacles.box_lo is not None:
         for k in range(int(obstacles.box_lo.shape[0])):
-            yield _box_phi_normal(
+            phi, normal = _box_phi_normal(
                 obstacles.box_lo[k], obstacles.box_hi[k], pos
             )
+            yield phi, normal, _mu(obstacles.box_f, k)
+    if obstacles.sph_c is not None:
+        for k in range(int(obstacles.sph_c.shape[0])):
+            disp = pos - obstacles.sph_c[k][None, :]
+            dist = jnp.sqrt(
+                jnp.sum(disp * disp, axis=-1, keepdims=True)
+            )
+            phi = dist - obstacles.sph_r[k]
+            normal = disp / jnp.maximum(dist, 1e-20)
+            yield phi, normal, _mu(obstacles.sph_f, k)
     if obstacles.sdf_grid is not None:
         for k in range(int(obstacles.sdf_grid.shape[0])):
-            yield _mesh_phi_normal(
+            phi, normal = _mesh_phi_normal(
                 obstacles.sdf_grid[k], obstacles.sdf_origin[k],
                 obstacles.sdf_spacing[k], pos,
             )
+            yield phi, normal, _mu(obstacles.sdf_f, k)
 
 
 def has_extensions(obstacles) -> bool:
     return (
         obstacles.half_p is not None
         or obstacles.box_lo is not None
+        or obstacles.sph_c is not None
         or obstacles.sdf_grid is not None
     )
 
@@ -306,8 +356,8 @@ def apply_extensions_explicit(
     """Sequential slide collisions of all extension obstacles (explicit
     advection) — each obstacle sees the velocity already modified by the
     previous one, matching the reference's circle loop."""
-    for phi, normal in _iter_obstacles(obstacles, pos):
-        v, _, _ = _slide(v, phi, normal)
+    for phi, normal, mu in _iter_obstacles(obstacles, pos):
+        v, _, _, _ = _slide(v, phi, normal, mu)
     return v
 
 
@@ -321,10 +371,17 @@ def apply_extensions_implicit(
     """Implicit-advection variant: the hit test runs on the combined
     velocity v = vel + vel_g, and on hit the normal component is removed
     from each channel separately — the exact structure of the reference's
-    implicit circle handling (solver/implicit.py:424-436)."""
-    for phi, normal in _iter_obstacles(obstacles, pos):
-        v, hit, n = _slide(v, phi, normal)
-        proj = lambda u: jnp.sum(u * n, axis=-1, keepdims=True) * n
-        vel = jnp.where(hit, vel - proj(vel), vel)
-        vel_g = jnp.where(hit, vel_g - proj(vel_g), vel_g)
+    implicit circle handling (solver/implicit.py:424-436).  With friction
+    the per-channel map on hit is u → s·(u − (u·n)n): linear, so the
+    channel sum stays consistent with the combined v."""
+    for phi, normal, mu in _iter_obstacles(obstacles, pos):
+        v, hit, n, s = _slide(v, phi, normal, mu)
+        scale = 1.0 if s is None else s
+
+        def chan(u):
+            u_t = u - jnp.sum(u * n, axis=-1, keepdims=True) * n
+            return jnp.where(hit, scale * u_t, u)
+
+        vel = chan(vel)
+        vel_g = chan(vel_g)
     return v, vel, vel_g

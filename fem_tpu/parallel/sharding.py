@@ -173,6 +173,7 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
         newton_hessian=cfg.newton_hessian,
+        wall_friction=cfg.wall_friction,
         axis_name=AXIS,
         solver_backend="matrix_free",  # dense backend is single-chip only
         # "fused" is the single-chip whole-solve kernel; under sharding it
@@ -305,6 +306,7 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
         newton_hessian=cfg.newton_hessian,
+        wall_friction=cfg.wall_friction,
         axis_name=AXIS,
         solver_backend="matrix_free",
         operator_mode="auto" if cfg.operator_mode == "fused"

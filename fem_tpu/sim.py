@@ -59,6 +59,7 @@ def substep(
     newton_tol: float = 1e-5,
     newton_hessian: str = "exact",
     external_force: jnp.ndarray | None = None,
+    wall_friction: float = 0.0,
 ) -> Tuple[SimState, StepAux]:
     """One simulation substep.  Method dispatch mirrors main.py:101-112:
     ``auto_diff`` wins over everything (even over use_explicit_method=False),
@@ -128,7 +129,7 @@ def substep(
             grad = grad - external_force
         state = kinematic_step(
             state, grad, obj.mass, obstacles, dt, obj.damping, g_dir,
-            advect_backend, obj.free_mask, obj.pin_vel,
+            advect_backend, obj.free_mask, obj.pin_vel, wall_friction,
         )
         if inelastic:
             state = advance_internal(obj, state, dt)
@@ -158,7 +159,7 @@ def substep(
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,
-            obj.free_mask, obj.pin_vel,
+            obj.free_mask, obj.pin_vel, wall_friction,
         )
         state = advance_internal(obj, state, dt)
         return state, StepAux(solve_aux.iterations, solve_aux.residual)
@@ -181,7 +182,8 @@ def substep(
             # coarse-space V-cycle PCG (both decoupled mode).
             cg_precond=(
                 cg_precond
-                if cg_precond in ("block_jacobi", "two_level")
+                if cg_precond == "block_jacobi"
+                or cg_precond.startswith("two_level")
                 else "none"
             ),
             robust=robust_inversion,
@@ -189,7 +191,7 @@ def substep(
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,
-            obj.free_mask, obj.pin_vel,
+            obj.free_mask, obj.pin_vel, wall_friction,
         )
         return state, StepAux(solve_aux.iterations, solve_aux.residual)
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
@@ -222,7 +224,7 @@ def substep(
         )
     state = advect_implicit_step(
         state, obstacles, dt, obj.damping, g_dir, advect_backend,
-        obj.free_mask, obj.pin_vel,
+        obj.free_mask, obj.pin_vel, wall_friction,
     )
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 
@@ -247,6 +249,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
         newton_hessian=cfg.newton_hessian,
+        wall_friction=cfg.wall_friction,
     )
 
 
@@ -258,10 +261,13 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
 
 
 def _circles_only(cfg: SimConfig) -> bool:
-    """The fused whole-frame kernels implement the reference circle
-    obstacles only; SDF obstacle extensions (other than spheres, which fold
-    into the circle arrays) run the op-composed path."""
-    return all(o.type == "sphere" for o in cfg.obstacles)
+    """The fused whole-frame kernels implement the reference advection
+    semantics only: circle obstacles (frictionless spheres fold into the
+    circle arrays) and frictionless walls.  SDF obstacle extensions,
+    frictional spheres and wall friction run the op-composed path."""
+    return cfg.wall_friction == 0.0 and all(
+        o.type == "sphere" and o.friction == 0.0 for o in cfg.obstacles
+    )
 
 
 def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:

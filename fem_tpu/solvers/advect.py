@@ -26,12 +26,25 @@ import jax.numpy as jnp
 from fem_tpu.models.state import Obstacles, SimState
 
 
-def _sticky_walls(pos: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _sticky_walls(
+    pos: jnp.ndarray, v: jnp.ndarray, wall_friction: float = 0.0
+) -> jnp.ndarray:
     """Zero velocity components pushing through the unit box walls
-    (kinematic.py:25-30)."""
-    v = jnp.where((pos < 0.0) & (v < 0.0), 0.0, v)
-    v = jnp.where((pos > 1.0) & (v > 0.0), 0.0, v)
-    return v
+    (kinematic.py:25-30).  ``wall_friction`` > 0 (extension,
+    SimConfig.wall_friction) adds an impulse-level Coulomb cone: the
+    zeroed components removed the normal speed j_n = Σ|v_k|, so the
+    remaining (tangential) components scale by
+    s = max(0, 1 − μ·j_n/|v_t|).  μ = 0 compiles to the reference walls."""
+    hit = ((pos < 0.0) & (v < 0.0)) | ((pos > 1.0) & (v > 0.0))
+    v_t = jnp.where(hit, 0.0, v)
+    if wall_friction > 0.0:
+        jn = jnp.sum(jnp.abs(v) * hit, axis=-1, keepdims=True)
+        t_speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True))
+        s = jnp.maximum(
+            0.0, 1.0 - wall_friction * jn / jnp.maximum(t_speed, 1e-20)
+        )
+        v_t = jnp.where(jn > 0.0, s * v_t, v_t)
+    return v_t
 
 
 def _circle_projection(
@@ -62,6 +75,7 @@ def kinematic_step(
     backend: str = "xla",
     free_mask: jnp.ndarray | None = None,
     pin_vel: jnp.ndarray | None = None,
+    wall_friction: float = 0.0,
 ) -> SimState:
     """Explicit-path advection (kinematic.py:14-45).
 
@@ -80,11 +94,11 @@ def kinematic_step(
 
         from fem_tpu.ops.pallas_advect import kinematic_pallas
 
-        if has_extensions(obstacles):
+        if has_extensions(obstacles) or wall_friction > 0.0:
             raise ValueError(
-                "SDF obstacle extensions require the XLA advection path "
-                "(backend='xla'); the fused Pallas advection kernel "
-                "implements reference circles only"
+                "SDF obstacle extensions / wall friction require the XLA "
+                "advection path (backend='xla'); the fused Pallas advection "
+                "kernel implements reference circles only"
             )
         pos, vel = kinematic_pallas(
             state.pos, state.vel, grad, (1.0 / mass)[:, None],
@@ -105,7 +119,7 @@ def kinematic_step(
     g = 9.8 * jnp.asarray(g_dir, jnp.float32)
     vel = state.vel + (g[None, :] - grad / mass[:, None]) * dt
     vel = vel * jnp.exp(-dt * damping)
-    vel = _sticky_walls(state.pos, vel)
+    vel = _sticky_walls(state.pos, vel, wall_friction)
     n_blocks = int(obstacles.radii.shape[0])
     for b in range(n_blocks):  # static unroll; blocks are few and sequential
         hit, delta = _circle_projection(
@@ -134,6 +148,7 @@ def advect_implicit_step(
     backend: str = "xla",
     free_mask: jnp.ndarray | None = None,
     pin_vel: jnp.ndarray | None = None,
+    wall_friction: float = 0.0,
 ) -> SimState:
     """Implicit-path advection (implicit.py:407-438): gravity lives in the
     separate ``vel_g`` channel outside the linear solve.  ``free_mask``
@@ -147,11 +162,11 @@ def advect_implicit_step(
 
         from fem_tpu.ops.pallas_advect import advect_implicit_pallas
 
-        if has_extensions(obstacles):
+        if has_extensions(obstacles) or wall_friction > 0.0:
             raise ValueError(
-                "SDF obstacle extensions require the XLA advection path "
-                "(backend='xla'); the fused Pallas advection kernel "
-                "implements reference circles only"
+                "SDF obstacle extensions / wall friction require the XLA "
+                "advection path (backend='xla'); the fused Pallas advection "
+                "kernel implements reference circles only"
             )
         pos, vel, vel_g = advect_implicit_pallas(
             state.pos, state.vel, state.vel_g,
@@ -177,6 +192,7 @@ def advect_implicit_step(
     vel_g = vel_g * decay
     v = vel + vel_g
 
+    v_pre = v
     lower = (state.pos < 0.0) & (v < 0.0)
     vel = jnp.where(lower, 0.0, vel)
     vel_g = jnp.where(lower, 0.0, vel_g)
@@ -186,6 +202,23 @@ def advect_implicit_step(
     vel = jnp.where(upper, 0.0, vel)
     # Reference deliberately does NOT zero vel_g here (implicit.py:422).
     v = jnp.where(upper, 0.0, v)
+
+    if wall_friction > 0.0:
+        # Wall Coulomb friction (extension, SimConfig.wall_friction): the
+        # zeroing removed normal speed j_n from the combined velocity;
+        # scale the tangential (non-hit) components of BOTH channels by
+        # s = max(0, 1 − μ·j_n/|v_t|).  Hit components keep their
+        # post-zeroing values (including the vel_g upper-wall quirk).
+        hit = lower | upper
+        jn = jnp.sum(jnp.abs(v_pre) * hit, axis=-1, keepdims=True)
+        t_speed = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        s = jnp.maximum(
+            0.0, 1.0 - wall_friction * jn / jnp.maximum(t_speed, 1e-20)
+        )
+        scale = jnp.where(jn > 0.0, s, 1.0)
+        vel = jnp.where(hit, vel, scale * vel)
+        vel_g = jnp.where(hit, vel_g, scale * vel_g)
+        v = jnp.where(hit, v, scale * v)
 
     n_blocks = int(obstacles.radii.shape[0])
     for b in range(n_blocks):

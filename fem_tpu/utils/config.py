@@ -150,6 +150,14 @@ class ObstacleConfig:
     scale: float = 1.0
     offset: Tuple[float, ...] = (0.0, 0.0, 0.0)
     resolution: int = 48
+    # Coulomb friction coefficient μ (extension; 0 = the reference's
+    # frictionless slide).  On a slide hit the tangential velocity is
+    # reduced by at most μ·|v_n| (the removed normal speed — an impulse-
+    # level Coulomb cone), so a body resting on a frictional surface
+    # decelerates at μ·g and sticks when μ·|v_n| ≥ |v_t|.  Frictional
+    # spheres stay on the SDF extension path (the reference circle arrays
+    # carry no per-obstacle friction).
+    friction: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,6 +306,12 @@ class SimConfig:
     # iteration cut exceeds ~3× (≈64× dt and up, quasi-statics); at
     # moderate dt plain CG stays faster (BASELINE.md rows).
     cg_precond: str = "reference"
+    # Coulomb friction coefficient of the unit-box domain walls (extension;
+    # 0 = the reference's frictionless per-component zeroing).  Same
+    # impulse-level Coulomb model as ObstacleConfig.friction: the removed
+    # normal speed bounds the tangential speed reduction, so a body
+    # resting on the floor decelerates at μ·g and sticks below the cone.
+    wall_friction: float = 0.0
     # Matrix-free operator execution: "auto" prefers the block-partitioned
     # MXU operator (ops/blocking.py — in-VMEM one-hot incidence per
     # locality block, measured 8.6× over the graph chain at 68k tets;
@@ -383,6 +397,7 @@ def parse_config(data: dict) -> SimConfig:
             scale=float(o.get("scale", 1.0)),
             offset=_tupled(o.get("offset", (0.0, 0.0, 0.0))),
             resolution=int(o.get("resolution", 48)),
+            friction=float(o.get("friction", 0.0)),
         )
         for o in data.get("obstacles", [])
     )
@@ -415,6 +430,7 @@ def parse_config(data: dict) -> SimConfig:
         self_contact=bool(data.get("self_contact", False)),
         contact_surface_only=bool(data.get("contact_surface_only", True)),
         adaptive_dt=bool(data.get("adaptive_dt", False)),
+        wall_friction=float(data.get("wall_friction", 0.0)),
         adaptive_dt_threshold=float(data.get("adaptive_dt_threshold", 0.5)),
         cg_precond=str(data.get("cg_precond", "reference")),
         operator_mode=str(data.get("operator_mode", "auto")),
