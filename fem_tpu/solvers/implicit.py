@@ -604,7 +604,10 @@ def _cg_solve_dispatch(
         return preconditioned_conjugate_gradient(
             apply_a, diag_fn(), mass, b, x0=b
         )
-    if cg_precond == "two_level":
+    from fem_tpu.solvers.multilevel import parse_two_level_precond
+
+    tl, tl_smoother, tl_degree = parse_two_level_precond(cg_precond)
+    if tl:
         if two_level_fn is None or diag_fn is None:
             raise ValueError(
                 "cg_precond='two_level' requires explicit K blocks and the "
@@ -616,7 +619,7 @@ def _cg_solve_dispatch(
         coarse, c_mat = two_level_fn()
         return two_level_pcg(
             apply_a, diag_fn(), mass, coarse, c_mat, b, x0=b,
-            free_mask=free,
+            free_mask=free, smoother=tl_smoother, cheb_degree=tl_degree,
         )
     if cg_precond not in ("reference", "none"):
         raise ValueError(f"unknown cg_precond {cg_precond!r}")

@@ -35,6 +35,17 @@ Two cycles, both on the mass-symmetrized operator Ã = M^{1/2}AM^{-1/2}:
   turns M indefinite, and stalls the outer Newton line search (the
   recorded TPU static-slab failure).
 
+* smoother ``"chebyshev"`` (``cg_precond="two_level_cheb<k>"``) — the
+  degree-k Chebyshev polynomial sweep replaces the single damped-Jacobi
+  sweep inside the multiplicative cycle, damping the whole
+  [λmax/α, λmax] band of D⁻¹Ã instead of just its top.  This is the fix
+  for the measured 3D weakness of the point smoother (λmax ≈ 5.8 in 3D
+  vs ~2 in 2D): on the 3D static slab the Jacobi cycle cut NOTHING
+  (3904 vs plain 3873 inner iters) while cheb3 cut 3.0× (1275).  Honest
+  cost: 2k+1 fine applies per PCG iteration — plain CG keeps the 3D
+  wall-clock crown at moderate sizes; the Chebyshev cycle owns the
+  regimes where plain CG ramps past ~(2k+1)× or diverges.
+
 * ``cycle="additive"`` — two-level additive Schwarz,
   M⁻¹·r = D⁻¹·r + R̃·C⁻¹·R̃ᵀ·r.  ZERO fine applies inside the
   preconditioner and SPD with no spectral estimate, but MEASURED WEAK:
@@ -75,6 +86,29 @@ from fem_tpu.ops import smallmat as sm
 def n_rigid_modes(dim: int) -> int:
     """Rigid-body modes per aggregate: translations + rotations."""
     return 3 if dim == 2 else 6
+
+
+def parse_two_level_precond(name: str) -> Tuple[bool, str, int]:
+    """Parse a ``cg_precond`` string into ``(is_two_level, smoother,
+    degree)``.
+
+    ``"two_level"`` selects the damped block-Jacobi smoother;
+    ``"two_level_cheb<k>"`` (k in 2..6, e.g. ``"two_level_cheb3"``) selects
+    the degree-k Chebyshev polynomial smoother — the fix for the measured
+    3D weakness of the point smoother (λmax(D⁻¹Ã) ≈ 5.8 in 3D leaves the
+    mid-spectrum undamped; a degree-k Chebyshev sweep damps the whole
+    [λmax/α, λmax] band).  Any other name returns (False, "", 0)."""
+    if name == "two_level":
+        return True, "jacobi", 0
+    if name.startswith("two_level_cheb"):
+        tail = name[len("two_level_cheb"):]
+        deg = int(tail) if tail else 3
+        if not 2 <= deg <= 6:
+            raise ValueError(
+                f"two_level_cheb degree must be in 2..6, got {deg}"
+            )
+        return True, "chebyshev", deg
+    return False, "", 0
 
 
 def build_aggregates(
@@ -334,30 +368,26 @@ class TwoLevelSetup(NamedTuple):
     chol_ok: jnp.ndarray  # scalar bool
     sq: jnp.ndarray  # (N, 1) sqrt mass
     omega: jnp.ndarray | None = None  # smoother damping (multiplicative)
+    lam_max: jnp.ndarray | None = None  # power-iterated λmax(D⁻¹Ã)
 
 
 def _vdot(a, b):
     return jnp.sum(a * b)
 
 
-def estimate_omega(
+def estimate_lam_max(
     smooth_apply: Callable[[jnp.ndarray], jnp.ndarray],
     op: Callable[[jnp.ndarray], jnp.ndarray],
     shape_like: jnp.ndarray,
     iters: int = 16,
-    safety: float = 0.9,
 ) -> jnp.ndarray:
-    """ω = safety / λmax(D⁻¹Ã) by power iteration.  SPD-ness of the
-    V-cycle needs ω·λmax < 2, so the fatal direction is an UNDER-estimate
-    of λmax (the recorded TPU static-slab stall: ω power-iterated on a
-    DIFFERENT, softer surrogate operator than the cycle applied — a
-    ~30% λmax miss over-relaxed the smoother and turned M indefinite).
-    Estimate on the SAME operator the cycle uses; the start vector is
-    deliberately ROUGH (alternating-sign, irrational stride) because
-    λmax's eigenvector is element-scale oscillatory and a smooth start
-    (all-ones) overlaps it only through roundoff — 16 iterations from it
-    land within a few % on this operator family, which the 0.9 safety
-    absorbs."""
+    """λmax(D⁻¹Ã) by power iteration.  The start vector is deliberately
+    ROUGH (alternating-sign, irrational stride) because λmax's eigenvector
+    is element-scale oscillatory and a smooth start (all-ones) overlaps it
+    only through roundoff — 16 iterations from it land within a few % on
+    this operator family.  Estimate on the SAME operator the cycle uses
+    (the recorded TPU static-slab stall: a ~30% λmax miss from a softer
+    surrogate operator over-relaxed the smoother and turned M indefinite)."""
     n = shape_like.size
     rough = jnp.sin(
         (1.0 + jnp.arange(n, dtype=jnp.float32)) * 2.399963
@@ -370,7 +400,21 @@ def estimate_omega(
             jnp.sqrt(_vdot(v, v)), 1e-30
         )
         v = w / jnp.maximum(jnp.sqrt(_vdot(w, w)), 1e-30)
-    return safety / jnp.maximum(lam, 1e-6)
+    return jnp.maximum(lam, 1e-6)
+
+
+def estimate_omega(
+    smooth_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    op: Callable[[jnp.ndarray], jnp.ndarray],
+    shape_like: jnp.ndarray,
+    iters: int = 16,
+    safety: float = 0.9,
+) -> jnp.ndarray:
+    """ω = safety / λmax(D⁻¹Ã).  SPD-ness of the damped-Jacobi V-cycle
+    needs ω·λmax < 2, so the fatal direction is an UNDER-estimate of λmax;
+    the rough-start power iteration plus the 0.9 safety absorbs the
+    few-percent estimation error (see :func:`estimate_lam_max`)."""
+    return safety / estimate_lam_max(smooth_apply, op, shape_like, iters)
 
 
 def two_level_setup(
@@ -447,6 +491,7 @@ def two_level_setup(
 
     chol_l, chol_ok = jax.lax.cond(ok0, _keep, _fallback, None)
     omega = None
+    lam_max = None
     if operator is not None:
         hp = jax.lax.Precision.HIGHEST
 
@@ -456,11 +501,13 @@ def two_level_setup(
         def _op_sym(y):
             return sq * operator(y / sq)
 
-        omega = estimate_omega(_smooth, _op_sym, basis[..., 0])
+        lam_max = estimate_lam_max(_smooth, _op_sym, basis[..., 0])
+        omega = 0.9 / lam_max
     return TwoLevelSetup(
         minv=minv, basis_t=basis_t, agg_ids=coarse.agg_ids,
         num_aggregates=coarse.num_aggregates, dscale=dscale,
         chol_l=chol_l, chol_ok=chol_ok, sq=sq, omega=omega,
+        lam_max=lam_max,
     )
 
 
@@ -479,6 +526,9 @@ def two_level_pcg(
     precond_operator: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     setup: TwoLevelSetup | None = None,
     cycle: str = "multiplicative",
+    smoother: str = "jacobi",
+    cheb_degree: int = 3,
+    cheb_alpha: float = 8.0,
 ) -> CGResult:
     """PCG on the mass-symmetrized operator with the two-level
     preconditioner (symmetric V-cycle by default; additive Schwarz with
@@ -487,9 +537,28 @@ def two_level_pcg(
     solutions — same contract as solvers/implicit.preconditioned_
     conjugate_gradient).  Pass ``setup`` (from :func:`two_level_setup`)
     to reuse a frozen preconditioner across solves; otherwise
-    ``diag``/``coarse``/``c_matrix`` are assembled here."""
+    ``diag``/``coarse``/``c_matrix`` are assembled here.
+
+    ``smoother="chebyshev"`` (multiplicative cycle only) replaces the
+    single damped-Jacobi sweep with a degree-``cheb_degree`` Chebyshev
+    polynomial sweep targeting the band [λmax/``cheb_alpha``, λmax] of
+    D⁻¹Ã — the textbook fix for the point smoother's measured 3D weakness
+    (λmax ≈ 5.8 leaves the mid-spectrum barely damped: |1 − ωλ| ≈ 0.5-0.85
+    for λ ∈ [1, 3], while Chebyshev(3) holds the whole band under ~0.1).
+    Cost model: 2·k fine applies per PCG iteration (vs the Jacobi cycle's
+    2), so it wins wall-clock only where the iteration cut exceeds
+    ~(2k+1)/3.  SPD-ness needs the band's upper edge ≥ the true λmax; the
+    power-iterated estimate is inflated 1.1× (an over-estimate only
+    weakens the sweep, an under-estimate can turn M indefinite — same
+    failure direction as the Jacobi ω)."""
     if cycle not in ("additive", "multiplicative"):
         raise ValueError(f"unknown two-level cycle {cycle!r}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unknown two-level smoother {smoother!r}")
+    if smoother == "chebyshev" and cycle != "multiplicative":
+        raise ValueError(
+            "smoother='chebyshev' requires the multiplicative cycle"
+        )
     hp = jax.lax.Precision.HIGHEST
     if setup is None:
         setup = two_level_setup(diag, mass, coarse, c_matrix, free_mask)
@@ -533,6 +602,47 @@ def two_level_pcg(
 
         def apply_m(r):
             return omega_t * smooth_apply(r) + coarse_apply(r)
+
+    elif smoother == "chebyshev":
+        # Degree-k Chebyshev sweeps around the coarse correction.  The
+        # smoother's error operator is a fixed polynomial q_k(D⁻¹Ã) with
+        # q_k(0) = 1, |q_k| ≤ 1/T_k(σ) on [lb, ub] and q_k ∈ (0, 1) on
+        # (0, lb) — self-adjoint in the Ã inner product, so the symmetric
+        # pre/post arrangement keeps M SPD as long as ub ≥ λmax.
+        if setup.lam_max is not None:
+            lam = setup.lam_max
+        else:
+            lam = estimate_lam_max(smooth_apply, op_m, rhs)
+        ub = 1.1 * lam  # over-estimate: weakens the sweep, never breaks SPD
+        lb = ub / jnp.float32(cheb_alpha)
+        theta = 0.5 * (ub + lb)
+        delta = 0.5 * (ub - lb)
+        sigma = theta / delta
+
+        def cheb_sweep(x0, r0, need_r):
+            """k-step Chebyshev iteration on Ã x = b from (x0, r0 = b −
+            Ã x0); returns (x, r) with r exact for the returned x when
+            ``need_r`` (k op_m applies; k−1 when the caller discards r)."""
+            rho = 1.0 / sigma
+            d = smooth_apply(r0) / theta
+            x, r = x0, r0
+            for _ in range(cheb_degree - 1):
+                x = x + d
+                r = r - op_m(d)
+                rho_next = 1.0 / (2.0 * sigma - rho)
+                d = (rho_next * rho) * d + (
+                    2.0 * rho_next / delta
+                ) * smooth_apply(r)
+                rho = rho_next
+            return x + d, (r - op_m(d)) if need_r else r
+
+        def apply_m(r):
+            x1, r1 = cheb_sweep(jnp.zeros_like(r), r, True)  # pre-smooth
+            e = coarse_apply(r1)
+            x2 = x1 + e
+            r2 = r1 - op_m(e)
+            x3, _ = cheb_sweep(x2, r2, False)  # post-smooth (same poly)
+            return x3
 
     else:
         if omega is not None:

@@ -212,8 +212,12 @@ def newton_velocity_solve(
             f"newton_hessian must be 'exact' or 'decoupled', "
             f"got {hessian_mode!r}"
         )
+    from fem_tpu.solvers.multilevel import parse_two_level_precond
+
     use_pcg = cg_precond == "block_jacobi"
-    use_two_level = cg_precond == "two_level"
+    use_two_level, tl_smoother, tl_degree = parse_two_level_precond(
+        cg_precond
+    )
     if (use_pcg or use_two_level) and hessian_mode != "decoupled":
         raise ValueError(
             f"integrator='newton' with cg_precond={cg_precond!r} requires "
@@ -335,6 +339,7 @@ def newton_velocity_solve(
                 op, None, obj.mass, None, None, -r,
                 jnp.zeros_like(r), max_iter=cg_iters, tol=inner_tol,
                 free_mask=free, setup=tl_setup,
+                smoother=tl_smoother, cheb_degree=tl_degree,
             )
         elif use_pcg:
             diag = _diag_from_krep(krep)

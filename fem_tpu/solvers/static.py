@@ -96,12 +96,16 @@ def solve_static(
             "pin_boxes / obj.free_mask): an unconstrained body has a "
             "rigid-motion null space and no unique equilibrium"
         )
-    if cg_precond not in ("none", "two_level"):
+    from fem_tpu.solvers.multilevel import parse_two_level_precond
+
+    use_two_level, tl_smoother, tl_degree = parse_two_level_precond(
+        cg_precond
+    )
+    if cg_precond != "none" and not use_two_level:
         raise ValueError(
-            f"solve_static cg_precond must be 'none' or 'two_level', "
+            f"solve_static cg_precond must be 'none' or 'two_level[...]', "
             f"got {cg_precond!r}"
         )
-    use_two_level = cg_precond == "two_level"
     if use_two_level and obj.agg_ids is None:
         raise ValueError(
             "cg_precond='two_level' needs the coarse space attached at "
@@ -224,7 +228,8 @@ def solve_static(
             sol = two_level_pcg(
                 op, None, ones, None, None, -g, jnp.zeros_like(g),
                 max_iter=cg_iters, tol=inner_tol, free_mask=free,
-                setup=tl_setup,
+                setup=tl_setup, smoother=tl_smoother,
+                cheb_degree=tl_degree,
             )
         else:
             sol = conjugate_gradient(

@@ -283,3 +283,92 @@ def test_static_two_level_matches_plain():
         np.asarray(res_p.pos), np.asarray(res_2.pos), atol=2e-4
     )
     assert float(res_2.grad_norm) <= 2.0 * float(res_p.grad_norm)
+
+
+def test_parse_two_level_precond():
+    from fem_tpu.solvers.multilevel import parse_two_level_precond
+
+    assert parse_two_level_precond("two_level") == (True, "jacobi", 0)
+    assert parse_two_level_precond("two_level_cheb") == (
+        True, "chebyshev", 3,
+    )
+    assert parse_two_level_precond("two_level_cheb2") == (
+        True, "chebyshev", 2,
+    )
+    assert parse_two_level_precond("none") == (False, "", 0)
+    assert parse_two_level_precond("block_jacobi") == (False, "", 0)
+    with pytest.raises(ValueError, match="degree"):
+        parse_two_level_precond("two_level_cheb9")
+
+
+def test_chebyshev_smoother_iteration_cut():
+    """The Chebyshev sweep targets the whole [λmax/α, λmax] band of D⁻¹Ã,
+    so at large dt it must cut iterations vs BOTH plain CG and the
+    single-sweep Jacobi V-cycle, while accepting the same solution
+    (absolute-tolerance contract)."""
+    obj, K, b, dt = _perturbed_system(dt=3.2e-2)
+    apply_a = make_system_apply(obj, K, dt)
+    res_plain = conjugate_gradient(apply_a, b, x0=b)
+    coarse = make_coarse_space(obj)
+    c_mat = coarse_matrix(coarse, obj, K, dt)
+    diag = diagonal_blocks(obj, K, dt)
+    res_jac = two_level_pcg(
+        apply_a, diag, obj.mass, coarse, c_mat, b, x0=b,
+    )
+    res_cheb = two_level_pcg(
+        apply_a, diag, obj.mass, coarse, c_mat, b, x0=b,
+        smoother="chebyshev", cheb_degree=3,
+    )
+    assert float(res_cheb.residual) <= 1e-5
+    assert int(res_cheb.iterations) < int(res_jac.iterations)
+    assert int(res_cheb.iterations) * 5 < int(res_plain.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_plain.x), np.asarray(res_cheb.x), atol=5e-4
+    )
+
+
+def test_substep_chebyshev_matches_plain():
+    """Full substep routing for cg_precond="two_level_cheb3" (graph
+    operator): interchangeable solution at the reference-stable dt."""
+    cfg_kwargs = dict(
+        dim=2, delta_time=5e-4, sim_count=5, auto_diff=False,
+        use_explicit_method=False, implicit_method=1, preconditioned=0,
+        g_dir=(0.0, -1.0), blocks=(),
+    )
+    outs = {}
+    for precond in ("none", "two_level_cheb3"):
+        cfg = SimConfig(cg_precond=precond, **cfg_kwargs)
+        _, obj, state = make_2d_object(subdivisions=10)
+        obstacles = Obstacles.from_configs((), 2)
+        fn = make_substep_fn(obj, cfg)
+        for _ in range(10):
+            state, aux = fn(state, obstacles)
+        outs[precond] = state
+    np.testing.assert_allclose(
+        np.asarray(outs["none"].pos),
+        np.asarray(outs["two_level_cheb3"].pos), atol=2e-4,
+    )
+
+
+def test_newton_chebyshev_inner_solves():
+    """Newton + two_level_cheb reaches the same root as Newton + plain CG
+    at a dt far past the semi-implicit κ≈1 boundary."""
+    cfg_kwargs = dict(
+        dim=2, delta_time=8e-3, sim_count=5, auto_diff=False,
+        use_explicit_method=False, implicit_method=1, preconditioned=0,
+        g_dir=(0.0, -1.0), blocks=(), integrator="newton",
+        newton_hessian="decoupled", newton_cg_iters=400,
+    )
+    outs = {}
+    for precond in ("none", "two_level_cheb3"):
+        cfg = SimConfig(cg_precond=precond, **cfg_kwargs)
+        _, obj, state = make_2d_object(subdivisions=8)
+        obstacles = Obstacles.from_configs((), 2)
+        fn = make_substep_fn(obj, cfg)
+        for _ in range(10):
+            state, _ = fn(state, obstacles)
+        outs[precond] = np.asarray(state.pos)
+    assert np.isfinite(outs["two_level_cheb3"]).all()
+    np.testing.assert_allclose(
+        outs["none"], outs["two_level_cheb3"], atol=5e-4,
+    )
