@@ -242,6 +242,36 @@ class Simulation:
             s.aux["obj_faces"], s.aux["map_index"],
         )
 
+    def export_vtu(self, path: str, index: int = 0) -> None:
+        """Write the body's full volume mesh + fields as a VTK ``.vtu``
+        snapshot (extension — fem_tpu/utils/vtu.py; the reference exports
+        only the deformed OBJ surface skin, object.py:322-335).  Fields:
+        point velocity and mass, per-cell von-Mises stress and det F."""
+        from fem_tpu.ops.element import deformation_gradients
+        from fem_tpu.utils.vtu import write_vtu
+
+        s = self.scene[index]
+        f_def = np.asarray(
+            deformation_gradients(
+                s.state.pos, s.obj.element_indices, s.obj.ref_inv
+            )
+        )
+        write_vtu(
+            path,
+            np.asarray(s.state.pos),
+            np.asarray(s.obj.element_indices),
+            point_data={
+                "velocity": np.asarray(s.state.vel),
+                "mass": np.asarray(s.obj.mass),
+            },
+            cell_data={
+                "von_mises": self.von_mises(index),
+                "det_F": np.linalg.det(f_def.astype(np.float64)).astype(
+                    np.float32
+                ),
+            },
+        )
+
     def __repr__(self) -> str:
         bodies = ", ".join(
             f"{s.obj.particle_cnt}p/{s.obj.element_cnt}e" for s in self.scene

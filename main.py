@@ -55,6 +55,10 @@ def run(argv=None) -> int:
                         help="2D triangle tint: 'energy' = reference parity "
                              "(V*phi), 'stress' = von Mises normalized to "
                              "the scene max (extension)")
+    parser.add_argument("--export-vtu", action="store_true",
+                        help="also write VTK .vtu volume snapshots (+ a "
+                             ".pvd time-series index) at the OBJ export "
+                             "cadence (extension; any dim)")
     parser.add_argument("--sharded", action="store_true",
                         help="compile each body's frame under shard_map "
                              "over ALL jax.devices() (elements/locality-"
@@ -122,6 +126,7 @@ def run(argv=None) -> int:
     virtual_time = 0.0
     start_frame = 0
     ply_cnt = 0
+    vtu_entries = {}
     if args.resume:
         states, start_frame, virtual_time, ply_cnt = fio.load_scene_checkpoint(
             args.resume
@@ -185,18 +190,43 @@ def run(argv=None) -> int:
                 virtual_time += cfg.sim_count * cfg.delta_time
 
         if (
-            cfg.is_output_obj
+            (cfg.is_output_obj or args.export_vtu)
             and (virtual_time / frame_time) > ply_cnt
-            and cfg.dim == 3
+            and (cfg.dim == 3 or args.export_vtu)
         ):  # reference main.py:117-122
-            for s in scene:
-                if "map_index" in s.aux:
-                    fio.export_deformed_obj(
-                        os.path.join(args.output, f"obj_{ply_cnt:06}.obj"),
+            if cfg.is_output_obj and cfg.dim == 3:
+                for s in scene:
+                    if "map_index" in s.aux:
+                        fio.export_deformed_obj(
+                            os.path.join(args.output, f"obj_{ply_cnt:06}.obj"),
+                            np.asarray(s.state.pos),
+                            s.aux["obj_vertices"],
+                            s.aux["obj_faces"],
+                            s.aux["map_index"],
+                        )
+            if args.export_vtu:
+                # VTU volume snapshots (extension): full tet/triangle mesh
+                # + velocity / von-Mises fields per body, ParaView-ready.
+                from fem_tpu.sim import element_von_mises
+                from fem_tpu.utils.vtu import write_vtu
+
+                for i, s in enumerate(scene):
+                    vtu_path = os.path.join(
+                        args.output, f"sim_b{i}_{ply_cnt:06}.vtu"
+                    )
+                    write_vtu(
+                        vtu_path,
                         np.asarray(s.state.pos),
-                        s.aux["obj_vertices"],
-                        s.aux["obj_faces"],
-                        s.aux["map_index"],
+                        np.asarray(s.obj.element_indices),
+                        point_data={"velocity": np.asarray(s.state.vel)},
+                        cell_data={
+                            "von_mises": np.asarray(
+                                element_von_mises(s.obj, s.state)
+                            ),
+                        },
+                    )
+                    vtu_entries.setdefault(i, []).append(
+                        (virtual_time, vtu_path)
                     )
             ply_cnt += 1
 
@@ -271,6 +301,14 @@ def run(argv=None) -> int:
                     f" min|F|={m.min_det_f:.3f}"
                 )
             print(msg)
+
+    if args.export_vtu and vtu_entries:
+        from fem_tpu.utils.vtu import write_pvd
+
+        for i, entries in vtu_entries.items():
+            write_pvd(os.path.join(args.output, f"sim_b{i}.pvd"), entries)
+        print(f"VTU series written ({sum(map(len, vtu_entries.values()))} "
+              "snapshots).")
 
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)
