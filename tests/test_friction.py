@@ -161,3 +161,53 @@ def test_negative_friction_rejected():
             (ObstacleConfig(type="halfspace", point=(0.0, 0.0),
                             normal=(0.0, 1.0), friction=-0.1),),
         )
+
+
+def test_incline_stick_slip_threshold():
+    """Tilted gravity on a frictional floor = the classic incline: the
+    body slides iff tan(theta) > mu, and while sliding decelerates to
+    a = g*(sin - mu*cos).  Exercises friction with a tangential gravity
+    drive (non-trivial steady state) rather than an initial impulse."""
+    theta = np.deg2rad(20.0)
+    g_dir = (float(np.sin(theta)), -float(np.cos(theta)))
+    obs = (ObstacleConfig(type="halfspace", point=(0.0, 0.2),
+                          normal=(0.0, 1.0), friction=0.0),)
+
+    def run(mu, n_sub=600):
+        o = (ObstacleConfig(type="halfspace", point=(0.0, 0.2),
+                            normal=(0.0, 1.0), friction=mu),)
+        cfg = SimConfig(
+            dim=2, delta_time=5e-4, sim_count=10, auto_diff=False,
+            use_explicit_method=True, implicit_method=1, preconditioned=0,
+            g_dir=g_dir, blocks=(), obstacles=o,
+        )
+        _, obj, state = make_2d_object(
+            subdivisions=8, center=(0.2, 0.2), side_length=0.2, damping=0.0,
+        )
+        obstacles = Obstacles.from_configs((), 2, cfg.obstacles)
+        fn = make_substep_fn(obj, cfg)
+        m = np.asarray(obj.mass)
+        x0 = float(m @ np.asarray(state.pos)[:, 0] / m.sum())
+        ts, vxs = [], []
+        for i in range(n_sub):
+            state, _ = fn(state, obstacles)
+            if i >= 200 and i % 20 == 0:
+                v = np.asarray(state.vel)
+                vxs.append(float(m @ v[:, 0] / m.sum()))
+                ts.append((i + 1) * cfg.delta_time)
+        x1 = float(m @ np.asarray(state.pos)[:, 0] / m.sum())
+        return np.array(ts), np.array(vxs), x1 - x0
+
+    # mu > tan(theta) = 0.364: sticks — the undamped body RINGS in shear
+    # (vx oscillates around 0) but never drifts downhill.
+    _, vx_stick, drift = run(0.6)
+    assert abs(np.mean(vx_stick)) < 0.015
+    # Net COM travel over 0.3 s: the first contact event slips before the
+    # cone locks, so a few mm of transient creep is physical.
+    assert abs(drift) < 0.008
+    # mu < tan(theta): slides, accelerating at g*(sin - mu*cos).
+    ts, vx_slip, drift_slip = run(0.2)
+    a = np.polyfit(ts, vx_slip, 1)[0]
+    a_expected = 9.8 * (np.sin(theta) - 0.2 * np.cos(theta))
+    assert abs(a - a_expected) < 0.15 * a_expected
+    assert drift_slip > 10 * abs(drift)
