@@ -167,15 +167,28 @@ class ContactPlan:
     # set when contact_surface_only, else arange(N)).
     surf: Tuple[jnp.ndarray, ...]
     # Per-body (ns_i, ns_i) f32 0/1 self-pair masks, or None when
-    # self_contact is off.
+    # self_contact is off (dense mode only).
     self_mask: Tuple[Optional[jnp.ndarray], ...]
+    # Grid broad-phase fields (mode="grid", fem_tpu/broadphase.py) —
+    # concatenated vertex soup over all bodies.  None in dense mode.
+    body_id: Optional[jnp.ndarray] = None  # (Σns,) int32
+    rest_cat: Optional[jnp.ndarray] = None  # (Σns, d)
+    # Static routing fields.
+    mode: str = struct.field(pytree_node=False, default="dense")
+    sizes: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    self_contact: bool = struct.field(pytree_node=False, default=False)
+    cap: int = struct.field(pytree_node=False, default=8)
 
 
 def build_contact_plan(
     objs: Sequence[FemObject], cfg: SimConfig, radius: float
 ) -> ContactPlan:
-    """Host-side plan build: surface-vertex sets from each body's faces and
-    (optionally) the rest-distance self-pair exclusion masks."""
+    """Host-side plan build: surface-vertex sets from each body's faces,
+    plus either the dense rest-distance self-pair masks or the grid
+    broad-phase soup (``contact_broadphase``: "dense" materializes
+    O(ns²) pair matrices — unbeatable small; "grid" is the O(ns·3^d·cap)
+    scaling path; "auto" switches to the grid above 4,096 total
+    participating vertices, where the dense transients cross ~200 MB)."""
     surf, masks = [], []
     for o in objs:
         n = o.particle_cnt
@@ -183,7 +196,46 @@ def build_contact_plan(
             sv = np.unique(np.asarray(o.faces).reshape(-1)).astype(np.int32)
         else:
             sv = np.arange(n, dtype=np.int32)
-        surf.append(jnp.asarray(sv))
+        surf.append(sv)
+    total = sum(s.size for s in surf)
+    mode = cfg.contact_broadphase
+    if mode == "auto":
+        mode = (
+            "grid"
+            if total > 4096 or cfg.contact_mu > 0.0
+            else "dense"
+        )
+    if mode not in ("dense", "grid"):
+        raise ValueError(
+            f"unknown contact_broadphase {cfg.contact_broadphase!r}"
+        )
+    if cfg.contact_mu > 0.0 and mode == "dense":
+        raise ValueError(
+            "contact_mu (Coulomb pair friction) requires the grid broad "
+            "phase — the dense matmul path has no per-pair vectors; use "
+            "contact_broadphase='grid' or 'auto'"
+        )
+    if mode == "grid":
+        from fem_tpu.broadphase import grid_shape
+
+        grid_shape(radius, objs[0].dim)  # int32 range guard, loud at build
+        body_id = np.concatenate([
+            np.full(s.size, i, np.int32) for i, s in enumerate(surf)
+        ])
+        rest_cat = np.concatenate([
+            np.asarray(o.rest_pos)[s] for o, s in zip(objs, surf)
+        ])
+        return ContactPlan(
+            surf=tuple(jnp.asarray(s) for s in surf),
+            self_mask=tuple(None for _ in surf),
+            body_id=jnp.asarray(body_id),
+            rest_cat=jnp.asarray(rest_cat),
+            mode="grid",
+            sizes=tuple(int(s.size) for s in surf),
+            self_contact=bool(cfg.self_contact),
+            cap=int(cfg.contact_cell_cap),
+        )
+    for o, sv in zip(objs, surf):
         if cfg.self_contact:
             rp = np.asarray(o.rest_pos)[sv]
             d = np.sqrt(
@@ -197,7 +249,12 @@ def build_contact_plan(
             masks.append(jnp.asarray((d > 2.5 * radius).astype(np.float32)))
         else:
             masks.append(None)
-    return ContactPlan(surf=tuple(surf), self_mask=tuple(masks))
+    return ContactPlan(
+        surf=tuple(jnp.asarray(s) for s in surf),
+        self_mask=tuple(masks),
+        sizes=tuple(int(s.size) for s in surf),
+        self_contact=bool(cfg.self_contact),
+    )
 
 
 def contact_forces_all(
@@ -207,6 +264,8 @@ def contact_forces_all(
     velocities: Optional[Sequence[jnp.ndarray]] = None,
     plan: Optional[ContactPlan] = None,
     friction_c: float = 0.0,
+    mu: float = 0.0,
+    mu_slope: float = 0.0,
 ) -> list:
     """Sum pair forces over every unordered body pair plus per-body
     self-contact (bodies are few; the pair loop unrolls at trace time).
@@ -223,6 +282,30 @@ def contact_forces_all(
             if velocities is not None
             else [None] * n
         )
+    if plan is not None and plan.mode == "grid":
+        # Uniform-grid broad phase (fem_tpu/broadphase.py): one pass over
+        # the concatenated vertex soup covers every body pair AND
+        # self-contact — O(ns·3^d·cap) instead of O(ns²).
+        from fem_tpu.broadphase import grid_contact_forces
+
+        pos_cat = jnp.concatenate(sub_pos, axis=0)
+        vel_cat = (
+            jnp.concatenate(sub_vel, axis=0)
+            if velocities is not None
+            else None
+        )
+        f_cat = grid_contact_forces(
+            pos_cat, plan.body_id, plan.rest_cat, radius, stiffness,
+            vel=vel_cat, friction_c=friction_c, cap=plan.cap,
+            self_contact=plan.self_contact, mu=mu, mu_slope=mu_slope,
+        )
+        out, off = [], 0
+        for p, sv, ns in zip(positions, plan.surf, plan.sizes):
+            out.append(
+                jnp.zeros_like(p).at[sv].add(f_cat[off:off + ns])
+            )
+            off += ns
+        return out
     sub_f = [jnp.zeros_like(p) for p in sub_pos]
     for i in range(n):
         for j in range(i + 1, n):
@@ -266,6 +349,8 @@ def make_contact_frame_fn(objs: Sequence[FemObject], cfg: SimConfig):
     )
     m_min = min(float(np.asarray(o.mass).min()) for o in objs)
     friction_c = cfg.contact_friction * float(np.sqrt(stiffness * m_min))
+    mu = cfg.contact_mu
+    mu_slope = float(np.sqrt(stiffness * m_min))  # pair critical damping
     plan = build_contact_plan(objs, cfg, radius)
     objs = tuple(objs)
 
@@ -278,7 +363,7 @@ def make_contact_frame_fn(objs: Sequence[FemObject], cfg: SimConfig):
             forces = contact_forces_all(
                 [s.pos for s in ss], radius, stiffness,
                 velocities=[s.vel for s in ss], plan=plan_,
-                friction_c=friction_c,
+                friction_c=friction_c, mu=mu, mu_slope=mu_slope,
             )
             out, auxes = [], []
             for o, s, f in zip(os_, ss, forces):

@@ -263,6 +263,13 @@ class SimConfig:
     # c = contact_friction · √(k_contact·m_min) (≈ pair critical damping at
     # contact_friction ~ 1).  Antisymmetric ⇒ momentum-conserving.  0 = off.
     contact_friction: float = 0.0
+    # Coulomb pair friction μ (extension; grid broad phase only — the
+    # dense matmul path never materializes the per-pair vectors the
+    # Coulomb projection needs, so contact_mu > 0 forces
+    # contact_broadphase="grid").  Regularized cone: tangential dashpot
+    # with slope √(k·m_min), capped at μ·|f_n| per pair — a body resting
+    # on another decelerates its slide at μ·g.  0 = off.
+    contact_mu: float = 0.0
     # Same-body contact (extension): penalty pairs between surface vertices
     # of ONE body whose REST distance exceeds 2.5·radius (so the rest shape
     # exerts exactly zero self-force; deformation that folds distant surface
@@ -276,6 +283,20 @@ class SimConfig:
     # vertex layer; turn off to penalize deep overlaps via interior
     # vertices too.
     contact_surface_only: bool = True
+    # Contact pair search strategy (fem_tpu/broadphase.py).  "dense"
+    # materializes the O(ns²) pair-coefficient matrices — one MXU matmul
+    # per body pair, unbeatable at demo scales but ~200 MB of transients
+    # by 8k participating vertices.  "grid" is the scaling path: a
+    # uniform grid (cell = contact radius) rebuilt each substep via
+    # argsort + searchsorted, O(ns·3^d·cap) candidates in static shapes;
+    # truncated cells soften the penalty but never break momentum (each
+    # found ordered pair scatters ±f/2 to both endpoints).  "auto" picks
+    # the grid above 4,096 total vertices.
+    contact_broadphase: str = "auto"
+    # Max candidates taken per (vertex, neighbor cell) in grid mode.  A
+    # cell holds ~(radius/surface-spacing + 1)^d vertices (≈ 2^d at the
+    # auto radius), so 8 is generous; raise for crushed configurations.
+    contact_cell_cap: int = 8
     # Adaptive-dt κ-guard (extension, solvers/adaptive.py).  The reference
     # integrates at fixed dt with no stability monitor and silently NaNs
     # when κ = dt²·‖K‖/m → 1 (measured: 68k tets at dt=5e-4, the
@@ -427,8 +448,11 @@ def parse_config(data: dict) -> SimConfig:
         contact_stiffness=float(data.get("contact_stiffness", 0.0)),
         contact_radius=float(data.get("contact_radius", 0.0)),
         contact_friction=float(data.get("contact_friction", 0.0)),
+        contact_mu=float(data.get("contact_mu", 0.0)),
         self_contact=bool(data.get("self_contact", False)),
         contact_surface_only=bool(data.get("contact_surface_only", True)),
+        contact_broadphase=str(data.get("contact_broadphase", "auto")),
+        contact_cell_cap=int(data.get("contact_cell_cap", 8)),
         adaptive_dt=bool(data.get("adaptive_dt", False)),
         wall_friction=float(data.get("wall_friction", 0.0)),
         adaptive_dt_threshold=float(data.get("adaptive_dt_threshold", 0.5)),
