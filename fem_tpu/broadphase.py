@@ -12,15 +12,24 @@ substitute for pointer-chasing neighbor lists:
 
 1. quantize positions to grid cells, encode to one int32 cell id;
 2. ``argsort`` the ids (XLA sort — no scatter into per-cell buckets);
-3. for each vertex × each of 3^d neighbor cells, ``searchsorted`` into
-   the sorted id array and take a FIXED ``cap`` of consecutive slots —
-   candidates are (ns, 3^d·cap) gathers, shapes independent of occupancy;
+3. FORWARD-ONLY (half) stencil: every unordered pair within the radius
+   either shares a cell or differs by an offset in {-1,0,1}^d, and
+   exactly one of ±offset has a positive linearized id delta — so each
+   vertex scans (a) the next ``cap`` slots of its OWN cell in sorted
+   order and (b) ``cap`` slots at the ``searchsorted`` start of each of
+   the (3^d−1)/2 lexicographically-forward neighbor cells.  Every pair
+   is found at most ONCE; candidate volume is (ns, (3^d+1)/2·cap) —
+   half the naive both-sides stencil.  Measured TIME-NEUTRAL on TPU
+   (sort + searchsorted + gather latency dominate, not candidate
+   volume — BASELINE.md); the win is halved candidate memory plus
+   cleaner semantics: truncation drops a pair entirely instead of
+   halving its force;
 4. elementwise penalty (same formulas as contact._pair_coefs: coefficient
    k·max(0, r−d)/max(d, 0.1r), viscous dashpot on the overlap ramp) over
-   the candidate set, each ORDERED pair weighted ½ and scattered to BOTH
-   endpoints (+f to i, −f to j) — Newton's third law holds exactly per
-   found pair, so momentum is conserved even when a full cell truncates
-   one side's candidate list.
+   the candidate set, each found pair scattered to BOTH endpoints
+   (+f to i, −f to j) — Newton's third law holds exactly per found
+   pair, so momentum is conserved even when a full cell truncates a
+   candidate list.
 
 Same-body pairs are admitted only when the REST distance exceeds the
 exclusion radius (the dense path's precomputed (ns, ns) rest mask, here
@@ -28,13 +37,22 @@ evaluated per candidate on the fly — no quadratic storage).  Bodies are
 concatenated into one vertex soup with a per-vertex body id, so ONE grid
 pass covers every body pair AND self-contact.
 
-Cost: O(ns·(3^d·cap)) work and memory per substep — at 20k surface
-vertices with cap 8 in 3D that is ~4.3M candidate slots (~50 MB of
-transients) versus 1.6 GB dense.  Truncation: a cell holds at most
-~(r/h+1)^d surface vertices (h = surface spacing ≈ r by the auto-radius
-rule), so cap 8 is generous for simple contact and cap can be raised for
-crushed configurations; truncated pairs soften the penalty (half force
-from the surviving direction) but never break momentum.
+Cost: O(ns·(3^d+1)/2·cap) work and memory per substep.  Truncation: a
+cell holds at most ~(r/h+1)^d surface vertices (h = surface spacing ≈ r
+by the auto-radius rule), so cap 8 is generous for simple contact and
+cap can be raised for crushed configurations; truncated pairs drop
+(softening the penalty) but never break momentum.
+
+WHEN TO USE (measured on TPU, tools/probe_broadphase.py → BASELINE.md):
+the dense path's O(ns²) pair matrices ride the MXU/HBM stream and beat
+this gather-bound path ~10-25× at every size that FITS (65k vertices:
+dense 30 ms vs grid 718 ms; dense still runs 98k = a 9 GiB pair matrix
+in 75 ms); dense fails to compile at 131k (16 GiB > HBM).  The grid
+is the path for (a) scenes past the dense memory wall (~1 GiB per pair
+tensor with ``contact_mu``, which needs explicit (ns_a, ns_b, d) pair
+tensors on the dense side) and (b) many-body scenes (dense unrolls
+O(B²) pair matmuls at trace time).  ``contact_broadphase="auto"``
+encodes exactly that rule.
 """
 
 from __future__ import annotations
@@ -80,11 +98,14 @@ def grid_contact_forces(
     Pair admission: different ``body_id`` always; same body only when
     ``self_contact`` and rest distance > ``excl_radius`` (default
     2.5·radius — matching contact.build_contact_plan's dense mask).
-    Returns (ns, d) forces in the input order.
+    Each admitted pair is found at most once (forward-only stencil) and
+    scatters the full ±f to both endpoints.  Returns (ns, d) forces in
+    the input order.
 
-    ``mu`` > 0 adds regularized Coulomb pair friction (grid-only — the
-    dense matmul path never materializes per-pair vectors, which the
-    Coulomb projection needs): per active pair the TANGENTIAL relative
+    ``mu`` > 0 adds regularized Coulomb pair friction (same semantics as
+    contact._pair_mu_forces, the dense explicit-tensor variant — forces
+    agree to f32 rounding where no cell overflows the cap): per active
+    pair the TANGENTIAL relative
     velocity v_t (normal component projected out) is opposed by
     f_t = −min(mu_slope·|v_t|, μ·|f_n|)·v̂_t with |f_n| = k·pen the pair's
     normal penalty magnitude — a tangential dashpot capped by the Coulomb
@@ -114,31 +135,39 @@ def grid_contact_forces(
     rest_s = rest_pos[order]
     vel_s = vel[order] if vel is not None else None
 
-    # Neighbor cell ids: (ns, 3^d) — the vertex's cell id plus every
-    # {-1,0,1}^d offset (clamped coords guarantee the ids stay in range
-    # only up to the margin; out-of-range neighbor ids simply miss).
-    offs = jnp.asarray(
-        np.array(
-            np.meshgrid(*([[-1, 0, 1]] * d), indexing="ij")
-        ).reshape(d, -1).T @ np.array(
-            [int(m ** k) for k in range(d - 1, -1, -1)]
-        ),
-        jnp.int32,
-    )  # (3^d,)
-    nbr = cell_s[:, None] + offs[None, :]  # (ns, 3^d)
+    # Forward-only stencil: the (3^d−1)/2 neighbor offsets whose
+    # LINEARIZED id delta is positive (lexicographic ≻ 0; for m ≥ 3 the
+    # strided sum dx·m^{d-1}+… is positive iff (dx, …) ≻ 0, no carry
+    # ambiguity).  The ±offset pair splits exactly one each way, so with
+    # the same-cell forward scan below every unordered pair in adjacent
+    # cells is enumerated at most once.
+    all_offs = np.array(
+        np.meshgrid(*([[-1, 0, 1]] * d), indexing="ij")
+    ).reshape(d, -1).T @ np.array(
+        [int(m ** k) for k in range(d - 1, -1, -1)]
+    )
+    offs = jnp.asarray(all_offs[all_offs > 0], jnp.int32)  # ((3^d−1)/2,)
+    nbr = cell_s[:, None] + offs[None, :]  # (ns, n_off)
 
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    i_row = jnp.arange(ns, dtype=jnp.int32)[:, None]
+    # Same cell: the next `cap` slots in sorted order (rank i finds rank
+    # j > i — each same-cell pair once).
+    idx_own = i_row + 1 + slot[None, :]  # (ns, cap)
+    nbr_own = cell_s[:, None]
+    # Forward cells: `cap` slots from each searchsorted start.
     start = jnp.searchsorted(cell_s, nbr.reshape(-1)).reshape(
         ns, -1
-    )  # (ns, 3^d)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    idx = start[:, :, None] + slot[None, None, :]  # (ns, 3^d, cap)
+    )  # (ns, n_off)
+    idx_fwd = start[:, :, None] + slot[None, None, :]  # (ns, n_off, cap)
+    idx = jnp.concatenate(
+        [idx_own[:, None, :], idx_fwd], axis=1
+    )  # (ns, n_off+1, cap)
+    tgt = jnp.concatenate([nbr_own, nbr], axis=1)  # (ns, n_off+1)
     idx_c = jnp.minimum(idx, ns - 1)
-    valid = (idx < ns) & (cell_s[idx_c] == nbr[:, :, None])
+    valid = (idx < ns) & (cell_s[idx_c] == tgt[:, :, None])
     j = idx_c.reshape(ns, -1)  # (ns, q) candidate sorted-positions
     valid = valid.reshape(ns, -1)
-
-    i_row = jnp.arange(ns, dtype=jnp.int32)[:, None]
-    valid = valid & (j != i_row)
 
     same_body = body_s[j] == body_s[:, None]
     if self_contact:
@@ -155,14 +184,13 @@ def grid_contact_forces(
     pen = jnp.maximum(radius - dist, 0.0)
     coef = stiffness * pen / jnp.maximum(dist, 0.1 * radius)
     coef = jnp.where(valid, coef, 0.0)
-    # Each ordered pair found from side i contributes ±½·f — found from
-    # both sides (the common case) the halves sum to the dense force;
-    # found from one side (cap truncation) momentum still balances.
-    f_pair = 0.5 * coef[..., None] * diff  # (ns, q, d)
+    # Each unordered pair is found at most once (forward stencil): the
+    # full force scatters +f to the finder i and −f to the candidate j.
+    f_pair = coef[..., None] * diff  # (ns, q, d)
     if friction_c > 0.0 and vel is not None:
         w = jnp.where(valid, pen / radius, 0.0)
         dv = vel_s[:, None, :] - vel_s[j]
-        f_pair = f_pair - (0.5 * friction_c) * w[..., None] * dv
+        f_pair = f_pair - friction_c * w[..., None] * dv
     if mu > 0.0 and vel is not None:
         active = valid & (pen > 0.0)
         n_hat = diff / dist[..., None]
@@ -174,11 +202,11 @@ def grid_contact_forces(
         f_n = stiffness * pen  # normal penalty magnitude
         f_t_mag = jnp.minimum(mu_slope * t_speed, mu * f_n)
         f_t_mag = jnp.where(active, f_t_mag, 0.0)
-        f_pair = f_pair - 0.5 * (f_t_mag / t_speed)[..., None] * v_t
-    f_s = jnp.sum(f_pair, axis=1)  # +½ f on i
+        f_pair = f_pair - (f_t_mag / t_speed)[..., None] * v_t
+    f_s = jnp.sum(f_pair, axis=1)  # +f on the finder i
     f_s = f_s.at[j.reshape(-1)].add(
         -f_pair.reshape(-1, d)
-    )  # −½ f on every candidate j
+    )  # −f on every candidate j
     return jnp.zeros_like(pos).at[order].add(f_s)
 
 

@@ -104,6 +104,42 @@ def _pair_coefs(pos_a, pos_b, radius, stiffness):
     return coef, pen / radius
 
 
+def _pair_mu_forces(
+    pos_a, pos_b, vel_a, vel_b, radius, stiffness,
+    friction_c, mu, mu_slope, mask=None,
+):
+    """Dense pair forces with EXPLICIT per-pair (ns_a, ns_b, d) tensors —
+    the Coulomb tangential projection needs per-pair direction vectors,
+    which the matmul trick in :func:`pair_contact_forces` never forms.
+    Semantics match broadphase.grid_contact_forces exactly: direct
+    coordinate differences (no ‖a‖²+‖b‖²−2ab cancellation), penalty
+    coefficient k·pen/max(dist, 0.1r), optional isotropic dashpot, and
+    the regularized Coulomb cone min(mu_slope·|v_t|, μ·k·pen)·v̂_t.
+    d× the matmul path's HBM transients (still ~10× faster than the
+    gather-bound grid while it fits — BASELINE.md broad-phase table).
+    ``mask`` (0/1, zero diagonal) enables the same-body variant.
+    Returns (f_a, f_b); antisymmetric per pair ⇒ momentum-conserving."""
+    diff = pos_a[:, None, :] - pos_b[None, :, :]  # (ns_a, ns_b, d)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+    pen = jnp.maximum(radius - dist, 0.0)
+    if mask is not None:
+        pen = pen * mask  # also zeroes the dist≈0 diagonal
+    coef = stiffness * pen / jnp.maximum(dist, 0.1 * radius)
+    f_pair = coef[..., None] * diff
+    dv = vel_a[:, None, :] - vel_b[None, :, :]
+    if friction_c > 0.0:
+        f_pair = f_pair - friction_c * (pen / radius)[..., None] * dv
+    active = pen > 0.0
+    n_hat = diff / dist[..., None]
+    v_t = dv - jnp.sum(dv * n_hat, axis=-1, keepdims=True) * n_hat
+    t_speed = jnp.sqrt(jnp.maximum(jnp.sum(v_t * v_t, axis=-1), 1e-24))
+    f_t_mag = jnp.minimum(mu_slope * t_speed, mu * stiffness * pen)
+    f_t_mag = jnp.where(active, f_t_mag, 0.0)
+    f_pair = f_pair - (f_t_mag / t_speed)[..., None] * v_t
+    return jnp.sum(f_pair, axis=1), -jnp.sum(f_pair, axis=0)
+
+
 def pair_contact_forces(
     pos_a: jnp.ndarray,
     pos_b: jnp.ndarray,
@@ -112,11 +148,20 @@ def pair_contact_forces(
     vel_a: Optional[jnp.ndarray] = None,
     vel_b: Optional[jnp.ndarray] = None,
     friction_c: float = 0.0,
+    mu: float = 0.0,
+    mu_slope: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Penalty forces (f_a, f_b) between two particle sets; f_b is the exact
     opposite scatter of the same pair forces.  With ``friction_c`` > 0 and
     velocities given, adds the viscous pair dashpot
-    f_i −= c·Σ_j w_ij (v_i − v_j) (w = overlap ramp) — still antisymmetric."""
+    f_i −= c·Σ_j w_ij (v_i − v_j) (w = overlap ramp) — still antisymmetric.
+    ``mu`` > 0 (Coulomb — needs velocities) routes to the explicit
+    per-pair-tensor variant :func:`_pair_mu_forces`."""
+    if mu > 0.0 and vel_a is not None:
+        return _pair_mu_forces(
+            pos_a, pos_b, vel_a, vel_b, radius, stiffness,
+            friction_c, mu, mu_slope,
+        )
     coef, w = _pair_coefs(pos_a, pos_b, radius, stiffness)
     row = jnp.sum(coef, axis=1)
     col = jnp.sum(coef, axis=0)
@@ -138,11 +183,26 @@ def self_contact_forces(
     stiffness: float,
     vel: Optional[jnp.ndarray] = None,
     friction_c: float = 0.0,
+    mu: float = 0.0,
+    mu_slope: float = 0.0,
 ) -> jnp.ndarray:
     """Same-body penalty forces between particles whose pairs are enabled by
     the static ``mask`` (0/1, symmetric, zero diagonal — rest-proximity
     exclusion built by :func:`build_contact_plan`).  Σᵢ fᵢ = 0 exactly in
-    exact arithmetic because the masked coefficient matrix is symmetric."""
+    exact arithmetic because the masked coefficient matrix is symmetric.
+    ``mu`` > 0 routes to the explicit per-pair-tensor Coulomb variant
+    (per-pair force is antisymmetric and the mask symmetric, so summing
+    the i-side over j double-counts nothing)."""
+    if mu > 0.0 and vel is not None:
+        f_a, _ = _pair_mu_forces(
+            pos, pos, vel, vel, radius, stiffness,
+            friction_c, mu, mu_slope, mask=mask,
+        )
+        # Each unordered pair (i, j) appears in BOTH row i and row j of
+        # the full (symmetric-mask) pair tensor, so the i-side row sum
+        # alone gives every particle its force — matching the matmul
+        # path's Σ_j coef_ij (x_i − x_j).
+        return f_a
     coef, w = _pair_coefs(pos, pos, radius, stiffness)
     coef = coef * mask
     f = pos * jnp.sum(coef, axis=1)[:, None] - jnp.dot(
@@ -185,10 +245,20 @@ def build_contact_plan(
 ) -> ContactPlan:
     """Host-side plan build: surface-vertex sets from each body's faces,
     plus either the dense rest-distance self-pair masks or the grid
-    broad-phase soup (``contact_broadphase``: "dense" materializes
-    O(ns²) pair matrices — unbeatable small; "grid" is the O(ns·3^d·cap)
-    scaling path; "auto" switches to the grid above 4,096 total
-    participating vertices, where the dense transients cross ~200 MB)."""
+    broad-phase soup.
+
+    ``contact_broadphase="auto"`` encodes the MEASURED TPU crossover
+    (tools/probe_broadphase.py → BASELINE.md): the dense O(ns²) pair
+    matrices ride the MXU/HBM stream and beat the gather-bound grid
+    ~10-25× at every size that fits (65k vertices: dense 30 ms vs grid
+    718 ms; dense still runs 98k = 9 GiB pair matrix in 75 ms), and
+    dense only dies at the HBM wall (131k fails to compile, 16 GiB).  So
+    auto picks the grid exactly when dense is structurally out:
+    (a) more than 8 bodies (dense unrolls O(B²) pair matmuls at trace
+    time), or (b) the pair transients would blow HBM — the largest
+    single pair matrix over ~8 GiB, or with ``contact_mu`` > 0 (which
+    needs EXPLICIT (ns_a, ns_b, d) pair tensors, d× the matmul path's
+    transients and several live at once) over ~1 GiB per tensor."""
     surf, masks = [], []
     for o in objs:
         n = o.particle_cnt
@@ -197,23 +267,25 @@ def build_contact_plan(
         else:
             sv = np.arange(n, dtype=np.int32)
         surf.append(sv)
-    total = sum(s.size for s in surf)
     mode = cfg.contact_broadphase
     if mode == "auto":
+        sizes = [int(s.size) for s in surf]
+        peak = max(
+            [a * b for i, a in enumerate(sizes) for b in sizes[i + 1:]]
+            + ([s * s for s in sizes] if cfg.self_contact else [0])
+        )
+        dim = objs[0].dim
+        pair_budget = (
+            2**30 // (4 * dim) if cfg.contact_mu > 0.0 else 2 * 2**30
+        )
         mode = (
             "grid"
-            if total > 4096 or cfg.contact_mu > 0.0
+            if (len(surf) > 8 or peak > pair_budget)
             else "dense"
         )
     if mode not in ("dense", "grid"):
         raise ValueError(
             f"unknown contact_broadphase {cfg.contact_broadphase!r}"
-        )
-    if cfg.contact_mu > 0.0 and mode == "dense":
-        raise ValueError(
-            "contact_mu (Coulomb pair friction) requires the grid broad "
-            "phase — the dense matmul path has no per-pair vectors; use "
-            "contact_broadphase='grid' or 'auto'"
         )
     if mode == "grid":
         from fem_tpu.broadphase import grid_shape
@@ -311,7 +383,7 @@ def contact_forces_all(
         for j in range(i + 1, n):
             f_i, f_j = pair_contact_forces(
                 sub_pos[i], sub_pos[j], radius, stiffness,
-                sub_vel[i], sub_vel[j], friction_c,
+                sub_vel[i], sub_vel[j], friction_c, mu, mu_slope,
             )
             sub_f[i] = sub_f[i] + f_i
             sub_f[j] = sub_f[j] + f_j
@@ -320,7 +392,7 @@ def contact_forces_all(
             if plan.self_mask[i] is not None:
                 sub_f[i] = sub_f[i] + self_contact_forces(
                     sub_pos[i], plan.self_mask[i], radius, stiffness,
-                    sub_vel[i], friction_c,
+                    sub_vel[i], friction_c, mu, mu_slope,
                 )
     if plan is None:
         return sub_f

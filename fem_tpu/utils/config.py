@@ -263,12 +263,13 @@ class SimConfig:
     # c = contact_friction · √(k_contact·m_min) (≈ pair critical damping at
     # contact_friction ~ 1).  Antisymmetric ⇒ momentum-conserving.  0 = off.
     contact_friction: float = 0.0
-    # Coulomb pair friction μ (extension; grid broad phase only — the
-    # dense matmul path never materializes the per-pair vectors the
-    # Coulomb projection needs, so contact_mu > 0 forces
-    # contact_broadphase="grid").  Regularized cone: tangential dashpot
-    # with slope √(k·m_min), capped at μ·|f_n| per pair — a body resting
-    # on another decelerates its slide at μ·g.  0 = off.
+    # Coulomb pair friction μ (extension).  Regularized cone: tangential
+    # dashpot with slope √(k·m_min), capped at μ·|f_n| per pair — a body
+    # resting on another decelerates its slide at μ·g.  Works on both
+    # broad phases: dense switches from the matmul trick to explicit
+    # (ns_a, ns_b, d) pair tensors (the Coulomb projection needs per-pair
+    # vectors; still ~10× faster than the gather-bound grid while the
+    # tensors fit — "auto" flips to grid past ~1 GiB/tensor).  0 = off.
     contact_mu: float = 0.0
     # Same-body contact (extension): penalty pairs between surface vertices
     # of ONE body whose REST distance exceeds 2.5·radius (so the rest shape
@@ -285,13 +286,18 @@ class SimConfig:
     contact_surface_only: bool = True
     # Contact pair search strategy (fem_tpu/broadphase.py).  "dense"
     # materializes the O(ns²) pair-coefficient matrices — one MXU matmul
-    # per body pair, unbeatable at demo scales but ~200 MB of transients
-    # by 8k participating vertices.  "grid" is the scaling path: a
-    # uniform grid (cell = contact radius) rebuilt each substep via
-    # argsort + searchsorted, O(ns·3^d·cap) candidates in static shapes;
-    # truncated cells soften the penalty but never break momentum (each
-    # found ordered pair scatters ±f/2 to both endpoints).  "auto" picks
-    # the grid above 4,096 total vertices.
+    # per body pair, which on TPU beats the gather-bound grid ~10-25× at
+    # every size that FITS (measured up to 98k participating vertices =
+    # 9 GiB pair matrix in 75 ms; fails to compile at 131k — BASELINE).
+    # "grid" is the structural-scaling path: a uniform grid (cell =
+    # contact radius) rebuilt each substep via argsort + searchsorted,
+    # O(ns·(3^d+1)/2·cap) candidates in static shapes (forward-only
+    # stencil — each pair found once); truncated cells soften the
+    # penalty but never break momentum.  "auto" picks the grid exactly
+    # when dense is structurally out: more than 8 bodies (trace-time
+    # O(B²) pair matmuls), a single pair matrix over ~8 GiB, or — with
+    # contact_mu, whose dense form needs explicit (ns_a, ns_b, d) pair
+    # tensors — over ~1 GiB per tensor.
     contact_broadphase: str = "auto"
     # Max candidates taken per (vertex, neighbor cell) in grid mode.  A
     # cell holds ~(radius/surface-spacing + 1)^d vertices (≈ 2^d at the

@@ -285,7 +285,11 @@ def test_coulomb_pair_friction_block_on_slab():
     assert d3 > 4 * d0
 
 
-def test_contact_mu_requires_grid():
+def test_contact_mu_broadphase_routing():
+    """contact_mu works on BOTH broad phases: auto keeps dense for small
+    scenes (the explicit-pair-tensor Coulomb variant, ~10× faster than
+    the gather-bound grid on TPU — BASELINE.md) and still flips to grid
+    for many-body scenes."""
     from fem_tpu.contact import build_contact_plan
     from fem_tpu.models.mesh import construct_2d_mesh
     from fem_tpu.models.state import build_object
@@ -298,11 +302,88 @@ def test_contact_mu_requires_grid():
         use_explicit_method=True, implicit_method=1, preconditioned=0,
         g_dir=(0.0, -1.0), blocks=(), contact="penalty", contact_mu=0.4,
     )
-    # auto resolves to grid when contact_mu is set, even for tiny scenes.
     plan = build_contact_plan([obj, obj], SimConfig(**base), 0.03)
-    assert plan.mode == "grid"
-    with pytest.raises(ValueError, match="grid"):
-        build_contact_plan(
-            [obj, obj],
-            SimConfig(contact_broadphase="dense", **base), 0.03,
-        )
+    assert plan.mode == "dense"  # tiny scene: pair tensors fit easily
+    plan_many = build_contact_plan(
+        [obj] * 9, SimConfig(**base), 0.03
+    )
+    assert plan_many.mode == "grid"  # >8 bodies: trace-time O(B²) unroll
+
+
+def test_dense_mu_matches_grid_mu():
+    """The dense explicit-pair-tensor Coulomb variant and the grid's
+    in-candidate Coulomb implement the SAME regularized cone: identical
+    pair set (no cell overflow) ⇒ forces agree to f32 rounding.  Covers
+    body-body pairs and masked self-contact."""
+    from fem_tpu.contact import _pair_mu_forces
+
+    pos_a, pos_b = _two_clouds(d=3, na=70, nb=55)
+    radius, k, mu, slope = 0.06, 1e3, 0.5, 30.0
+    rng = np.random.default_rng(7)
+    vel_a = jnp.asarray(rng.standard_normal(pos_a.shape), jnp.float32)
+    vel_b = jnp.asarray(rng.standard_normal(pos_b.shape), jnp.float32)
+    f_a, f_b = _pair_mu_forces(
+        pos_a, pos_b, vel_a, vel_b, radius, k,
+        friction_c=1.5, mu=mu, mu_slope=slope,
+    )
+    pos = jnp.concatenate([pos_a, pos_b])
+    vel = jnp.concatenate([vel_a, vel_b])
+    body = jnp.concatenate([
+        jnp.zeros(pos_a.shape[0], jnp.int32),
+        jnp.ones(pos_b.shape[0], jnp.int32),
+    ])
+    assert grid_overflow_count(np.asarray(pos), radius, cap=16) == 0
+    f = grid_contact_forces(
+        pos, body, pos, radius, k, vel=vel, friction_c=1.5, cap=16,
+        mu=mu, mu_slope=slope,
+    )
+    scale = float(jnp.abs(f_a).max())
+    np.testing.assert_allclose(
+        np.asarray(f[:pos_a.shape[0]]), np.asarray(f_a),
+        atol=2e-5 * scale, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f[pos_a.shape[0]:]), np.asarray(f_b),
+        atol=2e-5 * scale, rtol=0,
+    )
+    # Momentum: antisymmetric per pair on both paths.
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(f_a, 0) + jnp.sum(f_b, 0)), 0.0,
+        atol=1e-4 * scale,
+    )
+
+
+def test_self_contact_mu_matches_grid():
+    """Masked same-body Coulomb (dense explicit tensors) vs the grid's
+    rest-distance-excluded self-contact on the bent-strip fold."""
+    from fem_tpu.contact import self_contact_forces
+
+    n = 80
+    t = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    rest = np.stack([0.05 + 0.9 * t, 0.5 * np.ones_like(t)], 1)
+    ang = 1.95 * np.pi * t
+    bent = np.stack(
+        [0.3 + 0.25 * np.sin(ang), 0.5 + 0.25 * (1 - np.cos(ang))], 1
+    ).astype(np.float32)
+    rng = np.random.default_rng(3)
+    vel = jnp.asarray(rng.standard_normal(bent.shape), jnp.float32)
+    radius, k, mu, slope = 0.05, 1e3, 0.4, 20.0
+    excl = 2.5 * radius
+    d_rest = np.linalg.norm(rest[:, None] - rest[None, :], axis=-1)
+    mask = jnp.asarray((d_rest > excl).astype(np.float32))
+    f_dense = self_contact_forces(
+        jnp.asarray(bent), mask, radius, k, vel=vel,
+        friction_c=0.0, mu=mu, mu_slope=slope,
+    )
+    assert grid_overflow_count(bent, radius, cap=16) == 0
+    f_grid = grid_contact_forces(
+        jnp.asarray(bent), jnp.zeros(n, jnp.int32), jnp.asarray(rest),
+        radius, k, vel=vel, cap=16, self_contact=True, mu=mu,
+        mu_slope=slope,
+    )
+    assert float(jnp.abs(f_dense).max()) > 0.0
+    scale = float(jnp.abs(f_dense).max())
+    np.testing.assert_allclose(
+        np.asarray(f_grid), np.asarray(f_dense), atol=2e-5 * scale,
+        rtol=0,
+    )
