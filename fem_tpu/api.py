@@ -138,17 +138,30 @@ class Simulation:
         ``method``: "chebyshev" (default — filtered subspace iteration, no
         inner solves, scales to 68k+ tets and matches the f64 oracle to
         ~1e-6 relative) or "shift_invert" (inner-CG LOBPCG; fine on small
-        meshes, collapses at scale — BASELINE.md)."""
+        meshes, collapses at scale — BASELINE.md).
+
+        ``refine_f64=True`` chases the f32 solve with a float64 Chebyshev
+        pass on the host CPU (solvers/modal.modal_refine_f64) — scrubs the
+        f32 HVP-noise contamination and reports residuals at the true
+        subspace accuracy (≤1e-8 on CI meshes).  Offline-verification
+        cost, not hot-path."""
+        refine = bool(kw.pop("refine_f64", False))
         if at_equilibrium:
             self.solve_static(index=index)
         s = self.scene[index]
         if method == "chebyshev":
             from fem_tpu.solvers.modal import modal_analysis_chebyshev
 
-            return modal_analysis_chebyshev(s.obj, s.state.pos, k=k, **kw)
-        from fem_tpu.solvers.modal import modal_analysis
+            res = modal_analysis_chebyshev(s.obj, s.state.pos, k=k, **kw)
+        else:
+            from fem_tpu.solvers.modal import modal_analysis
 
-        return modal_analysis(s.obj, s.state.pos, k=k, **kw)
+            res = modal_analysis(s.obj, s.state.pos, k=k, **kw)
+        if refine:
+            from fem_tpu.solvers.modal import modal_refine_f64
+
+            res = modal_refine_f64(s.obj, s.state.pos, result=res, k=k)
+        return res
 
     def run(self, seconds: Optional[float] = None, frames: Optional[int] = None,
             nan_guard: bool = False) -> None:

@@ -42,6 +42,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fem_tpu.models.state import FemObject
 from fem_tpu.ops.assembly import assemble_for, element_contrib_full
@@ -261,6 +262,7 @@ def modal_analysis_chebyshev(
     degree: int = 150,
     seed: int = 0,
     target_tol: float = 1e-3,
+    x0_modes: Optional[jnp.ndarray] = None,
 ) -> ModalResult:
     """Smallest-``k`` modes via Chebyshev-filtered subspace iteration — the
     matrix-free method that *scales*.
@@ -287,6 +289,13 @@ def modal_analysis_chebyshev(
     shift-invert route (the filter damps them maximally).  Converges when
     the max relative residual over the k wanted modes drops below
     ``target_tol``; always runs at least 3 rounds.
+
+    ``x0_modes`` (k₀, N, d) warm-starts the subspace from previously
+    computed physical mode shapes (converted back to symmetrized
+    coordinates Y = M^{1/2}φ and padded with random guard columns) — the
+    mechanism behind :func:`modal_refine_f64`.  All arithmetic follows
+    ``pos.dtype``, so an f64 ``pos`` (under ``jax.enable_x64``) runs the
+    whole filter in double precision.
     """
     n, d = pos.shape
     nd = n * d
@@ -324,6 +333,14 @@ def modal_analysis_chebyshev(
         v_fin = jax.lax.fori_loop(0, 40, power_step, v0)
         lam_max = jnp.abs(jnp.vdot(v_fin, c_single(v_fin)))
         x0 = jax.random.normal(jax.random.fold_in(key, 1), (nd, kq), pos.dtype)
+        if x0_modes is not None:
+            # Symmetrized coordinates of the seed modes: Y = M^{1/2} φ.
+            k0 = min(x0_modes.shape[0], kq)
+            y = (
+                x0_modes[:k0].astype(pos.dtype)
+                * jnp.sqrt(obj.mass)[None, :, None]
+            ).reshape(k0, nd).T
+            x0 = x0.at[:, :k0].set(y)
         return lam_max * 1.05 + 1.0, x0
 
     @jax.jit
@@ -379,3 +396,70 @@ def modal_analysis_chebyshev(
         modes=jnp.moveaxis(phi, -1, 0),
         residuals=res[:k],
     )
+
+
+def _cast_inexact(tree, dtype):
+    """Cast every floating-point leaf of a pytree; leave integers alone.
+    Leaves round-trip through host numpy so accelerator-committed arrays
+    re-place on the ambient default device (the f64 refinement runs on
+    CPU — an in-place astype on a TPU-committed leaf would ask the TPU
+    for f64)."""
+
+    def leaf(a):
+        h = np.asarray(a)
+        return jnp.asarray(
+            h, dtype if np.issubdtype(h.dtype, np.inexact) else None
+        )
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def modal_refine_f64(
+    obj: FemObject,
+    pos: jnp.ndarray,
+    result: Optional[ModalResult] = None,
+    k: int = 6,
+    rounds: int = 2,
+    degree: int = 120,
+    seed: int = 0,
+    target_tol: float = 1e-10,
+) -> ModalResult:
+    """Float64 refinement of an f32 modal solve — the tight-claim path.
+
+    At high stiffness contrast the f32 route's RAW residuals sit at the
+    f32 HVP-noise floor, not at the subspace's true accuracy: each f32
+    HVP injects ~ε₃₂·λmax of spectral contamination into the block, so at
+    cond(K) ~ 2e6 (measured at 68k tets — BASELINE.md) the reported
+    relative residuals plateau around 1e-3·λmax/λᵢ-ish noise while the
+    eigenvalues themselves cross-validate to ~0.1%.  This pass re-runs
+    :func:`modal_analysis_chebyshev` in DOUBLE precision on the host CPU
+    (TPUs have no native f64), seeded with the f32 mode shapes — the f64
+    filter scrubs the f32 contamination exponentially in ``degree``, and
+    the final f64 Rayleigh–Ritz reports residuals at the true subspace
+    accuracy (≤1e-8 observed on CI meshes; tests/test_modal.py pins it
+    against an f64-assembled dense oracle).
+
+    ``result`` = the f32 ModalResult to refine (None = cold-start the f64
+    filter from random, costlier).  Runs under ``jax.enable_x64`` on the
+    CPU backend regardless of the ambient platform; returns f64 arrays.
+    Cost: (rounds·degree + O(k)) f64 HVPs of the (cast-to-f64) assembled
+    force — host-sized work, intended for offline verification rather
+    than the hot path."""
+    with jax.enable_x64(True):
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            obj64 = _cast_inexact(obj, jnp.float64)
+            pos64 = jax.device_put(
+                jnp.asarray(np.asarray(pos), jnp.float64), cpu
+            )
+            x0 = (
+                jax.device_put(
+                    jnp.asarray(np.asarray(result.modes), jnp.float64), cpu
+                )
+                if result is not None
+                else None
+            )
+            return modal_analysis_chebyshev(
+                obj64, pos64, k=k, rounds=rounds, degree=degree,
+                seed=seed, target_tol=target_tol, x0_modes=x0,
+            )

@@ -307,3 +307,72 @@ def make_static_solve_fn(obj: FemObject, **kwargs):
         return impl(obj, pos0, f_ext)
 
     return solve
+
+
+def solve_static_chunked(
+    obj: FemObject,
+    pos0: jnp.ndarray,
+    f_ext: jnp.ndarray | None = None,
+    chunk_newton: int = 2,
+    max_newton: int = 60,
+    plateau_rtol: float = 1e-3,
+    **kwargs,
+) -> StaticResult:
+    """Host-chunked static solve for scales where one long device program
+    dies on the relayed backend.
+
+    Measured motivation (BASELINE.md, 131,712-tet slab): the
+    ``two_level_cheb3`` static solve as ONE device program crashed the
+    TPU worker 2/2 times, while the same solve as repeated
+    ``max_newton=chunk_newton`` warm-started programs ran to the floor
+    without incident — the same long-single-program relay limit modal
+    analysis hit (``modal_analysis chunk_m``).
+
+    Two behaviors the naive restart loop gets wrong, handled here:
+
+    * warm-restarted calls RESET solve_static's internal 3-consecutive-
+      line-search-failure stall counter, so the inner ``stalled`` flag
+      can never trip across restarts — the f32-floor plateau is instead
+      detected on the host: a chunk that improves ``grad_norm`` by less
+      than ``plateau_rtol`` (relative) ends the loop with
+      ``stalled=True``;
+    * iteration / inner-CG counts accumulate across chunks, so the
+      returned ``StaticResult`` reads like a single solve.
+
+    The Levenberg damping state also resets per chunk (mildly wasteful,
+    never wrong — λ re-adapts within an iteration or two).  For meshes
+    where one program is fine, prefer :func:`solve_static` (identical
+    math, no restart loss)."""
+    import numpy as np
+
+    solve = make_static_solve_fn(
+        obj, max_newton=chunk_newton, **kwargs
+    )
+    pos = pos0
+    tot_newton = 0
+    tot_cg = 0
+    prev_grad = float("inf")
+    res = None
+    stalled = False
+    while tot_newton < max_newton:
+        res = solve(pos, f_ext)
+        g = float(res.grad_norm)  # device fetch = completion barrier
+        pos = res.pos
+        tot_newton += int(res.iterations)
+        tot_cg += int(res.cg_iterations)
+        if bool(res.converged) or bool(res.stalled):
+            stalled = bool(res.stalled)
+            break
+        if not np.isfinite(g) or g >= prev_grad * (1.0 - plateau_rtol):
+            stalled = True  # host-detected f32 progress floor
+            break
+        prev_grad = g
+    return StaticResult(
+        pos=res.pos,
+        iterations=jnp.int32(tot_newton),
+        grad_norm=res.grad_norm,
+        energy=res.energy,
+        converged=res.converged,
+        stalled=jnp.bool_(stalled and not bool(res.converged)),
+        cg_iterations=jnp.int32(tot_cg),
+    )

@@ -49,6 +49,13 @@ def main():
     p.add_argument("--pin-top", type=float, default=0.1,
                    help="pin vertices in the top FRACTION of the body height"
                         " (0 = free-floating: expect 6 rigid modes at ~0 Hz)")
+    p.add_argument("--refine-f64", action="store_true",
+                   help="chase the f32 solve with the float64 Chebyshev "
+                        "refinement on the host CPU (modal_refine_f64) — "
+                        "reports residuals at the TRUE subspace accuracy "
+                        "instead of the f32 HVP-noise floor")
+    p.add_argument("--refine-rounds", type=int, default=2)
+    p.add_argument("--refine-degree", type=int, default=120)
     args = p.parse_args()
 
     import jax
@@ -100,6 +107,21 @@ def main():
     print("omega_sq:", omega_sq)
     print("frequencies (Hz):", np.asarray(res.frequencies))
     print("relative residuals:", np.asarray(res.residuals))
+    if args.refine_f64:
+        from fem_tpu.solvers.modal import modal_refine_f64
+
+        t0 = time.time()
+        r64 = modal_refine_f64(
+            obj, state.pos, result=res, k=args.k,
+            rounds=args.refine_rounds, degree=args.refine_degree,
+        )
+        w64 = np.asarray(r64.omega_sq)
+        print(f"f64 refine ({args.refine_rounds} rounds x degree "
+              f"{args.refine_degree}, host CPU): {time.time() - t0:.1f}s")
+        print("f64 omega_sq:", w64)
+        print("f64 relative residuals:", np.asarray(r64.residuals))
+        print("f32 vs f64 omega_sq rel err:",
+              np.abs(omega_sq - w64) / np.abs(w64))
 
 
 if __name__ == "__main__":
