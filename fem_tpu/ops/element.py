@@ -34,6 +34,54 @@ from fem_tpu.ops import smallmat as sm
 from fem_tpu.ops.assembly import gather_edge_diffs
 
 
+def mooney_params(
+    mu: float, s_lambda: float, d: int, material: str
+) -> tuple:
+    """Parse a ``mooney_rivlin[:beta]`` material string into the three
+    energy coefficients ``(c1, c2, lam_log)`` (framework extension — the
+    reference has no Mooney–Rivlin; spelled like the repo's other
+    parameterized static strings, e.g. ``two_level_cheb<k>``).
+
+    Compressible Mooney–Rivlin, rest-stable and small-strain-consistent in
+    both 2D and 3D:
+
+        φ = C1·(I₁ − d) + C2·(I₂ − d(d−1)/2)
+            − (2C1 + 2(d−1)C2)·logJ + λ_log/2·logJ²
+
+    with I₁ = tr(C), I₂ = ½(tr(C)² − tr(C²)), C = FᵀF.  ``beta`` ∈ [0, 1)
+    is the fraction of the shear modulus carried by the I₂ term (default
+    0.5; ``beta = 0`` reduces the model EXACTLY to the reference's
+    Neo-Hookean).  Calibration so the linearization at F = I equals linear
+    elasticity with the object's (μ, λ) in every dimension:
+
+        C2 = β·μ/2,   C1 = μ/2 − (d−2)·C2,   λ_log = λ − 4·C2
+
+    (derived: DP(I)[D] = (2C1 + 2(d−2)C2)(D + Dᵀ) + (λ_log + 4C2)tr(D)I).
+    Raises at trace time when λ − 4C2 < 0 (the volumetric log term would
+    turn concave) — lower ``beta`` or raise the Poisson ratio.
+    """
+    base, _, arg = material.partition(":")
+    assert base == "mooney_rivlin"
+    beta = float(arg) if arg else 0.5
+    if not 0.0 <= beta < 1.0:
+        raise ValueError(f"mooney_rivlin beta must be in [0, 1): {material!r}")
+    c2 = beta * mu / 2.0
+    c1 = mu / 2.0 - (d - 2) * c2
+    lam_log = s_lambda - 4.0 * c2
+    if lam_log < 0.0 or c1 <= 0.0:
+        raise ValueError(
+            f"mooney_rivlin calibration infeasible for {material!r}: "
+            f"needs lambda >= 4*C2 (= 2*beta*mu) and C1 > 0; got "
+            f"mu={mu}, lambda={s_lambda}, d={d} -> C1={c1}, "
+            f"lam_log={lam_log}. Lower beta or raise poisson_ratio."
+        )
+    return c1, c2, lam_log
+
+
+def _is_mooney(material: str) -> bool:
+    return material.partition(":")[0] == "mooney_rivlin"
+
+
 def deformation_gradients(
     pos: jnp.ndarray, element_indices: jnp.ndarray, ref_inv: jnp.ndarray
 ) -> jnp.ndarray:
@@ -108,6 +156,22 @@ def energy_density(
         g_sq = jnp.einsum("...ij,...ij->...", g, g)
         tr_g = sm.trace(g)
         return mu * g_sq + s_lambda / 2.0 * tr_g * tr_g
+    if _is_mooney(material):
+        # Compressible Mooney–Rivlin (see mooney_params for the form and
+        # calibration; beta=0 is exactly the reference's Neo-Hookean).
+        c1, c2, lam_log = mooney_params(mu, s_lambda, d, material)
+        c = jnp.einsum(
+            "...ki,...kj->...ij", F, F, precision=jax.lax.Precision.HIGHEST
+        )
+        i1 = sm.trace(c)
+        i2 = 0.5 * (i1 * i1 - jnp.einsum("...ij,...ij->...", c, c))
+        log_j = jnp.log(sm.det(F))  # unclamped, as the reference's NH
+        return (
+            c1 * (i1 - d)
+            + c2 * (i2 - d * (d - 1) / 2.0)
+            - (2.0 * c1 + 2.0 * (d - 1) * c2) * log_j
+            + lam_log / 2.0 * log_j * log_j
+        )
     if material != "neo_hookean":
         raise ValueError(f"unknown material {material!r}")
     log_j = jnp.log(sm.det(F))
@@ -187,6 +251,21 @@ def first_piola(
         g = 0.5 * (c - eye)
         s = 2.0 * mu * g + s_lambda * sm.trace(g)[..., None, None] * eye
         return sm.matmul(F, s)
+    if _is_mooney(material):
+        # P = 2C1·F + 2C2·(I₁F − FC) + (λ_log·logJ − 2C1 − 2(d−1)C2)·F⁻ᵀ —
+        # exact ∂φ/∂F of the energy above; P(I) = 0 by calibration.
+        c1, c2, lam_log = mooney_params(mu, s_lambda, d, material)
+        c = jnp.einsum(
+            "...ki,...kj->...ij", F, F, precision=jax.lax.Precision.HIGHEST
+        )
+        i1 = sm.trace(c)[..., None, None]
+        f_inv_t = sm.mT(sm.inv(F))
+        log_j = jnp.log(sm.det(F))[..., None, None]
+        return (
+            2.0 * c1 * F
+            + 2.0 * c2 * (i1 * F - sm.matmul(F, c))
+            + (lam_log * log_j - 2.0 * c1 - 2.0 * (d - 1) * c2) * f_inv_t
+        )
     if material != "neo_hookean":
         raise ValueError(f"unknown material {material!r}")
     f_inv_t = sm.mT(sm.inv(F))
@@ -341,6 +420,37 @@ def first_piola_dp(
         sym = dtf + sm.mT(dtf)  # DᵀF + FᵀD
         ds = mu * sym + s_lambda * sm.trace(dtf)[..., None, None] * eye
         return sm.matmul(D, s) + sm.matmul(F, ds)
+    if _is_mooney(material):
+        # Exact derivative of the Mooney–Rivlin P above, with the same
+        # determinant clamp / robust-inverse conventions as the NH branch
+        # (clamp inactive for det F > 1e-4, so DP is the exact jvp there):
+        #   DP[D] = 2C1·D + 2C2·[2(F:D)F + I₁D − DC − F(DᵀF + FᵀD)]
+        #           + (2C1 + 2(d−1)C2 − λ_log·logJ)·F⁻ᵀDᵀF⁻ᵀ
+        #           + λ_log·tr(F⁻¹D)·F⁻ᵀ
+        c1, c2, lam_log = mooney_params(mu, s_lambda, d, material)
+        c = jnp.einsum(
+            "...ki,...kj->...ij", F, F, precision=jax.lax.Precision.HIGHEST
+        )
+        i1 = sm.trace(c)[..., None, None]
+        fd = jnp.einsum(
+            "...ij,...ij->...", F, D, precision=jax.lax.Precision.HIGHEST
+        )[..., None, None]
+        dtf = sm.matmul(sm.mT(D), F)
+        dc = dtf + sm.mT(dtf)  # DᵀF + FᵀD
+        f_inv = sm.safe_inv(F) if robust else sm.inv(F)
+        f_inv_t = sm.mT(f_inv)
+        log_j = jnp.log(jnp.maximum(sm.det(F), 1e-4))[..., None, None]
+        coef = 2.0 * c1 + 2.0 * (d - 1) * c2 - lam_log * log_j
+        return (
+            2.0 * c1 * D
+            + 2.0 * c2 * (
+                2.0 * fd * F + i1 * D - sm.matmul(D, c) - sm.matmul(F, dc)
+            )
+            + coef * sm.matmul(sm.matmul(f_inv_t, sm.mT(D)), f_inv_t)
+            + lam_log
+            * sm.trace(sm.matmul(f_inv, D))[..., None, None]
+            * f_inv_t
+        )
     if material != "neo_hookean":
         raise ValueError(f"unknown material {material!r}")
     f_inv = sm.safe_inv(F) if robust else sm.inv(F)

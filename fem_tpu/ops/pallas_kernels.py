@@ -164,6 +164,49 @@ def _material_p_dp_chain(f, d_dir, dim, mu, lam, material, want_dp):
     d2 = dim * dim
     mul, det_fn, inv_fn, t_fn = _planar_ops(dim)
     eye = [1.0 if i == j else 0.0 for i in range(dim) for j in range(dim)]
+    if material.partition(":")[0] == "mooney_rivlin":
+        # Planar compressible Mooney–Rivlin — twin of ops/element.py's
+        # branches (P with the unclamped log like first_piola; DP with the
+        # reference's det ≥ 1e-4 clamp like first_piola_dp).
+        from fem_tpu.ops.element import mooney_params
+
+        c1, c2, lam_log = mooney_params(mu, lam, dim, material)
+        k_log = 2.0 * c1 + 2.0 * (dim - 1) * c2
+        f_t = t_fn(f)
+        c = mul(f_t, f)
+        i1 = _planar_trace(c, dim)
+        fc = mul(f, c)
+        det_f = det_fn(f)
+        f_inv = inv_fn(f, det_f)
+        f_inv_t = t_fn(f_inv)
+        log_j = jnp.log(det_f)
+        coef_p = lam_log * log_j - k_log
+        p = [
+            2.0 * c1 * f[i]
+            + 2.0 * c2 * (i1 * f[i] - fc[i])
+            + coef_p * f_inv_t[i]
+            for i in range(d2)
+        ]
+        if not want_dp:
+            return p, None
+        fd = sum(f[i] * d_dir[i] for i in range(d2))
+        dtf = mul(t_fn(d_dir), f)
+        dtf_t = t_fn(dtf)
+        dc = [dtf[i] + dtf_t[i] for i in range(d2)]
+        dcm = mul(d_dir, c)
+        fdc = mul(f, dc)
+        inv_term = mul(mul(f_inv_t, t_fn(d_dir)), f_inv_t)
+        tr_fid = _planar_trace(mul(f_inv, d_dir), dim)
+        log_j_cl = jnp.log(jnp.maximum(det_f, 1e-4))
+        coef = k_log - lam_log * log_j_cl
+        dp = [
+            2.0 * c1 * d_dir[i]
+            + 2.0 * c2 * (2.0 * fd * f[i] + i1 * d_dir[i] - dcm[i] - fdc[i])
+            + coef * inv_term[i]
+            + lam_log * tr_fid * f_inv_t[i]
+            for i in range(d2)
+        ]
+        return p, dp
     if material == "stable_neo_hookean":
         lam_p = lam + mu
         g = _planar_cof(f, dim)

@@ -40,7 +40,9 @@ from tests.utils import (
     two_tet_object,
 )
 
-MATERIALS = ("stvk", "linear", "corotated", "stable_neo_hookean")
+MATERIALS = (
+    "stvk", "linear", "corotated", "stable_neo_hookean", "mooney_rivlin:0.3"
+)
 
 
 def _rand_f(d, n=6, scale=0.3, seed=0):
@@ -52,7 +54,7 @@ def _rand_f(d, n=6, scale=0.3, seed=0):
 
 @pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize(
-    "material", ["stvk", "linear", "stable_neo_hookean"]
+    "material", ["stvk", "linear", "stable_neo_hookean", "mooney_rivlin:0.25"]
 )
 def test_first_piola_dp_matches_jvp(dim, material):
     """stvk/linear DP is the exact derivative of the analytic Piola."""
@@ -295,3 +297,88 @@ def test_diff_implicit_substep_uses_material():
         np.asarray(s_diff.vel), np.asarray(s_ref.vel), rtol=0, atol=5e-4
     )
     assert np.isfinite(np.asarray(s_diff.pos)).all()
+
+
+# --- Mooney–Rivlin (framework extension; ops/element.mooney_params) ------
+
+
+def test_mooney_rivlin_beta0_is_neo_hookean():
+    """mooney_rivlin:0.0 reduces EXACTLY to the reference NH model —
+    C2 = 0 collapses the energy to μ/2(I₁−d) − μ·logJ + λ/2·logJ²."""
+    from fem_tpu.ops.element import energy_density
+
+    for d in (2, 3):
+        F = _rand_f(d)
+        mu, lam = 13.0, 7.0
+        for fn in (energy_density, first_piola):
+            a = fn(F, mu, lam, "mooney_rivlin:0.0")
+            b = fn(F, mu, lam, "neo_hookean")
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2e-5
+            )
+        D = jnp.asarray(
+            np.random.default_rng(2).standard_normal((6, d, d)), jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(first_piola_dp(F, D, mu, lam, "mooney_rivlin:0.0")),
+            np.asarray(first_piola_dp(F, D, mu, lam, "neo_hookean")),
+            rtol=0, atol=2e-5,
+        )
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_mooney_rivlin_piola_is_energy_gradient(dim):
+    """P = ∂φ/∂F exactly (autodiff oracle), and rest state is stress-free."""
+    from fem_tpu.ops.element import energy_density
+
+    F = _rand_f(dim)
+    mu, lam = 13.0, 20.0
+    mat = "mooney_rivlin:0.4"
+    g = jax.vmap(jax.grad(lambda f: energy_density(f, mu, lam, mat)))(F)
+    np.testing.assert_allclose(
+        np.asarray(first_piola(F, mu, lam, mat)), np.asarray(g),
+        rtol=0, atol=1e-4,
+    )
+    eye = jnp.broadcast_to(jnp.eye(dim, dtype=jnp.float32), (1, dim, dim))
+    assert np.abs(np.asarray(first_piola(eye, mu, lam, mat))).max() == 0.0
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_mooney_rivlin_small_strain_matches_linear_elasticity(dim):
+    """The calibration pins DP(I)[D] to linear elasticity with the object's
+    (μ, λ) in BOTH dimensions (C1 = μ/2 − (d−2)C2, λ_log = λ − 4C2)."""
+    D = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, dim, dim)), jnp.float32
+    )
+    eye = jnp.broadcast_to(jnp.eye(dim, dtype=jnp.float32), D.shape)
+    mu, lam = 13.0, 20.0
+    for beta in (0.0, 0.2, 0.5):
+        got = first_piola_dp(eye, D, mu, lam, f"mooney_rivlin:{beta}")
+        want = first_piola_dp(eye, D, mu, lam, "linear")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=1e-4
+        )
+
+
+def test_mooney_rivlin_infeasible_calibration_raises():
+    """λ < 4C2 (volumetric log term turning concave) raises loudly at
+    trace time, naming the fix."""
+    from fem_tpu.ops.element import mooney_params
+
+    with pytest.raises(ValueError, match="beta"):
+        mooney_params(10.0, 1.0, 3, "mooney_rivlin:0.9")
+    with pytest.raises(ValueError, match="beta must be in"):
+        mooney_params(10.0, 100.0, 3, "mooney_rivlin:1.5")
+
+
+def test_mooney_rivlin_implicit_simulation_runs():
+    """End-to-end semi-implicit CG frame with mooney_rivlin — rides the
+    decoupled ladder like every other material (finite, settles)."""
+    _, obj, state = make_2d_object(subdivisions=3)
+    obj = obj.replace(material="mooney_rivlin:0.3")
+    cfg = _implicit_cfg()
+    frame = make_frame_fn(obj, cfg)
+    obs = default_obstacles()
+    for _ in range(3):
+        state, aux = frame(state, obs)
+    assert np.isfinite(np.asarray(state.pos)).all()

@@ -20,7 +20,10 @@ from fem_tpu.solvers.static import gravity_force, make_static_solve_fn, solve_st
 from fem_tpu.utils.config import ObjectConfig, SimConfig
 from tests.utils import make_2d_object, make_3d_object
 
-MATERIALS = ["neo_hookean", "stvk", "linear", "corotated", "stable_neo_hookean"]
+MATERIALS = [
+    "neo_hookean", "stvk", "linear", "corotated", "stable_neo_hookean",
+    "mooney_rivlin:0.3",
+]
 
 
 def surface_pinned_grid(sub=3, material="neo_hookean"):
