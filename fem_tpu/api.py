@@ -163,6 +163,62 @@ class Simulation:
             res = modal_refine_f64(s.obj, s.state.pos, result=res, k=k)
         return res
 
+    def buckling(self, k: int = 4, index: int = 0,
+                 f_ext: Optional[np.ndarray] = None,
+                 gravity: bool = False, **kw):
+        """Linearized buckling analysis of body ``index`` (extension —
+        solvers/buckling.py; the reference has no stability analysis):
+        critical multipliers λ of the applied load (``f_ext`` per-vertex
+        + gravity if ``gravity`` + the body's ``load_boxes``) at which
+        K₀ + λ·K_g goes singular, plus the buckling mode shapes.
+        Requires ``pin_boxes``.  Returns a ``BucklingResult``."""
+        import jax.numpy as jnp
+
+        from fem_tpu.solvers.buckling import linear_buckling
+
+        s = self.scene[index]
+        return linear_buckling(
+            s.obj, s.state.pos,
+            f_ext=None if f_ext is None else jnp.asarray(f_ext),
+            g_dir=self.cfg.g_dir if gravity else None, k=k, **kw,
+        )
+
+    def harmonic(self, f_hat: np.ndarray, freqs_hz: np.ndarray,
+                 k: int = 6, index: int = 0, modal=None, **kw):
+        """Steady-state frequency response of body ``index`` to the load
+        amplitude ``f_hat`` (N, d) over ``freqs_hz`` (extension —
+        solvers/harmonic.py; the reference is time-domain only): modal
+        superposition on the smallest-``k`` modes (or a precomputed
+        ``modal`` result).  Rayleigh damping via ``alpha=``/``beta=``,
+        or per-mode ratios via ``zeta=``.  Returns a ``HarmonicResult``."""
+        import jax.numpy as jnp
+
+        from fem_tpu.solvers.harmonic import harmonic_response
+
+        if modal is None:
+            modal = self.modes(k=k, index=index)
+        return harmonic_response(
+            modal, jnp.asarray(f_hat), jnp.asarray(freqs_hz), **kw
+        )
+
+    def arc_length(self, f_pattern: np.ndarray, index: int = 0, **kw):
+        """Arc-length (Riks) continuation of body ``index`` under the load
+        λ·``f_pattern`` (extension — solvers/riks.py): traces the
+        equilibrium path THROUGH limit points (snap-through), which
+        neither dynamics nor load-controlled statics can follow.  Runs in
+        float64 on the host with direct sparse tangent factorizations
+        (see the module docstring for the two measured facts that force
+        both choices).  Requires ``pin_boxes``.  Returns an
+        ``ArcLengthResult``; does not modify the simulation state."""
+        import jax.numpy as jnp
+
+        from fem_tpu.solvers.riks import arc_length_path
+
+        s = self.scene[index]
+        return arc_length_path(
+            s.obj, s.state.pos, jnp.asarray(f_pattern), **kw
+        )
+
     def run(self, seconds: Optional[float] = None, frames: Optional[int] = None,
             nan_guard: bool = False) -> None:
         """Advance by virtual ``seconds`` or an explicit ``frames`` count."""

@@ -102,3 +102,30 @@ def test_simulation_sharded_matches_single_device():
     np.testing.assert_allclose(
         shd.positions(), ref.positions(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_api_buckling_and_harmonic():
+    """Simulation.buckling / Simulation.harmonic smoke (extensions:
+    solvers/buckling.py, solvers/harmonic.py)."""
+    sim = fem_tpu.Simulation.from_dict(
+        _cfg_dict(
+            objects=[{
+                "rho": 500, "center": [0.5, 0.5], "side_length": 0.2,
+                "subdivisions": 4, "E": 4e4, "nu": 0.2, "damping": 14.5,
+                "pin_boxes": [[[0.0, 0.695], [1.0, 1.0]]],
+            }],
+            blocks=[],
+        )
+    )
+    pos = sim.positions()
+    bottom = np.where(pos[:, 1] < pos[:, 1].min() + 1e-6)[0]
+    f = np.zeros_like(pos)
+    f[bottom, 1] = 0.4 / len(bottom)  # push the hanging edge UP = compression
+    res = sim.buckling(k=2, f_ext=f, rounds=12)
+    lam = np.asarray(res.load_factors)
+    assert lam.shape == (2,) and np.all(np.isfinite(lam)) and lam[0] > 0
+
+    freqs = np.linspace(5.0, 120.0, 8).astype(np.float32)
+    h = sim.harmonic(f, freqs, k=4, beta=1e-4)
+    assert h.amplitude.shape == (8,) + pos.shape
+    assert np.all(np.isfinite(np.asarray(h.amplitude)))

@@ -46,6 +46,7 @@ def _run(script, *args):
         ("examples/static_sag.py", "dynamic drift off the static"),
         ("examples/modal_modes.py", "natural frequencies (Hz):"),
         ("examples/newton_large_dt.py", "newton_large_dt OK"),
+        ("examples/stability_analysis.py", "peak at"),
     ],
 )
 def test_example_runs(script, expect):
