@@ -233,3 +233,42 @@ def project_field(
     masses; ``field``: (N, d)."""
     modes = jnp.asarray(modal.modes)
     return jnp.einsum("knd,nd->k", modes, mass[:, None] * jnp.asarray(field))
+
+
+class ParticipationResult(NamedTuple):
+    """Modal participation factors for a rigid base-excitation direction.
+
+    ``factors``: (k,) Γᵢ = φᵢᵀ·M·e (e = unit direction on every vertex).
+    ``effective_mass``: (k,) Γᵢ² — the mass each mode carries in that
+    direction (M-orthonormal modes make this exact).
+    ``total_mass``: Σ mᵥ; ``captured``: Σ Γᵢ² / total — the standard
+    "how much of the structure the retained modes represent" check
+    (→ 1 as k → nd; codes demand ≳0.9 for seismic work).
+    """
+
+    factors: jnp.ndarray
+    effective_mass: jnp.ndarray
+    total_mass: jnp.ndarray
+    captured: jnp.ndarray
+
+
+def participation_factors(
+    modal: ModalResult, mass: jnp.ndarray, direction
+) -> ParticipationResult:
+    """Participation factors Γᵢ = φᵢᵀM·e and effective modal masses Γᵢ²
+    for a uniform excitation ``direction`` (d,) — the classic modal-basis
+    adequacy metric (free DOFs only: pinned vertices carry no modal
+    content by construction)."""
+    modes = jnp.asarray(modal.modes)  # (k, N, d)
+    e = jnp.asarray(direction, modes.dtype)
+    e = e / jnp.linalg.norm(e)
+    field = mass[:, None] * e[None, :]  # (N, d)
+    gam = jnp.einsum("knd,nd->k", modes, field)
+    eff = gam * gam
+    total = jnp.sum(mass)
+    return ParticipationResult(
+        factors=gam,
+        effective_mass=eff,
+        total_mass=total,
+        captured=jnp.sum(eff) / total,
+    )

@@ -205,3 +205,36 @@ def test_modal_transient_settles_to_static_and_projection_roundtrip():
         np.asarray(q_back), q_static, rtol=2e-3,
         atol=1e-5 * np.abs(q_static).max(),
     )
+
+
+def test_participation_factors_capture_total_mass():
+    """With the FULL modal basis the effective modal masses must sum to
+    the total unpinned mass in any direction (completeness); a truncated
+    basis captures strictly less."""
+    from fem_tpu.solvers.harmonic import participation_factors
+
+    obj, state = _pinned_object()
+    modal, _, _, free = _full_modal_result(obj, state.pos)
+    n, d = state.pos.shape
+    m = np.asarray(obj.mass)
+    free_v = np.asarray(obj.free_mask)[:, 0].astype(bool)
+    for direction in ((1.0, 0.0), (0.0, 1.0), (0.6, 0.8)):
+        res = participation_factors(modal, obj.mass, jnp.asarray(direction))
+        # Total mass of FREE vertices along a unit direction.
+        e = np.asarray(direction) / np.linalg.norm(direction)
+        m_free = float(np.sum(m[free_v] * np.sum(e * e)))
+        np.testing.assert_allclose(
+            float(jnp.sum(res.effective_mass)), m_free, rtol=1e-4
+        )
+    # Truncation monotonicity: first 4 modes capture less than all.
+    res_all = participation_factors(modal, obj.mass, jnp.asarray((0.0, 1.0)))
+    from fem_tpu.solvers.modal import ModalResult
+
+    trunc = ModalResult(
+        omega_sq=modal.omega_sq[:4], frequencies=modal.frequencies[:4],
+        modes=modal.modes[:4], residuals=modal.residuals[:4],
+    )
+    res_4 = participation_factors(trunc, obj.mass, jnp.asarray((0.0, 1.0)))
+    assert float(jnp.sum(res_4.effective_mass)) < float(
+        jnp.sum(res_all.effective_mass)
+    )
