@@ -201,6 +201,35 @@ class Simulation:
             modal, jnp.asarray(f_hat), jnp.asarray(freqs_hz), **kw
         )
 
+    def response_spectrum(self, accel: np.ndarray, dt: float,
+                          direction, k: int = 6, index: int = 0,
+                          zeta: float = 0.05, combination: str = "cqc",
+                          modal=None):
+        """Response-spectrum analysis of body ``index`` under a rigid base
+        excitation along ``direction`` (extension — solvers/spectrum.py;
+        the reference is time-domain only): builds the displacement
+        spectrum of the ground-acceleration record ``accel`` (sampled at
+        ``dt``) with exact-propagator SDOF scans AT the modal frequencies,
+        then combines the per-mode peaks Γᵢ·Sd(ωᵢ)·φᵢ by ``combination``
+        ("cqc" | "srss" | "abssum").  Requires ``pin_boxes`` (rigid modes
+        have no finite spectral displacement).  Returns an ``RSResult``
+        (check ``.captured`` ≳ 0.9 for modal-basis adequacy)."""
+        import jax.numpy as jnp
+
+        from fem_tpu.solvers.spectrum import (
+            response_spectrum as _spectrum,
+            response_spectrum_analysis,
+        )
+
+        if modal is None:
+            modal = self.modes(k=k, index=index)
+        omegas = jnp.sqrt(jnp.maximum(jnp.asarray(modal.omega_sq), 0.0))
+        sp = _spectrum(jnp.asarray(accel), dt, omegas, zeta=zeta)
+        return response_spectrum_analysis(
+            modal, self.scene[index].obj.mass, direction,
+            spectrum=sp, zeta=zeta, combination=combination,
+        )
+
     def arc_length(self, f_pattern: np.ndarray, index: int = 0, **kw):
         """Arc-length (Riks) continuation of body ``index`` under the load
         λ·``f_pattern`` (extension — solvers/riks.py): traces the

@@ -129,3 +129,39 @@ def test_api_buckling_and_harmonic():
     h = sim.harmonic(f, freqs, k=4, beta=1e-4)
     assert h.amplitude.shape == (8,) + pos.shape
     assert np.all(np.isfinite(np.asarray(h.amplitude)))
+
+
+def test_api_response_spectrum():
+    """Simulation.response_spectrum smoke (extension: solvers/spectrum.py):
+    combined peak is finite, non-negative, zero at pinned vertices, and the
+    abssum combination bounds srss and cqc."""
+    sim = fem_tpu.Simulation.from_dict(
+        _cfg_dict(
+            objects=[{
+                "rho": 500, "center": [0.5, 0.5], "side_length": 0.2,
+                "subdivisions": 4, "E": 4e4, "nu": 0.2, "damping": 14.5,
+                "pin_boxes": [[[0.0, 0.695], [1.0, 1.0]]],
+            }],
+            blocks=[],
+        )
+    )
+    dt = 2e-3
+    t = np.arange(int(3.0 / dt)) * dt
+    accel = (2.0 * np.sin(60.0 * t) + np.sin(150.0 * t)).astype(np.float32)
+    modal = sim.modes(k=4)
+    peaks = {}
+    for comb in ("srss", "cqc", "abssum"):
+        res = sim.response_spectrum(
+            accel, dt, (1.0, 0.0), combination=comb, modal=modal
+        )
+        p = np.asarray(res.peak)
+        assert p.shape == sim.positions().shape
+        assert np.all(np.isfinite(p)) and np.all(p >= 0)
+        peaks[comb] = p
+    pos = sim.positions()
+    pinned = pos[:, 1] > 0.695
+    assert np.abs(peaks["cqc"][pinned]).max() < 1e-12
+    assert peaks["cqc"][~pinned].max() > 0
+    tiny = 1e-6 * peaks["abssum"].max()
+    assert (peaks["srss"] <= peaks["abssum"] * (1 + 1e-3) + tiny).all()
+    assert (peaks["cqc"] <= peaks["abssum"] * (1 + 1e-3) + tiny).all()
