@@ -82,6 +82,47 @@ def _is_mooney(material: str) -> bool:
     return material.partition(":")[0] == "mooney_rivlin"
 
 
+def fiber_params(mu: float, d: int, material: str) -> tuple:
+    """Parse a ``fiber:a1,a2[,a3][:kappa]`` material string into the unit
+    fiber direction ``a`` (tuple of ``d`` floats) and the fiber stiffness
+    ``k = kappa·mu`` (framework extension — transversely isotropic
+    fiber-reinforced solid; the reference has isotropic materials only).
+
+    The model is the ``stable_neo_hookean`` isotropic base plus the
+    standard-reinforcing anisotropic term
+
+        φ_f = k/2 · (I₄ − 1)²,   I₄ = aᵀFᵀFa = |Fa|²
+
+    (the polynomial core of fiber-reinforced models à la
+    Holzapfel–Gasser–Ogden with the exponential removed): rest-stable
+    (I₄(I) = 1 ⇒ P_f(I) = 0), objective (I₄ is invariant under rotations
+    F → QF), polynomial in F — finite through inversion like its base —
+    and stiffening the response along ``a`` while leaving the transverse
+    plane isotropic.  ``kappa`` (default 1.0) is the fiber modulus in
+    units of the object's shear modulus μ.
+    """
+    base, _, rest = material.partition(":")
+    assert base == "fiber"
+    dir_str, _, kap_str = rest.partition(":")
+    comps = tuple(float(x) for x in dir_str.split(",") if x != "")
+    if len(comps) != d:
+        raise ValueError(
+            f"fiber direction has {len(comps)} components for dim={d}: "
+            f"{material!r}"
+        )
+    norm = sum(x * x for x in comps) ** 0.5
+    if norm == 0.0:
+        raise ValueError(f"fiber direction must be nonzero: {material!r}")
+    kappa = float(kap_str) if kap_str else 1.0
+    if kappa <= 0.0:
+        raise ValueError(f"fiber kappa must be > 0: {material!r}")
+    return tuple(x / norm for x in comps), kappa * mu
+
+
+def _is_fiber(material: str) -> bool:
+    return material.partition(":")[0] == "fiber"
+
+
 def deformation_gradients(
     pos: jnp.ndarray, element_indices: jnp.ndarray, ref_inv: jnp.ndarray
 ) -> jnp.ndarray:
@@ -156,6 +197,17 @@ def energy_density(
         g_sq = jnp.einsum("...ij,...ij->...", g, g)
         tr_g = sm.trace(g)
         return mu * g_sq + s_lambda / 2.0 * tr_g * tr_g
+    if _is_fiber(material):
+        # Transversely isotropic fiber reinforcement (see fiber_params):
+        # stable-NH base + k/2·(I₄ − 1)² along the unit fiber direction.
+        a, k = fiber_params(mu, d, material)
+        a_vec = jnp.asarray(a, F.dtype)
+        fa = jnp.einsum(
+            "...ij,j->...i", F, a_vec, precision=jax.lax.Precision.HIGHEST
+        )
+        i4 = jnp.sum(fa * fa, axis=-1)
+        base = energy_density(F, mu, s_lambda, "stable_neo_hookean")
+        return base + 0.5 * k * (i4 - 1.0) * (i4 - 1.0)
     if _is_mooney(material):
         # Compressible Mooney–Rivlin (see mooney_params for the form and
         # calibration; beta=0 is exactly the reference's Neo-Hookean).
@@ -251,6 +303,18 @@ def first_piola(
         g = 0.5 * (c - eye)
         s = 2.0 * mu * g + s_lambda * sm.trace(g)[..., None, None] * eye
         return sm.matmul(F, s)
+    if _is_fiber(material):
+        # P = P_base + 2k·(I₄ − 1)·(Fa)aᵀ — exact ∂φ/∂F of the fiber energy
+        # (∂I₄/∂F = 2·F a aᵀ); polynomial, finite for all F like its base.
+        a, k = fiber_params(mu, d, material)
+        a_vec = jnp.asarray(a, F.dtype)
+        fa = jnp.einsum(
+            "...ij,j->...i", F, a_vec, precision=jax.lax.Precision.HIGHEST
+        )
+        i4 = jnp.sum(fa * fa, axis=-1)[..., None, None]
+        outer = jnp.einsum("...i,j->...ij", fa, a_vec)
+        base = first_piola(F, mu, s_lambda, "stable_neo_hookean")
+        return base + 2.0 * k * (i4 - 1.0) * outer
     if _is_mooney(material):
         # P = 2C1·F + 2C2·(I₁F − FC) + (λ_log·logJ − 2C1 − 2(d−1)C2)·F⁻ᵀ —
         # exact ∂φ/∂F of the energy above; P(I) = 0 by calibration.
@@ -420,6 +484,24 @@ def first_piola_dp(
         sym = dtf + sm.mT(dtf)  # DᵀF + FᵀD
         ds = mu * sym + s_lambda * sm.trace(dtf)[..., None, None] * eye
         return sm.matmul(D, s) + sm.matmul(F, ds)
+    if _is_fiber(material):
+        # Exact derivative of the fiber P: with w = Fa, δw = Da,
+        #   DP_f[D] = 2k·[ 2(w·δw)·w aᵀ + (I₄ − 1)·δw aᵀ ]  — polynomial.
+        a, k = fiber_params(mu, d, material)
+        a_vec = jnp.asarray(a, F.dtype)
+        fa = jnp.einsum(
+            "...ij,j->...i", F, a_vec, precision=jax.lax.Precision.HIGHEST
+        )
+        da = jnp.einsum(
+            "...ij,j->...i", D, a_vec, precision=jax.lax.Precision.HIGHEST
+        )
+        i4 = jnp.sum(fa * fa, axis=-1)[..., None, None]
+        w_dot = jnp.sum(fa * da, axis=-1)[..., None, None]
+        base = first_piola_dp(F, D, mu, s_lambda, "stable_neo_hookean", robust)
+        return base + 2.0 * k * (
+            2.0 * w_dot * jnp.einsum("...i,j->...ij", fa, a_vec)
+            + (i4 - 1.0) * jnp.einsum("...i,j->...ij", da, a_vec)
+        )
     if _is_mooney(material):
         # Exact derivative of the Mooney–Rivlin P above, with the same
         # determinant clamp / robust-inverse conventions as the NH branch

@@ -207,6 +207,43 @@ def _material_p_dp_chain(f, d_dir, dim, mu, lam, material, want_dp):
             for i in range(d2)
         ]
         return p, dp
+    if material.partition(":")[0] == "fiber":
+        # Planar transversely isotropic fiber reinforcement — twin of
+        # ops/element.py's fiber branches: stable-NH base (recursion below)
+        # + 2k(I₄−1)·(Fa)aᵀ with exact polynomial DP.  The fiber direction
+        # components are static python floats, so the planes stay pure
+        # elementwise arithmetic (MXU/VPU-friendly, no gathers).
+        from fem_tpu.ops.element import fiber_params
+
+        a, k = fiber_params(mu, dim, material)
+        p0, dp0 = _material_p_dp_chain(
+            f, d_dir, dim, mu, lam, "stable_neo_hookean", want_dp
+        )
+        fa = [
+            sum(a[j] * f[i * dim + j] for j in range(dim))
+            for i in range(dim)
+        ]
+        i4 = sum(fa_i * fa_i for fa_i in fa)
+        coef = 2.0 * k * (i4 - 1.0)
+        p = [
+            p0[i * dim + j] + coef * fa[i] * a[j]
+            for i in range(dim)
+            for j in range(dim)
+        ]
+        if not want_dp:
+            return p, None
+        da = [
+            sum(a[j] * d_dir[i * dim + j] for j in range(dim))
+            for i in range(dim)
+        ]
+        w_dot = sum(fa_i * da_i for fa_i, da_i in zip(fa, da))
+        dp = [
+            dp0[i * dim + j]
+            + 2.0 * k * (2.0 * w_dot * fa[i] + (i4 - 1.0) * da[i]) * a[j]
+            for i in range(dim)
+            for j in range(dim)
+        ]
+        return p, dp
     if material == "stable_neo_hookean":
         lam_p = lam + mu
         g = _planar_cof(f, dim)

@@ -173,6 +173,7 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
         newton_hessian=cfg.newton_hessian,
+        newton_theta=cfg.newton_theta,
         wall_friction=cfg.wall_friction,
         axis_name=AXIS,
         solver_backend="matrix_free",  # dense backend is single-chip only
@@ -306,6 +307,7 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
         newton_hessian=cfg.newton_hessian,
+        newton_theta=cfg.newton_theta,
         wall_friction=cfg.wall_friction,
         axis_name=AXIS,
         solver_backend="matrix_free",

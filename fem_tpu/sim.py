@@ -58,6 +58,7 @@ def substep(
     newton_cg_iters: int = 120,
     newton_tol: float = 1e-5,
     newton_hessian: str = "exact",
+    newton_theta: float = 1.0,
     external_force: jnp.ndarray | None = None,
     wall_friction: float = 0.0,
 ) -> Tuple[SimState, StepAux]:
@@ -134,6 +135,15 @@ def substep(
         if inelastic:
             state = advance_internal(obj, state, dt)
         return state, zero_aux
+    # θ-scheme position weighting (newton_theta < 1) needs the PHYSICAL
+    # start-of-substep combined velocity — captured before the external-
+    # force rhs substitution below (which is an algebraic trick, not a
+    # velocity the body ever had).
+    vel_pos_old = (
+        state.vel + state.vel_g
+        if integrator == "newton" and newton_theta != 1.0
+        else None
+    )
     if external_force is not None:
         # Fold the external force into the implicit rhs: b = v + dt·M⁻¹f_el
         # is linear in v, so solving with v' = v + dt·M⁻¹f_ext yields exactly
@@ -188,10 +198,12 @@ def substep(
             ),
             robust=robust_inversion,
             beta=obj.damping_beta,
+            theta=newton_theta,
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,
             obj.free_mask, obj.pin_vel, wall_friction,
+            theta=newton_theta, vel_pos_old=vel_pos_old,
         )
         return state, StepAux(solve_aux.iterations, solve_aux.residual)
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
@@ -249,6 +261,7 @@ def _cfg_kwargs(cfg: SimConfig) -> dict:
         newton_cg_iters=cfg.newton_cg_iters,
         newton_tol=cfg.newton_tol,
         newton_hessian=cfg.newton_hessian,
+        newton_theta=cfg.newton_theta,
         wall_friction=cfg.wall_friction,
     )
 

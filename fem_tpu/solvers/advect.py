@@ -149,12 +149,23 @@ def advect_implicit_step(
     free_mask: jnp.ndarray | None = None,
     pin_vel: jnp.ndarray | None = None,
     wall_friction: float = 0.0,
+    theta: float = 1.0,
+    vel_pos_old: jnp.ndarray | None = None,
 ) -> SimState:
     """Implicit-path advection (implicit.py:407-438): gravity lives in the
     separate ``vel_g`` channel outside the linear solve.  ``free_mask``
     (N, 1) zeroes pinned vertices' velocity channels before the position
     update (Dirichlet extension); ``pin_vel`` (N, d) overrides pinned
-    vertices with a prescribed velocity (kinematic loading)."""
+    vertices with a prescribed velocity (kinematic loading).
+
+    ``theta`` < 1 (generalized-trapezoidal extension, SimConfig.newton_theta
+    — θ = 1/2 is the implicit midpoint rule) moves positions by the
+    θ-weighted velocity dt·((1−θ)·v_old + θ·v) where ``vel_pos_old`` is the
+    start-of-substep combined velocity (vel + vel_g before the elastic
+    solve) and v the post-collision end-of-substep velocity — consistent
+    with the Newton solve's force evaluation at x(v); the stored velocity
+    channels stay the end-of-substep values.  θ = 1 compiles to the
+    reference's pos += v·dt exactly."""
     from fem_tpu.obstacles import apply_extensions_implicit, has_extensions
 
     if backend == "pallas":
@@ -162,6 +173,11 @@ def advect_implicit_step(
 
         from fem_tpu.ops.pallas_advect import advect_implicit_pallas
 
+        if theta != 1.0:
+            raise ValueError(
+                "the θ-scheme (newton_theta != 1) requires the XLA "
+                "advection path (backend='xla')"
+            )
         if has_extensions(obstacles) or wall_friction > 0.0:
             raise ValueError(
                 "SDF obstacle extensions / wall friction require the XLA "
@@ -248,5 +264,8 @@ def advect_implicit_step(
         if pin_vel is not None:
             vel = vel + pin_vel
             v = v + pin_vel
-    pos = state.pos + v * dt
+    if theta == 1.0:
+        pos = state.pos + v * dt
+    else:
+        pos = state.pos + ((1.0 - theta) * vel_pos_old + theta * v) * dt
     return state.replace(pos=pos, vel=vel, vel_g=vel_g)

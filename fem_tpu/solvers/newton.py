@@ -180,6 +180,7 @@ def newton_velocity_solve(
     cg_precond: str = "none",
     robust: bool = False,
     beta: float = 0.0,
+    theta: float = 1.0,
 ) -> Tuple[SimState, ImplicitAux]:
     """Solve r(v) = 0 for the end-of-substep velocity; vel ← v.
 
@@ -206,6 +207,21 @@ def newton_velocity_solve(
     owns global convergence as usual).  In decoupled mode the damping
     operator is the decoupled G(K) — consistent with the semi-implicit
     path; in exact mode it is the exact HVP.
+
+    ``theta`` (generalized-midpoint extension, SimConfig.newton_theta)
+    evaluates the elastic force at the θ-weighted position
+    x_θ(v) = (1−θ)·xₙ + θ·x_{n+1} = xₙ + θ·dt·((1−θ)·vₙ + θ·v), where
+    x_{n+1} = xₙ + dt·((1−θ)vₙ + θv) is the position update the caller must
+    apply (sim.substep does, via advect_implicit_step's θ weighting).
+    θ = 1 is backward Euler (exactly this function's historical behavior —
+    the θ = 1 code path is unchanged); θ = 1/2 the IMPLICIT MIDPOINT rule:
+    second-order, symplectic, energy-conserving for free elastic vibration
+    (tests/test_midpoint.py).  The Jacobian coefficient becomes
+    dt·(θ²·dt + β), threaded through every branch via
+    β_eff = β − (1−θ²)·dt (same dt·(dt+β_eff) arithmetic, so the decoupled
+    operator / diagonal-block / coarse-space code paths need no changes).
+    Damping stays backward Euler on v (dissipation term; conservation at
+    β = 0 is unaffected).
     """
     if hessian_mode not in ("exact", "decoupled"):
         raise ValueError(
@@ -230,6 +246,9 @@ def newton_velocity_solve(
             "build time (models/state.build_object)"
         )
     element_backend = _resolve_backend(element_backend)
+    # θ-scheme: every Jacobian coefficient dt·(dt+β) becomes dt·(θ²·dt+β),
+    # which is dt·(dt+β_eff) with β_eff = β − (1−θ²)·dt — exactly β at θ=1.
+    beta_eff = beta - (1.0 - theta * theta) * dt
     inv_m = 1.0 / obj.mass[:, None]
     free = obj.free_mask  # (N, 1) or None
     held = None if free is None else 1.0 - free
@@ -247,7 +266,10 @@ def newton_velocity_solve(
     def eval_at(v: jnp.ndarray):
         """(projected residual, K representation) at iterate ``v``.  In
         decoupled mode ONE element prep yields both."""
-        pos = x_n + dt * v
+        if theta == 1.0:  # keep the backward-Euler path bit-identical
+            pos = x_n + dt * v
+        else:
+            pos = x_n + (theta * dt) * ((1.0 - theta) * v_n + theta * v)
         if decoupled:
             f, krep = _decoupled_prep(
                 obj, pos, axis_name, element_backend, robust
@@ -280,7 +302,7 @@ def newton_velocity_solve(
         stored K representation (block-Jacobi PCG inner solves)."""
         k_flat, idx = _kflat_and_idx(krep)
         return diagonal_blocks_from(
-            idx, k_flat, obj.mass, dt, obj.particle_cnt, axis_name, beta
+            idx, k_flat, obj.mass, dt, obj.particle_cnt, axis_name, beta_eff
         )
 
     def res_norm(r: jnp.ndarray) -> jnp.ndarray:
@@ -302,11 +324,14 @@ def newton_velocity_solve(
 
         if decoupled:
             base_op = _decoupled_apply(
-                obj, krep, dt, axis_name, element_backend, beta
+                obj, krep, dt, axis_name, element_backend, beta_eff
             )
         else:
-            x_i = x_n + dt * v
-            coeff = dt * (dt + beta)
+            if theta == 1.0:
+                x_i = x_n + dt * v
+            else:
+                x_i = x_n + (theta * dt) * ((1.0 - theta) * v_n + theta * v)
+            coeff = dt * (theta * theta * dt + beta)
 
             def base_op(w: jnp.ndarray) -> jnp.ndarray:
                 _, df = jax.jvp(force_exact, (x_i,), (w,))
@@ -409,10 +434,10 @@ def newton_velocity_solve(
         k_flat0, idx0 = _kflat_and_idx(krep0)
         coarse0 = make_coarse_space(obj)
         c_mat0 = coarse_matrix(
-            coarse0, obj, k_flat0, dt, beta, free, idx0, axis_name
+            coarse0, obj, k_flat0, dt, beta_eff, free, idx0, axis_name
         )
         base_op0 = _decoupled_apply(
-            obj, krep0, dt, axis_name, element_backend, beta
+            obj, krep0, dt, axis_name, element_backend, beta_eff
         )
         if free is None:
             op0 = base_op0

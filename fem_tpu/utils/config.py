@@ -50,7 +50,12 @@ class ObjectConfig:
     # (extensions; corotated uses a tie-robust polar decomposition), or
     # "stable_neo_hookean" (inversion-robust polynomial NH of Smith et al.
     # TOG 2018 — finite for inverted elements, recovers; the production
-    # alternative where reference NH NaNs).
+    # alternative where reference NH NaNs), "mooney_rivlin[:beta]"
+    # (compressible two-invariant model, ops/element.mooney_params), or
+    # "fiber:a1,a2[,a3][:kappa]" (transversely isotropic fiber
+    # reinforcement: stable-NH base + kappa·mu/2·(I4−1)² along the unit
+    # direction a — ops/element.fiber_params; the anisotropic rung of the
+    # ladder).
     # Supported on every path: explicit (autodiff and analytic Piola
     # columns) and implicit — under hessian="reference" each material rides
     # the reference's decoupled one-block-per-element structure with its
@@ -227,6 +232,20 @@ class SimConfig:
     # MXU operator (one prep yields both the residual force and the
     # operator tables), the fast path at scale.
     newton_hessian: str = "exact"
+    # Generalized-trapezoidal θ-scheme on the Newton integrator's elastic
+    # term (extension; requires integrator="newton").  The residual becomes
+    # r(v) = (v − vₙ) − dt·M⁻¹·f(xₙ + dt·((1−θ)vₙ + θv)) and the position
+    # update uses the matching θ-weighted velocity, so θ = 1 is backward
+    # Euler (parity with the existing Newton path, numerically dissipative)
+    # and θ = 1/2 is the IMPLICIT MIDPOINT RULE: second-order accurate and
+    # energy-conserving for free elastic vibration (backward Euler bleeds
+    # kinetic+elastic energy at O(dt) per period; midpoint holds it to
+    # roundoff — tests/test_midpoint.py pins both properties).  Gravity /
+    # damping / collisions keep the reference's splitting structure;
+    # gravity's position contribution becomes trapezoidal (exact for a
+    # constant field).  θ < 1/2 would be conditionally stable and is
+    # rejected.
+    newton_theta: float = 1.0
     # Jacobi sweep semantics: "serial" is the parity default — the
     # reference's jacobi_iter_field_once (implicit.py:391-404) executes as a
     # serial in-place Gauss–Seidel-style sweep (Taichi parallelizes only
@@ -360,6 +379,16 @@ class SimConfig:
                 f"integrator must be 'semi_implicit' or 'newton', "
                 f"got {self.integrator!r}"
             )
+        if not 0.5 <= self.newton_theta <= 1.0:
+            raise ValueError(
+                "newton_theta must be in [0.5, 1.0] (0.5 = implicit "
+                f"midpoint, 1.0 = backward Euler), got {self.newton_theta}"
+            )
+        if self.newton_theta != 1.0 and self.integrator != "newton":
+            raise ValueError(
+                "newton_theta != 1 requires integrator='newton' (the "
+                "semi-implicit reference integrator has no θ-scheme)"
+            )
         if len(self.g_dir) != self.dim:
             raise ValueError(
                 f"g_dir has {len(self.g_dir)} components for dim={self.dim}"
@@ -469,6 +498,7 @@ def parse_config(data: dict) -> SimConfig:
         newton_cg_iters=int(data.get("newton_cg_iters", 120)),
         newton_tol=float(data.get("newton_tol", 1e-5)),
         newton_hessian=str(data.get("newton_hessian", "exact")),
+        newton_theta=float(data.get("newton_theta", 1.0)),
     )
 
 

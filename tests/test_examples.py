@@ -47,6 +47,7 @@ def _run(script, *args):
         ("examples/modal_modes.py", "natural frequencies (Hz):"),
         ("examples/newton_large_dt.py", "newton_large_dt OK"),
         ("examples/stability_analysis.py", "peak at"),
+        ("examples/anisotropic_fibers.py", "anisotropic_fibers OK"),
     ],
 )
 def test_example_runs(script, expect):
