@@ -49,14 +49,22 @@ class Simulation:
             len(self.scene) > 1 or cfg.self_contact
         ):
             if sharded:
-                raise ValueError(
-                    "contact='penalty' is not supported with sharded=True"
+                # Round-5: pair forces compute replicated (particle-space);
+                # element work shards per body (parallel/sharding.py).
+                from fem_tpu.parallel.sharding import (
+                    make_element_mesh,
+                    make_sharded_contact_frame_fn,
                 )
-            from fem_tpu.contact import make_contact_frame_fn
 
-            self._contact_frame = make_contact_frame_fn(
-                [s.obj for s in self.scene], cfg
-            )
+                self._contact_frame = make_sharded_contact_frame_fn(
+                    [s.obj for s in self.scene], cfg, make_element_mesh()
+                )
+            else:
+                from fem_tpu.contact import make_contact_frame_fn
+
+                self._contact_frame = make_contact_frame_fn(
+                    [s.obj for s in self.scene], cfg
+                )
             self._frame_fns = [None] * len(self.scene)
         elif sharded:
             from fem_tpu.parallel.sharding import (

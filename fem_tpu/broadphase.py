@@ -130,10 +130,29 @@ def grid_contact_forces(
 
     order = jnp.argsort(cell)
     cell_s = cell[order]
-    pos_s = pos[order]
-    body_s = body_id[order]
-    rest_s = rest_pos[order]
-    vel_s = vel[order] if vel is not None else None
+    # PACKED candidate rows (round-5 transport fix): the candidate gathers
+    # below move (ns·q) rows at the documented ~1.7 GB/s row-transport
+    # floor with a fixed per-row cost, so gathering pos/vel/rest/body as
+    # FOUR separate (ns, q, d)-row streams paid that overhead 4×.  Pack
+    # every per-vertex field into ONE (ns, K) row matrix in sorted order
+    # and gather it once; columns slice out in registers.  body ids ride
+    # as f32 (exact for < 2^24 vertices).  Measured on TPU at 65k
+    # vertices: see BASELINE.md broad-phase table.
+    parts = [pos[order]]
+    col_vel = None
+    if vel is not None:
+        col_vel = d
+        parts.append(vel[order])
+    col_rest = None
+    if self_contact:
+        col_rest = sum(p.shape[1] for p in parts)
+        parts.append(rest_pos[order])
+    col_body = sum(p.shape[1] for p in parts)
+    parts.append(body_id[order].astype(jnp.float32)[:, None])
+    packed = jnp.concatenate(parts, axis=1)  # (ns, K)
+    pos_s = packed[:, :d]
+    vel_s = None if col_vel is None else packed[:, col_vel:col_vel + d]
+    body_s = packed[:, col_body]
 
     # Forward-only stencil: the (3^d−1)/2 neighbor offsets whose
     # LINEARIZED id delta is positive (lexicographic ≻ 0; for m ≥ 3 the
@@ -169,16 +188,19 @@ def grid_contact_forces(
     j = idx_c.reshape(ns, -1)  # (ns, q) candidate sorted-positions
     valid = valid.reshape(ns, -1)
 
-    same_body = body_s[j] == body_s[:, None]
+    cand = packed[j]  # ONE (ns, q, K) row gather for every candidate field
+    same_body = cand[..., col_body] == body_s[:, None]
     if self_contact:
-        rd = rest_s[j] - rest_s[:, None, :]  # (ns, q, d)
+        rd = cand[..., col_rest:col_rest + d] - packed[
+            :, None, col_rest:col_rest + d
+        ]  # (ns, q, d)
         rest_ok = jnp.sum(rd * rd, axis=-1) > excl * excl
         admit = jnp.where(same_body, rest_ok, True)
     else:
         admit = ~same_body
     valid = valid & admit
 
-    diff = pos_s[:, None, :] - pos_s[j]  # (ns, q, d)
+    diff = pos_s[:, None, :] - cand[..., :d]  # (ns, q, d)
     d2 = jnp.sum(diff * diff, axis=-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
     pen = jnp.maximum(radius - dist, 0.0)
@@ -187,14 +209,14 @@ def grid_contact_forces(
     # Each unordered pair is found at most once (forward stencil): the
     # full force scatters +f to the finder i and −f to the candidate j.
     f_pair = coef[..., None] * diff  # (ns, q, d)
+    if vel is not None and (friction_c > 0.0 or mu > 0.0):
+        dv = vel_s[:, None, :] - cand[..., col_vel:col_vel + d]
     if friction_c > 0.0 and vel is not None:
         w = jnp.where(valid, pen / radius, 0.0)
-        dv = vel_s[:, None, :] - vel_s[j]
         f_pair = f_pair - friction_c * w[..., None] * dv
     if mu > 0.0 and vel is not None:
         active = valid & (pen > 0.0)
         n_hat = diff / dist[..., None]
-        dv = vel_s[:, None, :] - vel_s[j]
         v_t = dv - jnp.sum(dv * n_hat, axis=-1, keepdims=True) * n_hat
         t_speed = jnp.sqrt(
             jnp.maximum(jnp.sum(v_t * v_t, axis=-1), 1e-24)

@@ -60,6 +60,12 @@ class Blocking:
     element_indices: jnp.ndarray  # (B·Eb, d+1) int32 block-ordered, padded
     ref_inv: jnp.ndarray  # (B·Eb, d, d)
     volume: jnp.ndarray  # (B·Eb,) — 0 on padded slots
+    # Global mesh element id of each block-ordered slot (padded slots repeat
+    # element 0) — lets DYNAMIC per-element state (e.g. the inelastic
+    # internal-variable inverses, ops/inelastic.py) be gathered into block
+    # order on device so the blocked operator/prep can consume effective
+    # rest-edge inverses that change every substep.
+    element_perm: jnp.ndarray = None  # (B·Eb,) int32
     # Dense per-block incidence / gather tables for the whole-solve fused CG
     # kernel (ops/pallas_blocked_cg.py); None when the mesh exceeds its VMEM
     # gate.  Static topology — safe as ordinary pytree leaves.
@@ -227,6 +233,7 @@ def build_blocking(
         ),
         ref_inv=jnp.asarray(np.asarray(ref_inv)[flat]),
         volume=jnp.asarray(vol_b.reshape(-1)),
+        element_perm=jnp.asarray(flat.astype(np.int32)),
         s_dense=s_dense,
         g_dense=g_dense,
         scatter_lo=scatter_lo,
@@ -433,14 +440,15 @@ def _blocked_scatter_call(
     static_argnames=("dim", "mu", "s_lambda", "robust", "mode", "material"),
 )
 def _blocked_prep_call(
-    blocking: Blocking, xbt: jnp.ndarray, dim: int, mu: float,
-    s_lambda: float, robust: bool, mode: str, material: str,
+    blocking: Blocking, ref_inv_flat: jnp.ndarray, xbt: jnp.ndarray,
+    dim: int, mu: float, s_lambda: float, robust: bool, mode: str,
+    material: str,
 ):
     b_cnt, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
     d = dim
     d2 = d * d
     r = eb * d
-    rv = blocking.ref_inv.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
+    rv = ref_inv_flat.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
     vol = blocking.volume.reshape(b_cnt, 1, eb)
     # Static selection tensors (bf16 one-hots, consumed by the exact
     # split-dot) — loop-invariant, hoisted by XLA out of any substep scan.
@@ -483,6 +491,7 @@ def _blocked_prep_call(
 def blocked_prep(
     blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
     s_lambda: float, robust: bool = False, material: str = "neo_hookean",
+    ref_inv_flat: jnp.ndarray | None = None,
 ):
     """Implicit element prep through the block tables: returns
     ``(kplane (B, d², R), yt (B, d, Pb))`` — K planes in the exact
@@ -491,25 +500,36 @@ def blocked_prep(
     the E·(d+1)-row XLA edge gather + planar element kernel + K-plane
     repack of the op-composed path (the gather alone measured ~1.4 ms per
     substep at 68k tets).  Works per-shard under ``shard_map`` (blocking =
-    this shard's blocks; scatter psums)."""
+    this shard's blocks; scatter psums).
+
+    ``ref_inv_flat`` overrides the static block-ordered rest-edge inverses
+    with a DYNAMIC (B·Eb, d, d) array — the inelastic extension's effective
+    ``ref_inv·F_i⁻¹`` (ops/inelastic.py), gathered into block order via
+    ``Blocking.element_perm``."""
     xbt = blocked_gather(pos, blocking)
+    if ref_inv_flat is None:
+        ref_inv_flat = blocking.ref_inv
     return _blocked_prep_call(
-        blocking, xbt, dim, float(mu), float(s_lambda), bool(robust),
-        "implicit", material,
+        blocking, ref_inv_flat, xbt, dim, float(mu), float(s_lambda),
+        bool(robust), "implicit", material,
     )
 
 
 def blocked_grad_prep(
     blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
     s_lambda: float, material: str = "neo_hookean",
+    ref_inv_flat: jnp.ndarray | None = None,
 ):
     """Explicit/analytic energy-gradient partials ``yt (B, d, Pb)`` through
     the block tables (reference solver/explicit.py:23-49 chain with the
-    UNclamped log, +V scaling); feed to :func:`blocked_scatter_sum`."""
+    UNclamped log, +V scaling); feed to :func:`blocked_scatter_sum`.
+    ``ref_inv_flat`` as in :func:`blocked_prep`."""
     xbt = blocked_gather(pos, blocking)
+    if ref_inv_flat is None:
+        ref_inv_flat = blocking.ref_inv
     (yt,) = _blocked_prep_call(
-        blocking, xbt, dim, float(mu), float(s_lambda), False, "explicit",
-        material,
+        blocking, ref_inv_flat, xbt, dim, float(mu), float(s_lambda), False,
+        "explicit", material,
     )
     return yt
 
@@ -657,6 +677,10 @@ def pad_blocking(blocking: Blocking, multiple: int) -> Blocking:
             [blocking.ref_inv, jnp.tile(blocking.ref_inv[:1], (pad * eb, 1, 1))]
         ),
         volume=pad0(blocking.volume, pad * eb),
+        element_perm=jnp.concatenate(
+            [blocking.element_perm,
+             jnp.tile(blocking.element_perm[:1], (pad * eb,))]
+        ),
         s_dense=None,
         g_dense=None,
         scatter_lo=None,

@@ -28,10 +28,21 @@ frozen):
   transient stiffness μ + μ_v; t ≫ τ relaxes to the base material —
   stress relaxation and creep fall out.
 
-Execution: the internal-variable chains ride the graph (XLA) operator —
-the blocked/fused VMEM tables bake the static ``ref_inv`` and carry no
-per-element dynamic state, so configs with inelasticity fall back to the
-op-composed path (a documented gate, not a silent wrong answer).
+Execution: inelastic stress is exposed as *material layers*
+(:func:`material_layers`) — (internal inverse, μ, λ, material) tuples whose
+contributions sum — and every implicit/explicit/Newton execution path
+consumes them by composing the layer's dynamic ``F_i⁻¹`` with its own
+rest-edge inverses (element- or block-ordered): the graph operator, the
+blocked MXU operator with in-VMEM prep (``blocked_prep(ref_inv_flat=…)``
+over ``Blocking.element_perm``), the fused whole-SOLVE kernel (its K/force
+tables are dynamic inputs), Newton's decoupled mode, and the sharded path
+(internal variables replicated; updates shard-local + all_gather).  Only
+the whole-FRAME kernels stay elastic-only: they advance ``sim_count``
+substeps inside one device op and would need the return map + internal
+variable update in-kernel — a documented gate, not a silent wrong answer.
+(The return map itself is SVD-free since round 5 — Jacobi ``sym_eigh`` on
+C = FᵀF; the batched ``jnp.linalg.svd`` blew the 16 MB scoped-VMEM QR
+stack at 68k tets.)
 """
 
 from __future__ import annotations
@@ -48,7 +59,6 @@ from fem_tpu.ops.element import (
     deformation_gradients,
     energy_density,
     explicit_grad_columns,
-    hessian_blocks,
 )
 
 # The Maxwell branch's functional form: polynomial (inversion-finite),
@@ -71,17 +81,75 @@ def effective_ref_inv(
     return sm.matmul(ref_inv, fi_inv)
 
 
+def material_layers(obj: FemObject, state: SimState) -> tuple:
+    """Material layers ``(fi_inv, mu, lam, material)`` whose force / Hessian
+    contributions SUM to the full (in)elastic stress: the base material
+    evaluated on the effective rest-edge inverse ``ref_inv·F_p⁻¹``, plus the
+    optional generalized-Maxwell branch on ``ref_inv·F_v⁻¹``.
+
+    ``fi_inv`` is the per-element internal inverse in MESH element order
+    (``None`` means the static ``ref_inv`` — the pure elastic layer).  This
+    is the interface that threads inelasticity through every implicit /
+    explicit / Newton execution path (graph, mxu, blocked MXU prep, fused
+    whole-solve kernel): consumers compose ``fi_inv`` with whichever
+    (element- or block-ordered) rest-edge inverses they hold via
+    :func:`layer_ref_inv_local` / :func:`layer_ref_inv_blocked`."""
+    layers = [(state.plastic_inv, obj.mu, obj.s_lambda, obj.material)]
+    if state.viscous_inv is not None:
+        layers.append(
+            (state.viscous_inv, obj.viscous_mu, 0.0, _BRANCH_MATERIAL)
+        )
+    return tuple(layers)
+
+
+def layer_ref_inv_local(
+    ref_inv: jnp.ndarray,
+    fi_inv: jnp.ndarray | None,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """Effective rest-edge inverse for one material layer, in the element
+    order of ``ref_inv``.  Under ``shard_map`` (``axis_name``) the internal
+    variables are REPLICATED over the full padded element range while
+    ``ref_inv`` is this shard's contiguous slice — shards slice their rows
+    by ``axis_index`` (fem_tpu.parallel.sharding's contiguous layout)."""
+    if fi_inv is None:
+        return ref_inv
+    if axis_name is not None and fi_inv.shape[0] != ref_inv.shape[0]:
+        e_local = ref_inv.shape[0]
+        start = jax.lax.axis_index(axis_name) * e_local
+        fi_inv = jax.lax.dynamic_slice_in_dim(fi_inv, start, e_local, 0)
+    return sm.matmul(ref_inv, fi_inv)
+
+
+def layer_ref_inv_blocked(blocking, fi_inv: jnp.ndarray | None) -> jnp.ndarray:
+    """Effective rest-edge inverse for one material layer in BLOCK order
+    (B·Eb, d, d): the dynamic internal inverses gather through
+    ``Blocking.element_perm`` (global element ids — under sharding the
+    internal variables are replicated, so the gather is shard-local)."""
+    if fi_inv is None:
+        return blocking.ref_inv
+    return sm.matmul(blocking.ref_inv, fi_inv[blocking.element_perm])
+
+
 def _log_strain(F: jnp.ndarray):
-    """SVD principal log strains of a batch of (E, d, d) matrices.
-    Returns (U, ε, Vᵀ) with singular values clamped away from zero so an
-    (inverted/collapsed) element yields finite strains instead of NaNs."""
-    u, s, vt = jnp.linalg.svd(F, full_matrices=False)
-    s = jnp.maximum(s, 1e-6)
-    return u, jnp.log(s), vt
+    """Principal log strains of a batch of (E, d, d) matrices WITHOUT an SVD:
+    Jacobi eigendecomposition of C = FᵀF = V·diag(σ²)·Vᵀ (pure elementwise
+    VPU math — the batched ``jnp.linalg.svd`` lowers to a QR custom call
+    whose scoped-VMEM stack blows the 16 MB limit past ~50k elements on
+    this backend; measured at 68,508 tets, round 5).  Returns (ε, V) with
+    singular values clamped away from zero so an (inverted/collapsed)
+    element yields finite strains instead of NaNs."""
+    c = sm.matmul(sm.mT(F), F)
+    w, v = sm.sym_eigh(c)
+    s = jnp.sqrt(jnp.maximum(w, 1e-12))
+    return jnp.log(jnp.maximum(s, 1e-6)), v
 
 
-def _recompose(u, eps, vt):
-    return sm.matmul(u * jnp.exp(eps)[..., None, :], vt)
+def _principal_rescale(F: jnp.ndarray, delta_eps: jnp.ndarray, v: jnp.ndarray):
+    """F with its principal stretches multiplied by exp(Δε): with
+    F = U·Σ·Vᵀ, U·Σ·exp(Δε)·Vᵀ = F·(V·diag(exp Δε)·Vᵀ) — no U needed, and
+    Δε = 0 rows return F to roundoff (no SVD roundtrip error)."""
+    return sm.matmul(F, sm.matmul(v * jnp.exp(delta_eps)[..., None, :], sm.mT(v)))
 
 
 def plastic_return_map(
@@ -90,7 +158,7 @@ def plastic_return_map(
     """Radial return in principal Hencky-strain space (perfect plasticity,
     isochoric flow).  Returns (F_e projected onto the yield surface,
     yielded mask (E,))."""
-    u, eps, vt = _log_strain(fe_trial)
+    eps, v = _log_strain(fe_trial)
     mean = jnp.mean(eps, axis=-1, keepdims=True)
     dev = eps - mean
     nrm = jnp.sqrt(jnp.sum(dev * dev, axis=-1, keepdims=True))
@@ -98,26 +166,47 @@ def plastic_return_map(
     scale = jnp.where(
         nrm > yield_eps, yield_eps / jnp.maximum(nrm, 1e-30), 1.0
     )
-    fe_new = _recompose(u, mean + dev * scale, vt)
+    fe_new = _principal_rescale(fe_trial, dev * (scale - 1.0), v)
     return fe_new, yielded
 
 
 def viscous_relax(fbe_trial: jnp.ndarray, dt: float, tau: float) -> jnp.ndarray:
     """Branch strain after one substep of Maxwell relaxation: principal log
     strains decay by exp(−dt/τ)."""
-    u, eps, vt = _log_strain(fbe_trial)
-    return _recompose(u, eps * jnp.exp(-dt / tau), vt)
+    eps, v = _log_strain(fbe_trial)
+    return _principal_rescale(fbe_trial, eps * (jnp.exp(-dt / tau) - 1.0), v)
 
 
 def advance_internal(
-    obj: FemObject, state: SimState, dt: float
+    obj: FemObject, state: SimState, dt: float,
+    axis_name: str | None = None,
 ) -> SimState:
     """Update the per-element internal variables from the (end-of-substep)
     positions in ``state``.  Elements with non-positive det F freeze their
     internal state for the step (an inverted element has no meaningful
-    polar sector; the elastic layer owns recovery)."""
+    polar sector; the elastic layer owns recovery).
+
+    Under ``shard_map`` (``axis_name``) the internal variables are replicated
+    over the full padded element range while ``obj`` holds this shard's
+    contiguous element slice: each shard updates its own rows (purely
+    per-element math, no collectives in the chain) and one ``all_gather``
+    reassembles the replicated arrays — the updates are deterministic, so
+    every shard holds identical copies afterwards."""
     if not is_inelastic(obj):
         return state
+    e_local = obj.element_indices.shape[0]
+
+    def local_rows(full: jnp.ndarray) -> jnp.ndarray:
+        if axis_name is None or full.shape[0] == e_local:
+            return full
+        start = jax.lax.axis_index(axis_name) * e_local
+        return jax.lax.dynamic_slice_in_dim(full, start, e_local, 0)
+
+    def regather(local: jnp.ndarray, full: jnp.ndarray) -> jnp.ndarray:
+        if axis_name is None or full.shape[0] == e_local:
+            return local
+        return jax.lax.all_gather(local, axis_name, tiled=True)
+
     F = deformation_gradients(state.pos, obj.element_indices, obj.ref_inv)
     ok = (sm.det(F) > 1e-9)[..., None, None]
     # A guarded inverse so frozen (inverted) elements never see NaNs.
@@ -125,16 +214,22 @@ def advance_internal(
     f_inv = sm.inv(f_safe)
     new = {}
     if state.plastic_inv is not None:
-        fe_trial = sm.matmul(F, state.plastic_inv)
+        p_inv = local_rows(state.plastic_inv)
+        fe_trial = sm.matmul(F, p_inv)
         fe_new, yielded = plastic_return_map(fe_trial, obj.plastic_yield)
         fp_inv_new = sm.matmul(f_inv, fe_new)
         upd = ok & yielded[..., None, None]
-        new["plastic_inv"] = jnp.where(upd, fp_inv_new, state.plastic_inv)
+        new["plastic_inv"] = regather(
+            jnp.where(upd, fp_inv_new, p_inv), state.plastic_inv
+        )
     if state.viscous_inv is not None:
-        fbe_trial = sm.matmul(F, state.viscous_inv)
+        v_inv = local_rows(state.viscous_inv)
+        fbe_trial = sm.matmul(F, v_inv)
         fbe_new = viscous_relax(fbe_trial, dt, obj.viscous_tau)
         fv_inv_new = sm.matmul(f_inv, fbe_new)
-        new["viscous_inv"] = jnp.where(ok, fv_inv_new, state.viscous_inv)
+        new["viscous_inv"] = regather(
+            jnp.where(ok, fv_inv_new, v_inv), state.viscous_inv
+        )
     return state.replace(**new)
 
 
@@ -180,70 +275,3 @@ def inelastic_element_energies(
     return obj.volume * phi
 
 
-def inelastic_k_and_cols(
-    obj: FemObject, state: SimState, pos: jnp.ndarray, robust: bool
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(decoupled system blocks K_e, implicit rhs force columns) of the
-    inelastic stress — the same one-block-per-element structure as the
-    reference (ops/element.hessian_blocks docstring), with the base
-    material's DP taken at F_e over the effective rest-edge inverse and the
-    branch's added on top."""
-    r_base = effective_ref_inv(obj.ref_inv, state.plastic_inv)
-    K = hessian_blocks(
-        pos, obj.element_indices, r_base, obj.volume,
-        obj.mu, obj.s_lambda, robust, obj.material,
-    )
-    cols = -explicit_grad_columns(
-        pos, obj.element_indices, r_base, obj.volume,
-        obj.mu, obj.s_lambda, obj.material,
-    )
-    if state.viscous_inv is not None:
-        r_branch = effective_ref_inv(obj.ref_inv, state.viscous_inv)
-        K = K + hessian_blocks(
-            pos, obj.element_indices, r_branch, obj.volume,
-            obj.viscous_mu, 0.0, robust, _BRANCH_MATERIAL,
-        )
-        cols = cols - explicit_grad_columns(
-            pos, obj.element_indices, r_branch, obj.volume,
-            obj.viscous_mu, 0.0, _BRANCH_MATERIAL,
-        )
-    return K, cols
-
-
-def inelastic_velocity_solve(
-    obj: FemObject,
-    state: SimState,
-    dt: float,
-    preconditioned: int,
-    cg_precond: str,
-    robust: bool,
-    axis_name: str | None = None,
-):
-    """Semi-implicit velocity solve on the inelastic operator — the same
-    system/solve semantics as solvers/implicit.implicit_velocity_solve's
-    graph branch (A = I − dt·(dt+β)·M⁻¹·G(K), CG per ``cg_precond``), with
-    K/rhs from :func:`inelastic_k_and_cols`.  CG only (the Jacobi sweeps
-    keep pure reference semantics)."""
-    from fem_tpu.solvers.implicit import (
-        ImplicitAux,
-        _cg_solve_dispatch,
-        diagonal_blocks,
-        make_system_apply,
-        make_system_apply_t,
-    )
-
-    beta = obj.damping_beta
-    K, cols = inelastic_k_and_cols(obj, state, state.pos, robust)
-    f = assemble_for(obj, element_contrib_full(cols), axis_name)
-    b = state.vel + dt * f / obj.mass[:, None]
-    apply_a = make_system_apply(obj, K, dt, axis_name, beta)
-    res = _cg_solve_dispatch(
-        apply_a,
-        lambda: make_system_apply_t(obj, K, dt, axis_name, beta),
-        b, preconditioned, cg_precond,
-        lambda: diagonal_blocks(obj, K, dt, axis_name, beta),
-        obj.mass,
-        free=obj.free_mask,
-        pin_vel=obj.pin_vel,
-    )
-    return state.replace(vel=res.x), ImplicitAux(res.iterations, res.residual)

@@ -165,3 +165,44 @@ def polar_rotation(m: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
     for _ in range(iters):
         r = 0.5 * (r + mT(inv(r)))
     return r
+
+
+def sym_eigh(m: jnp.ndarray, sweeps: int = 6):
+    """Batched eigendecomposition of SYMMETRIC (..., d, d), d ∈ {2, 3}, via
+    cyclic Jacobi rotations.  Returns ``(w, V)`` with ``m ≈ V·diag(w)·Vᵀ``
+    (V orthogonal to ~f32 roundoff; eigenvalues NOT sorted).
+
+    Pure elementwise VPU math — the batched ``jnp.linalg.svd/eigh`` lower to
+    a QR-decomposition custom call whose scoped-VMEM stack allocation
+    exceeds this backend's 16 MB limit past ~50k 3×3 matrices (measured: the
+    68,508-tet plasticity return map failed to compile).  d = 2 is exact in
+    one rotation; d = 3 cyclic Jacobi converges quadratically (6 sweeps
+    reach f32 roundoff with margin).
+    """
+    d = m.shape[-1]
+    if d not in (2, 3):
+        raise ValueError(f"unsupported matrix dim {d}")
+    pairs = [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
+    a = m
+    v = jnp.broadcast_to(jnp.eye(d, dtype=m.dtype), m.shape)
+    for _ in range(1 if d == 2 else sweeps):
+        for p, q in pairs:
+            app, aqq, apq = a[..., p, p], a[..., q, q], a[..., p, q]
+            # Stable Jacobi angle: t = sgn(τ)/(|τ|+√(1+τ²)), τ=(a_qq−a_pp)/2a_pq.
+            # τ = 0 with a_pq ≠ 0 is a 45° rotation (t = 1) — use a ±1 sign,
+            # not sign(τ) (which is 0 at 0); a_pq = 0 → identity rotation.
+            off = jnp.abs(apq) > 0.0
+            tau = (aqq - app) / (2.0 * jnp.where(off, apq, 1.0))
+            sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+            t = jnp.where(off, sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)), 0.0)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            eye = jnp.broadcast_to(jnp.eye(d, dtype=m.dtype), m.shape)
+            g = (
+                eye.at[..., p, p].set(c).at[..., q, q].set(c)
+                .at[..., p, q].set(s).at[..., q, p].set(-s)
+            )
+            a = matmul(mT(g), matmul(a, g))
+            v = matmul(v, g)
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    return w, v

@@ -110,6 +110,7 @@ def _sharded_blocking(obj: FemObject, cfg: SimConfig, n_shards: int):
     spec = blk.replace(
         block_particles=P(AXIS), plus=P(AXIS), minus=P(AXIS),
         element_indices=P(AXIS), ref_inv=P(AXIS), volume=P(AXIS),
+        element_perm=P(AXIS),
     )
     return blk, spec, blk.num_blocks // n_shards
 
@@ -125,38 +126,40 @@ def make_element_mesh(
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
-    """Shared builder for the sharded substep / frame functions."""
-    if obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0:
-        raise ValueError(
-            "sharded execution does not support the inelastic material "
-            "extensions yet: the per-element internal variables "
-            "(SimState.plastic_inv/viscous_inv) would need element-axis "
-            "PartitionSpecs threaded through the state pytree"
+def _pad_internal(state: SimState, target_e: int) -> SimState:
+    """Pad the per-element internal-variable inverses (inelastic extension)
+    to the padded element count with identity rows — padded elements carry
+    volume 0, so their internal state is inert (advance_internal writes
+    finite values there; nothing reads them with nonzero weight)."""
+    def pad(x):
+        if x is None or x.shape[-3] == target_e:
+            return x
+        eye = jnp.broadcast_to(
+            jnp.eye(x.shape[-1], dtype=x.dtype),
+            x.shape[:-3] + (target_e - x.shape[-3],) + x.shape[-2:],
         )
-    n_shards = mesh.devices.size
-    padded = pad_elements(obj, n_shards)
-    if padded.element_cnt == obj.element_cnt:
-        # pad_elements may have returned the object unchanged; the sharded
-        # path never uses the dense edge matrix, so drop it (it would need a
-        # PartitionSpec otherwise).
-        padded = padded.replace(edge_matrix=None)
-    # Implicit-CG configs keep the blocked MXU operator, sharded whole-blocks
-    # over the device axis (the fused VMEM tables stay single-chip and are
-    # dropped); other methods use the segment-sum assembly.
-    blk, blk_spec, local_blocks = _sharded_blocking(obj, cfg, n_shards)
-    padded = padded.replace(blocking=blk)
-    local_cnt = padded.element_cnt // n_shards
+        return jnp.concatenate([x, eye], axis=-3)
 
-    state_spec = SimState(pos=P(), vel=P(), vel_g=P(), force=P(),
-                          jacobi_past_x=P())
-    # Pytree-prefix spec: one replicated P() covers every obstacle
-    # leaf, including the optional SDF extension fields (which are
-    # None under pure reference configs).
-    obs_spec = P()
-    aux_spec = StepAux(P(), P())
+    return state.replace(
+        plastic_inv=pad(state.plastic_inv), viscous_inv=pad(state.viscous_inv)
+    )
 
-    kwargs = dict(
+
+def _slice_internal(state: SimState, orig_e: int) -> SimState:
+    """Inverse of :func:`_pad_internal` on the returned state."""
+    def cut(x):
+        if x is None or x.shape[-3] == orig_e:
+            return x
+        return x[..., :orig_e, :, :]
+
+    return state.replace(
+        plastic_inv=cut(state.plastic_inv), viscous_inv=cut(state.viscous_inv)
+    )
+
+
+def _sharded_kwargs(cfg: SimConfig) -> dict:
+    """The substep kwargs shared by every sharded builder."""
+    return dict(
         dt=cfg.delta_time,
         g_dir=cfg.g_dir,
         use_explicit_method=cfg.use_explicit_method,
@@ -183,7 +186,21 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         else cfg.operator_mode,
     )
 
-    # Element arrays shard over the mesh axis; particle arrays replicate.
+
+def _prep_body(obj: FemObject, cfg: SimConfig, n_shards: int):
+    """(padded object, its PartitionSpec pytree, local element count, local
+    block count) for one body: element arrays shard over the mesh axis,
+    particle arrays replicate, implicit-CG configs keep the blocked MXU
+    operator sharded whole-blocks (fused VMEM tables stay single-chip)."""
+    padded = pad_elements(obj, n_shards)
+    if padded.element_cnt == obj.element_cnt:
+        # pad_elements may have returned the object unchanged; the sharded
+        # path never uses the dense edge matrix, so drop it (it would need a
+        # PartitionSpec otherwise).
+        padded = padded.replace(edge_matrix=None)
+    blk, blk_spec, local_blocks = _sharded_blocking(obj, cfg, n_shards)
+    padded = padded.replace(blocking=blk)
+    local_cnt = padded.element_cnt // n_shards
     # Built with .replace so the spec pytree's static fields match `padded`'s.
     obj_spec = padded.replace(
         element_indices=P(AXIS), ref_inv=P(AXIS), volume=P(AXIS),
@@ -199,17 +216,52 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
         obj_spec = obj_spec.replace(pin_vel=P())  # particle-space: replicate
     if padded.agg_ids is not None:  # coarse space: replicate
         obj_spec = obj_spec.replace(agg_ids=P(), agg_basis=P())
+    return padded, obj_spec, local_cnt, local_blocks
+
+
+def _localize(obj_shard: FemObject, local_cnt: int, local_blocks: int):
+    """Rewrite a shard's static counts (shard_map slices only the arrays)."""
+    local = obj_shard.replace(element_cnt=local_cnt, assembly_mode="segment")
+    if local.blocking is not None:
+        local = local.replace(
+            blocking=local.blocking.replace(num_blocks=local_blocks)
+        )
+    return local
+
+
+def _state_spec_for(obj: FemObject, batch: str | None = None) -> SimState:
+    ax = P(batch) if batch else P()
+    return SimState(
+        pos=ax, vel=ax, vel_g=ax, force=ax, jacobi_past_x=ax,
+        plastic_inv=ax if obj.plastic_yield > 0.0 else None,
+        viscous_inv=ax if obj.viscous_mu > 0.0 else None,
+    )
+
+
+def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
+    """Shared builder for the sharded substep / frame functions.
+
+    Inelastic configs (plastic_yield/viscous_mu): the per-element internal
+    variables ride the state pytree REPLICATED over the full padded element
+    range — each shard slices its contiguous rows for layer composition
+    (ops/inelastic.layer_ref_inv_local) and for the per-substep update,
+    which all_gathers back to replicated (advance_internal)."""
+    inelastic = obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0
+    n_shards = mesh.devices.size
+    padded, obj_spec, local_cnt, local_blocks = _prep_body(
+        obj, cfg, n_shards
+    )
+
+    state_spec = _state_spec_for(obj)
+    # Pytree-prefix spec: one replicated P() covers every obstacle
+    # leaf, including the optional SDF extension fields (which are
+    # None under pure reference configs).
+    obs_spec = P()
+    aux_spec = StepAux(P(), P())
+    kwargs = _sharded_kwargs(cfg)
 
     def local_fn(obj_shard: FemObject, state, obstacles):
-        local = obj_shard.replace(
-            element_cnt=local_cnt, assembly_mode="segment"
-        )
-        if local.blocking is not None:
-            # shard_map slices the Blocking's leaves; the static block count
-            # must be rewritten to this shard's share.
-            local = local.replace(
-                blocking=local.blocking.replace(num_blocks=local_blocks)
-            )
+        local = _localize(obj_shard, local_cnt, local_blocks)
         if scan_frame:
             def body(s, _):
                 return substep(local, s, obstacles, **kwargs)
@@ -231,8 +283,15 @@ def _build(obj: FemObject, cfg: SimConfig, mesh: Mesh, scan_frame: bool):
     # fem_tpu/sim.py — captured mesh arrays compile and run pathologically).
     jit_sharded = jax.jit(sharded)
 
+    orig_e = obj.element_cnt
+
     def run(state: SimState, obstacles: Obstacles):
-        return jit_sharded(padded, state, obstacles)
+        if inelastic:
+            state = _pad_internal(state, padded.element_cnt)
+        out_state, aux = jit_sharded(padded, state, obstacles)
+        if inelastic:
+            out_state = _slice_internal(out_state, orig_e)
+        return out_state, aux
 
     return run
 
@@ -260,69 +319,21 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
     batch-mesh size) and unbatched obstacles.
     """
     n_elem_shards = mesh.shape[AXIS]
-    blk, blk_spec, local_blocks = _sharded_blocking(obj, cfg, n_elem_shards)
-    padded = pad_elements(obj, n_elem_shards).replace(
-        edge_matrix=None, blocking=blk
+    inelastic = obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0
+    padded, obj_spec, local_cnt, local_blocks = _prep_body(
+        obj, cfg, n_elem_shards
     )
-    local_cnt = padded.element_cnt // n_elem_shards
 
-    state_spec = SimState(
-        pos=P("batch"), vel=P("batch"), vel_g=P("batch"),
-        force=P("batch"), jacobi_past_x=P("batch"),
-    )
+    state_spec = _state_spec_for(obj, batch="batch")
     # Pytree-prefix spec: one replicated P() covers every obstacle
     # leaf, including the optional SDF extension fields (which are
     # None under pure reference configs).
     obs_spec = P()
     aux_spec = StepAux(P("batch"), P("batch"))
-    obj_spec = padded.replace(
-        element_indices=P(AXIS), ref_inv=P(AXIS), volume=P(AXIS),
-        mass=P(), rest_pos=P(), faces=P(), gather_idx=P(),
-        jacobi_nb=P(), jacobi_slots=P(AXIS), jacobi_coeff=P(AXIS),
-        blocking=blk_spec,
-    )
-    if padded.free_mask is not None:
-        obj_spec = obj_spec.replace(free_mask=P())  # particle-space: replicate
-    if padded.static_load is not None:
-        obj_spec = obj_spec.replace(static_load=P())  # particle-space: replicate
-    if padded.pin_vel is not None:
-        obj_spec = obj_spec.replace(pin_vel=P())  # particle-space: replicate
-    if padded.agg_ids is not None:  # coarse space: replicate
-        obj_spec = obj_spec.replace(agg_ids=P(), agg_basis=P())
-
-    kwargs = dict(
-        dt=cfg.delta_time,
-        g_dir=cfg.g_dir,
-        use_explicit_method=cfg.use_explicit_method,
-        auto_diff=cfg.auto_diff,
-        implicit_method=cfg.implicit_method,
-        preconditioned=cfg.preconditioned,
-        jacobi_sweep=cfg.jacobi_sweep,
-        cg_precond=cfg.cg_precond,
-        robust_inversion=cfg.robust_inversion,
-        element_backend=cfg.element_backend,
-        hessian=cfg.hessian,
-        integrator=cfg.integrator,
-        newton_iters=cfg.newton_iters,
-        newton_cg_iters=cfg.newton_cg_iters,
-        newton_tol=cfg.newton_tol,
-        newton_hessian=cfg.newton_hessian,
-        newton_theta=cfg.newton_theta,
-        wall_friction=cfg.wall_friction,
-        axis_name=AXIS,
-        solver_backend="matrix_free",
-        operator_mode="auto" if cfg.operator_mode == "fused"
-        else cfg.operator_mode,
-    )
+    kwargs = _sharded_kwargs(cfg)
 
     def local_fn(obj_shard: FemObject, states, obstacles):
-        local = obj_shard.replace(
-            element_cnt=local_cnt, assembly_mode="segment"
-        )
-        if local.blocking is not None:
-            local = local.replace(
-                blocking=local.blocking.replace(num_blocks=local_blocks)
-            )
+        local = _localize(obj_shard, local_cnt, local_blocks)
 
         def one(state):
             def body(s, _):
@@ -343,8 +354,15 @@ def make_batched_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
     )
     jit_sharded = jax.jit(sharded)
 
+    orig_e = obj.element_cnt
+
     def run(states: SimState, obstacles: Obstacles):
-        return jit_sharded(padded, states, obstacles)
+        if inelastic:
+            states = _pad_internal(states, padded.element_cnt)
+        out_states, aux = jit_sharded(padded, states, obstacles)
+        if inelastic:
+            out_states = _slice_internal(out_states, orig_e)
+        return out_states, aux
 
     return run
 
@@ -353,6 +371,110 @@ def make_sharded_frame_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):
     """Compiled frame function (``sim_count`` substeps) with elements sharded
     over ``mesh``; drop-in replacement for :func:`fem_tpu.sim.make_frame_fn`."""
     return _build(obj, cfg, mesh, scan_frame=True)
+
+
+def make_sharded_contact_frame_fn(
+    objs: Sequence[FemObject], cfg: SimConfig, mesh: Mesh
+):
+    """Multi-body penalty-contact frame under ``shard_map`` (round 5,
+    VERDICT r4 #2a) — drop-in for :func:`fem_tpu.contact.make_contact_frame_fn`.
+
+    Sharding story: the contact pair forces are PARTICLE-space math on the
+    (replicated) positions — every shard computes them identically with zero
+    collectives, exactly like the replicated CG iterations — while each
+    body's element work (force assembly, operator applies) shards over the
+    mesh axis with one psum per assembly.  The pair force enters each body's
+    substep through the same ``external_force`` rhs fold as single-chip, so
+    results match the single-device contact frame to float reassociation
+    (tests/test_sharding.py)."""
+    from fem_tpu.contact import (
+        auto_contact_radius,
+        auto_contact_stiffness,
+        build_contact_plan,
+        contact_forces_all,
+    )
+
+    objs = tuple(objs)
+    n_shards = mesh.devices.size
+    kwargs = _sharded_kwargs(cfg)
+    radius = (
+        cfg.contact_radius
+        if cfg.contact_radius > 0.0
+        else auto_contact_radius(objs)
+    )
+    stiffness = (
+        cfg.contact_stiffness
+        if cfg.contact_stiffness > 0.0
+        else auto_contact_stiffness(objs, cfg.delta_time)
+    )
+    m_min = min(float(np.asarray(o.mass).min()) for o in objs)
+    friction_c = cfg.contact_friction * float(np.sqrt(stiffness * m_min))
+    mu = cfg.contact_mu
+    mu_slope = float(np.sqrt(stiffness * m_min))
+    plan = build_contact_plan(objs, cfg, radius)
+
+    prepped = [_prep_body(o, cfg, n_shards) for o in objs]
+    padded_objs = tuple(p[0] for p in prepped)
+    obj_specs = tuple(p[1] for p in prepped)
+    local_cnts = tuple(p[2] for p in prepped)
+    local_blockss = tuple(p[3] for p in prepped)
+    inelastic = any(
+        o.plastic_yield > 0.0 or o.viscous_mu > 0.0 for o in objs
+    )
+
+    states_spec = tuple(_state_spec_for(o) for o in objs)
+    obs_spec = P()
+    aux_spec = tuple(StepAux(P(), P()) for _ in objs)
+
+    def local_fn(objs_shard, plan_, states, obstacles):
+        locals_ = [
+            _localize(o, c, b)
+            for o, c, b in zip(objs_shard, local_cnts, local_blockss)
+        ]
+
+        def body(ss, _):
+            forces = contact_forces_all(
+                [s.pos for s in ss], radius, stiffness,
+                velocities=[s.vel for s in ss], plan=plan_,
+                friction_c=friction_c, mu=mu, mu_slope=mu_slope,
+            )
+            out, auxes = [], []
+            for o, s, f in zip(locals_, ss, forces):
+                s2, aux = substep(o, s, obstacles, external_force=f, **kwargs)
+                out.append(s2)
+                auxes.append(aux)
+            return tuple(out), tuple(auxes)
+
+        return jax.lax.scan(body, tuple(states), None, length=cfg.sim_count)
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        # The ContactPlan is particle-space static data — replicated
+        # (pytree-prefix P(), same convention as the obstacles).
+        in_specs=(obj_specs, P(), states_spec, obs_spec),
+        out_specs=(states_spec, aux_spec),
+        check_vma=False,
+    )
+    jit_sharded = jax.jit(sharded)
+    orig_es = tuple(o.element_cnt for o in objs)
+
+    def frame(states, obstacles: Obstacles):
+        if inelastic:
+            states = tuple(
+                _pad_internal(s, p.element_cnt)
+                for s, p in zip(states, padded_objs)
+            )
+        out_states, auxes = jit_sharded(
+            padded_objs, plan, tuple(states), obstacles
+        )
+        if inelastic:
+            out_states = tuple(
+                _slice_internal(s, e) for s, e in zip(out_states, orig_es)
+            )
+        return out_states, auxes
+
+    return frame
 
 
 def make_sharded_substep_fn(obj: FemObject, cfg: SimConfig, mesh: Mesh):

@@ -89,22 +89,26 @@ def substep(
     # kernels use the component-planar layout and do win.)
     advect_backend = "xla"
     # Inelastic material extensions (plastic_yield / viscous_mu,
-    # fem_tpu/ops/inelastic.py): per-element internal variables ride the
-    # graph chain; the grad/solve below swap in the inelastic operator and
+    # fem_tpu/ops/inelastic.py): the stress decomposes into MATERIAL LAYERS
+    # (base material on ref_inv·F_p⁻¹ + optional Maxwell branch) that every
+    # execution path sums natively — graph/mxu/blocked/fused-solve operators,
+    # explicit blocked prep, Newton decoupled/exact — and
     # ``advance_internal`` updates the internal state after advection.
     inelastic = obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0
-    if inelastic and integrator == "newton":
-        raise ValueError(
-            "inelastic materials (plastic_yield/viscous_mu) support the "
-            "explicit and semi-implicit integrators only"
-        )
+    layers = None
+    if inelastic:
+        from fem_tpu.ops.inelastic import advance_internal, material_layers
+
+        layers = material_layers(obj, state)
     if obj.damping_beta != 0.0 and (auto_diff or use_explicit_method):
         # Rayleigh damping on the explicit paths (extension): an extra
         # gradient term −β·G(K)·v on the decoupled block-Hessian operator
         # (solvers/implicit.rayleigh_damping_grad).
         from fem_tpu.solvers.implicit import rayleigh_damping_grad
 
-        damp = rayleigh_damping_grad(obj, state.pos, state.vel, axis_name)
+        damp = rayleigh_damping_grad(
+            obj, state.pos, state.vel, axis_name, layers
+        )
         external_force = (
             -damp if external_force is None else external_force - damp
         )
@@ -112,13 +116,10 @@ def substep(
         if inelastic:
             # The analytic inelastic gradient IS the gradient of the total
             # (base + branch) energy at frozen internal variables, so the
-            # autodiff and analytic dispatches coincide here.
-            from fem_tpu.ops.inelastic import (
-                advance_internal, inelastic_energy_gradient,
-            )
-
-            grad = inelastic_energy_gradient(
-                obj, state, state.pos, axis_name
+            # autodiff and analytic dispatches coincide here — both run the
+            # layered analytic chain (blocked MXU prep where attached).
+            grad = analytic_energy_gradient(
+                obj, state.pos, axis_name, element_backend, layers
             )
         elif auto_diff:
             grad = autodiff_energy_gradient(obj, state.pos, axis_name)
@@ -133,7 +134,7 @@ def substep(
             advect_backend, obj.free_mask, obj.pin_vel, wall_friction,
         )
         if inelastic:
-            state = advance_internal(obj, state, dt)
+            state = advance_internal(obj, state, dt, axis_name)
         return state, zero_aux
     # θ-scheme position weighting (newton_theta < 1) needs the PHYSICAL
     # start-of-substep combined velocity — captured before the external-
@@ -144,6 +145,10 @@ def substep(
         if integrator == "newton" and newton_theta != 1.0
         else None
     )
+    # Pre-fold velocity for the Newton θ-scheme's force-evaluation position
+    # (ADVICE r4 #1: the rhs fold below is algebra, not physics — it must
+    # not enter the (1−θ)·v_n position weighting).
+    vel_unfolded = state.vel if vel_pos_old is not None else None
     if external_force is not None:
         # Fold the external force into the implicit rhs: b = v + dt·M⁻¹f_el
         # is linear in v, so solving with v' = v + dt·M⁻¹f_ext yields exactly
@@ -151,28 +156,6 @@ def substep(
         state = state.replace(
             vel=state.vel + dt * external_force / obj.mass[:, None]
         )
-    if inelastic:
-        from fem_tpu.ops.inelastic import (
-            advance_internal, inelastic_velocity_solve,
-        )
-        from fem_tpu.utils.config import CONJUGATE_GRADIENT_METHOD
-
-        if implicit_method != CONJUGATE_GRADIENT_METHOD:
-            raise ValueError(
-                "inelastic materials support only the CG solver "
-                "(implicit_method=1); the Jacobi sweeps keep pure "
-                "reference semantics"
-            )
-        state, solve_aux = inelastic_velocity_solve(
-            obj, state, dt, preconditioned, cg_precond, robust_inversion,
-            axis_name,
-        )
-        state = advect_implicit_step(
-            state, obstacles, dt, obj.damping, g_dir, advect_backend,
-            obj.free_mask, obj.pin_vel, wall_friction,
-        )
-        state = advance_internal(obj, state, dt)
-        return state, StepAux(solve_aux.iterations, solve_aux.residual)
     if integrator == "newton":
         # Fully implicit backward Euler (extension, solvers/newton.py):
         # damped Newton closes the nonlinear elastic residual each substep —
@@ -199,12 +182,16 @@ def substep(
             robust=robust_inversion,
             beta=obj.damping_beta,
             theta=newton_theta,
+            layers=layers,
+            v_n_pos=vel_unfolded,
         )
         state = advect_implicit_step(
             state, obstacles, dt, obj.damping, g_dir, advect_backend,
             obj.free_mask, obj.pin_vel, wall_friction,
             theta=newton_theta, vel_pos_old=vel_pos_old,
         )
+        if inelastic:
+            state = advance_internal(obj, state, dt, axis_name)
         return state, StepAux(solve_aux.iterations, solve_aux.residual)
     # Measured on TPU v5e (tools/profile_parts.py): with the reference's
     # absolute CG tolerance the solver converges in a handful of iterations,
@@ -218,9 +205,9 @@ def substep(
         and axis_name is None
         and hessian == "reference"
         and cg_precond == "reference"
+        and not inelastic  # layered operators are matrix-free-only
         and obj.free_mask is None  # Dirichlet projection is matrix-free-only
     )
-    assert not inelastic  # handled above (dedicated solve)
     if use_dense:
         from fem_tpu.solvers.dense import implicit_velocity_solve_dense
 
@@ -232,12 +219,14 @@ def substep(
         state, solve_aux = implicit_velocity_solve(
             obj, state, dt, implicit_method, preconditioned, axis_name,
             robust_inversion, element_backend, hessian, operator_mode,
-            jacobi_sweep, cg_precond,
+            jacobi_sweep, cg_precond, layers,
         )
     state = advect_implicit_step(
         state, obstacles, dt, obj.damping, g_dir, advect_backend,
         obj.free_mask, obj.pin_vel, wall_friction,
     )
+    if inelastic:
+        state = advance_internal(obj, state, dt, axis_name)
     return state, StepAux(solve_aux.iterations, solve_aux.residual)
 
 

@@ -267,5 +267,15 @@ def advect_implicit_step(
     if theta == 1.0:
         pos = state.pos + v * dt
     else:
-        pos = state.pos + ((1.0 - theta) * vel_pos_old + theta * v) * dt
+        # θ-weighting only on components collisions did not touch
+        # (ADVICE r4 #2): a component zeroed/projected by a wall or
+        # obstacle this substep would still advance by
+        # (1−θ)·vel_pos_old·dt of its PRE-collision velocity — penetrating
+        # up to half a substep's travel deeper than the θ=1 reference
+        # semantics.  Collision-modified components (v differs from the
+        # pre-collision combined velocity v_pre; pins/friction scaling
+        # included) fall back to the pure end-of-substep velocity there.
+        touched = v != v_pre
+        v_theta = (1.0 - theta) * vel_pos_old + theta * v
+        pos = state.pos + jnp.where(touched, v, v_theta) * dt
     return state.replace(pos=pos, vel=vel, vel_g=vel_g)

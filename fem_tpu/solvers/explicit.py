@@ -24,13 +24,22 @@ def analytic_energy_gradient(
     pos: jnp.ndarray,
     axis_name: str | None = None,
     element_backend: str = "xla",
+    layers=None,
 ) -> jnp.ndarray:
     """Assembled ∂U/∂x via the reference's analytic per-element formula
     (solver/explicit.py:23-49).  With ``axis_name``, element arrays are local
     shards and the assembly is psum-reduced.  ``element_backend="pallas"``
-    runs the fused VMEM kernel (ops/pallas_kernels.py) for the column math."""
+    runs the fused VMEM kernel (ops/pallas_kernels.py) for the column math.
+
+    ``layers`` (ops/inelastic.material_layers) sums the gradient over
+    material layers with dynamic effective rest-edge inverses — the
+    inelastic extension on the SAME execution ladder (None = the single
+    elastic layer, the historical code path)."""
+    from fem_tpu.solvers.implicit import _normalize_layers
+
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    lys = _normalize_layers(obj, layers)
     if axis_name is None and obj.blocking is not None:
         # Blocked assembly (ops/blocking.py): the per-(element, vertex)-row
         # scatter is the tiny-row access XLA moves at ~1.7 GB/s on TPU; the
@@ -39,6 +48,7 @@ def analytic_energy_gradient(
         # padded element copies, so results are identical up to summation
         # order (tested vs the gather path in tests/test_blocked.py).
         from fem_tpu.ops.blocking import blocked_assemble
+        from fem_tpu.ops.inelastic import layer_ref_inv_blocked
 
         blk = obj.blocking
         if element_backend == "pallas":
@@ -49,27 +59,45 @@ def analytic_energy_gradient(
                 blocked_grad_prep, blocked_scatter_sum,
             )
 
-            yt = blocked_grad_prep(
-                blk, pos, obj.dim, obj.mu, obj.s_lambda, obj.material
-            )
+            yt = None
+            for fi_inv, mu, lam, material in lys:
+                rv = None if fi_inv is None else layer_ref_inv_blocked(
+                    blk, fi_inv
+                )
+                yt_l = blocked_grad_prep(
+                    blk, pos, obj.dim, mu, lam, material, ref_inv_flat=rv
+                )
+                yt = yt_l if yt is None else yt + yt_l
             return blocked_scatter_sum(yt, blk, obj.particle_cnt)
-        cols = explicit_grad_columns(
-            pos, blk.element_indices, blk.ref_inv, blk.volume,
-            obj.mu, obj.s_lambda, obj.material,
-        )
+        cols = None
+        for fi_inv, mu, lam, material in lys:
+            c_l = explicit_grad_columns(
+                pos, blk.element_indices,
+                layer_ref_inv_blocked(blk, fi_inv), blk.volume,
+                mu, lam, material,
+            )
+            cols = c_l if cols is None else cols + c_l
         return blocked_assemble(blk, cols, obj.particle_cnt, obj.dim)
-    if element_backend == "pallas":
-        from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas
+    from fem_tpu.ops.inelastic import layer_ref_inv_local
 
-        cols = explicit_grad_columns_pallas(
-            pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, obj.material,
-        )
-    else:
-        cols = explicit_grad_columns(
-            pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, obj.material,
-        )
+    cols = None
+    for fi_inv, mu, lam, material in lys:
+        r_eff = layer_ref_inv_local(obj.ref_inv, fi_inv, axis_name)
+        if element_backend == "pallas":
+            from fem_tpu.ops.pallas_kernels import (
+                explicit_grad_columns_pallas,
+            )
+
+            c_l = explicit_grad_columns_pallas(
+                pos, obj.element_indices, r_eff, obj.volume, mu, lam,
+                material,
+            )
+        else:
+            c_l = explicit_grad_columns(
+                pos, obj.element_indices, r_eff, obj.volume, mu, lam,
+                material,
+            )
+        cols = c_l if cols is None else cols + c_l
     return assemble_for(obj, element_contrib_full(cols), axis_name)
 
 

@@ -253,6 +253,7 @@ def make_exact_hvp_apply(
     axis_name: str | None = None,
     robust: bool = False,
     beta: float = 0.0,
+    layers=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Extension: the *true* Newton operator A = I − dt²·M⁻¹·∂f/∂x via a
     Hessian-vector product (``jax.jvp`` of the assembled elastic force).
@@ -268,7 +269,7 @@ def make_exact_hvp_apply(
     c = system_coeff(dt, beta)
 
     def force(p: jnp.ndarray) -> jnp.ndarray:
-        cols = _material_force_columns(obj, p, robust)
+        cols = _material_force_columns(obj, p, robust, layers, axis_name)
         return assemble_for(obj, element_contrib_full(cols), axis_name)
 
     def apply_a(x: jnp.ndarray) -> jnp.ndarray:
@@ -283,6 +284,7 @@ def rayleigh_damping_grad(
     pos: jnp.ndarray,
     vel: jnp.ndarray,
     axis_name: str | None = None,
+    layers=None,
 ) -> jnp.ndarray:
     """Energy-gradient contribution of stiffness-proportional Rayleigh
     damping for the explicit/autodiff paths: −β·G(K)·v, where G(K) is the
@@ -291,10 +293,16 @@ def rayleigh_damping_grad(
     untouched).  Returned in the reference's *gradient* sign convention
     (added to ``particles.force``, subtracted in kinematic —
     solver/kinematic.py:19).  Extension; β = obj.damping_beta."""
-    K = hessian_blocks(
-        pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda, False, obj.material,
-    )
+    from fem_tpu.ops.inelastic import layer_ref_inv_local
+
+    K = None
+    for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+        r_eff = layer_ref_inv_local(obj.ref_inv, fi_inv, axis_name)
+        k_l = hessian_blocks(
+            pos, obj.element_indices, r_eff, obj.volume, mu, lam, False,
+            material,
+        )
+        K = k_l if K is None else K + k_l
     kv = graph_block_apply(obj, K, vel, axis_name)
     return -obj.damping_beta * kv
 
@@ -303,24 +311,64 @@ def rayleigh_damping_grad(
 # Right-hand side
 # ---------------------------------------------------------------------------
 
-def _material_force_columns(
-    obj: FemObject, pos: jnp.ndarray, robust: bool
+def _one_layer_force_columns(
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    mu: float,
+    lam: float,
+    material: str,
+    robust: bool,
 ) -> jnp.ndarray:
-    """Elastic force columns per material: the reference's implicit NH chain
-    (``implicit_force_columns`` — λ/2·log(det FᵀF) form, implicit.py:87-88)
-    for neo_hookean, or −V·first_piola(F)·R⁻ᵀ for the StVK/linear material
-    extensions (implicit for these requires hessian='exact_jvp')."""
-    if obj.material == "neo_hookean":
+    """Implicit rhs force columns for ONE material layer: the reference's
+    implicit NH chain (``implicit_force_columns`` — λ/2·log(det FᵀF) form,
+    implicit.py:87-88) for neo_hookean, or −V·first_piola(F)·R⁻ᵀ for the
+    other materials (ops/element.first_piola_dp)."""
+    if material == "neo_hookean":
         return implicit_force_columns(
-            pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, robust,
+            pos, element_indices, ref_inv, volume, mu, lam, robust,
         )
     from fem_tpu.ops.element import explicit_grad_columns
 
     return -explicit_grad_columns(
-        pos, obj.element_indices, obj.ref_inv, obj.volume,
-        obj.mu, obj.s_lambda, obj.material,
+        pos, element_indices, ref_inv, volume, mu, lam, material,
     )
+
+
+def _normalize_layers(obj: FemObject, layers) -> tuple:
+    """``layers`` (ops/inelastic.material_layers tuples, or None) → always a
+    tuple of (fi_inv, mu, lam, material); None means the single pure-elastic
+    layer, whose generated computation is identical to the historical
+    non-layered code (fi_inv=None composes to the object's own ref_inv)."""
+    if layers is None:
+        return ((None, obj.mu, obj.s_lambda, obj.material),)
+    return tuple(layers)
+
+
+def _is_layered(layers) -> bool:
+    return layers is not None and (
+        len(layers) > 1 or any(fi is not None for fi, _, _, _ in layers)
+    )
+
+
+def _material_force_columns(
+    obj: FemObject, pos: jnp.ndarray, robust: bool, layers=None,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """Force columns summed over material layers (single elastic layer when
+    ``layers`` is None — the historical behavior, bit-identical)."""
+    from fem_tpu.ops.inelastic import layer_ref_inv_local
+
+    total = None
+    for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+        r_eff = layer_ref_inv_local(obj.ref_inv, fi_inv, axis_name)
+        cols = _one_layer_force_columns(
+            pos, obj.element_indices, r_eff, obj.volume, mu, lam, material,
+            robust,
+        )
+        total = cols if total is None else total + cols
+    return total
 
 
 def _k_and_force_cols(
@@ -331,64 +379,109 @@ def _k_and_force_cols(
     volume: jnp.ndarray,
     robust: bool,
     element_backend: str,
+    mu: float | None = None,
+    lam: float | None = None,
+    material: str | None = None,
 ):
     """(K blocks, rhs force columns) on the given element arrays, material-
     aware, on the requested element backend — shared by the fused and the
-    non-fused blocked branches of :func:`implicit_velocity_solve`."""
+    non-fused blocked branches of :func:`implicit_velocity_solve`.
+    ``mu``/``lam``/``material`` default to the object's (overridden per
+    material layer by the inelastic extension)."""
+    mu = obj.mu if mu is None else mu
+    lam = obj.s_lambda if lam is None else lam
+    material = obj.material if material is None else material
     if element_backend == "pallas":
         from fem_tpu.ops.pallas_kernels import hessian_and_force_pallas
 
         return hessian_and_force_pallas(
-            pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
-            robust, obj.material,
+            pos, element_indices, ref_inv, volume, mu, lam, robust, material,
         )
     k_flat = hessian_blocks(
-        pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
-        robust, obj.material,
+        pos, element_indices, ref_inv, volume, mu, lam, robust, material,
     )
-    if obj.material == "neo_hookean":
-        cols = implicit_force_columns(
-            pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
-            robust,
-        )
-    else:
-        from fem_tpu.ops.element import explicit_grad_columns
-
-        cols = -explicit_grad_columns(
-            pos, element_indices, ref_inv, volume, obj.mu, obj.s_lambda,
-            obj.material,
-        )
+    cols = _one_layer_force_columns(
+        pos, element_indices, ref_inv, volume, mu, lam, material, robust,
+    )
     return k_flat, cols
+
+
+def _k_and_force_cols_layers(
+    obj: FemObject,
+    pos: jnp.ndarray,
+    element_indices: jnp.ndarray,
+    ref_inv: jnp.ndarray,
+    volume: jnp.ndarray,
+    robust: bool,
+    element_backend: str,
+    layers,
+    blk=None,
+    axis_name: str | None = None,
+):
+    """:func:`_k_and_force_cols` summed over material layers.  With ``blk``
+    the element arrays are in BLOCK order and the dynamic internal inverses
+    gather through ``Blocking.element_perm``; otherwise they compose in the
+    (possibly shard-local) element order."""
+    from fem_tpu.ops.inelastic import (
+        layer_ref_inv_blocked, layer_ref_inv_local,
+    )
+
+    k_total = cols_total = None
+    for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+        if blk is not None:
+            r_eff = layer_ref_inv_blocked(blk, fi_inv)
+        else:
+            r_eff = layer_ref_inv_local(ref_inv, fi_inv, axis_name)
+        k, cols = _k_and_force_cols(
+            obj, pos, element_indices, r_eff, volume, robust,
+            element_backend, mu, lam, material,
+        )
+        k_total = k if k_total is None else k_total + k
+        cols_total = cols if cols_total is None else cols_total + cols
+    return k_total, cols_total
 
 
 def implicit_rhs(
     obj: FemObject, state: SimState, dt: float, axis_name: str | None = None,
-    robust: bool = False, element_backend: str = "xla",
+    robust: bool = False, element_backend: str = "xla", layers=None,
 ) -> jnp.ndarray:
-    """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107)."""
+    """b = v + dt·M⁻¹·f_elastic (implicit.py:65-107), summed over material
+    layers (``layers`` None = the single elastic layer, historical path)."""
+    from fem_tpu.ops.inelastic import layer_ref_inv_local
+
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if (
-        element_backend == "pallas"
-        and not robust
-        and obj.material == "neo_hookean"
-    ):
-        from fem_tpu.ops.pallas_kernels import implicit_force_columns_pallas
+    cols_total = None
+    for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+        r_eff = layer_ref_inv_local(obj.ref_inv, fi_inv, axis_name)
+        if (
+            element_backend == "pallas"
+            and not robust
+            and material == "neo_hookean"
+        ):
+            from fem_tpu.ops.pallas_kernels import (
+                implicit_force_columns_pallas,
+            )
 
-        cols = implicit_force_columns_pallas(
-            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda,
-        )
-    elif element_backend == "pallas" and obj.material != "neo_hookean":
-        from fem_tpu.ops.pallas_kernels import explicit_grad_columns_pallas
+            cols = implicit_force_columns_pallas(
+                state.pos, obj.element_indices, r_eff, obj.volume, mu, lam,
+            )
+        elif element_backend == "pallas" and material != "neo_hookean":
+            from fem_tpu.ops.pallas_kernels import (
+                explicit_grad_columns_pallas,
+            )
 
-        cols = -explicit_grad_columns_pallas(
-            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            obj.mu, obj.s_lambda, obj.material,
-        )
-    else:
-        cols = _material_force_columns(obj, state.pos, robust)
-    f = assemble_for(obj, element_contrib_full(cols), axis_name)
+            cols = -explicit_grad_columns_pallas(
+                state.pos, obj.element_indices, r_eff, obj.volume,
+                mu, lam, material,
+            )
+        else:
+            cols = _one_layer_force_columns(
+                state.pos, obj.element_indices, r_eff, obj.volume,
+                mu, lam, material, robust,
+            )
+        cols_total = cols if cols_total is None else cols_total + cols
+    f = assemble_for(obj, element_contrib_full(cols_total), axis_name)
     return state.vel + dt * f / obj.mass[:, None]
 
 
@@ -865,6 +958,7 @@ def implicit_velocity_solve(
     operator_mode: str = "graph",
     jacobi_sweep: str = "serial",
     cg_precond: str = "reference",
+    layers=None,
 ) -> Tuple[SimState, ImplicitAux]:
     """Assemble (matrix-free) and solve for the new velocity; returns the
     updated state (vel ← x, implicit.py:222-223) plus solver metrics.
@@ -873,9 +967,21 @@ def implicit_velocity_solve(
     every assembly psum-reduces over the mesh axis; the particle-space CG /
     Jacobi iterations run replicated on every shard (identical arithmetic →
     identical iterates, no divergence).
+
+    ``layers`` (ops/inelastic.material_layers, inelastic extension) sums the
+    operator / rhs over material layers with dynamic effective rest-edge
+    inverses on every operator backend (graph/mxu/blocked/fused whole-solve);
+    None = the single elastic layer (bit-identical to the historical path).
     """
     if element_backend == "auto":
         element_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    layered = _is_layered(layers)
+    if layered and method != CONJUGATE_GRADIENT_METHOD:
+        raise ValueError(
+            "inelastic materials support only the CG solver "
+            "(implicit_method=1); the Jacobi sweeps keep pure "
+            "reference semantics"
+        )
     # Stiffness-proportional Rayleigh damping (ObjectConfig.damping_beta,
     # extension): backward-Euler on β·G(K)·v' folds into the system
     # coefficient — A = I − dt·(dt+β)·M⁻¹·G(K) — so every operator backend
@@ -893,13 +999,15 @@ def implicit_velocity_solve(
                 "needs explicit diagonal blocks)"
             )
         apply_a = make_exact_hvp_apply(
-            obj, state.pos, dt, axis_name, robust, beta
+            obj, state.pos, dt, axis_name, robust, beta, layers
         )
-        b = implicit_rhs(obj, state, dt, axis_name, robust, element_backend)
+        b = implicit_rhs(
+            obj, state, dt, axis_name, robust, element_backend, layers
+        )
         # ∂f/∂x of a conservative force is symmetric ⇒ Aᵀ = I − dt²·Jᵀ·M⁻¹
         # realized with the VJP of the same force function.
         def force(p):
-            cols = _material_force_columns(obj, p, robust)
+            cols = _material_force_columns(obj, p, robust, layers, axis_name)
             return assemble_for(obj, element_contrib_full(cols), axis_name)
 
         _, vjp_fn = jax.vjp(force, state.pos)
@@ -957,9 +1065,9 @@ def implicit_velocity_solve(
             # the op-overhead-dominated relay backend at flagship sizes.
             from fem_tpu.ops.pallas_blocked_cg import fused_blocked_cg_solve
 
-            k_flat, cols_flat = _k_and_force_cols(
+            k_flat, cols_flat = _k_and_force_cols_layers(
                 obj, state.pos, blk.element_indices, blk.ref_inv,
-                blk.volume, robust, element_backend,
+                blk.volume, robust, element_backend, layers, blk=blk,
             )
             vel_new, iters, residual = fused_blocked_cg_solve(
                 blk, k_flat, cols_flat, state.vel, obj.mass,
@@ -975,11 +1083,19 @@ def implicit_velocity_solve(
             # with K planes and force partials emitted directly in the
             # layouts the operator consumes.
             from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
+            from fem_tpu.ops.inelastic import layer_ref_inv_blocked
 
-            kplane, yt = blocked_prep(
-                blk, state.pos, obj.dim, obj.mu, obj.s_lambda, robust,
-                obj.material,
-            )
+            kplane = yt = None
+            for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+                rv = None if fi_inv is None else layer_ref_inv_blocked(
+                    blk, fi_inv
+                )
+                kp_l, yt_l = blocked_prep(
+                    blk, state.pos, obj.dim, mu, lam, robust, material,
+                    ref_inv_flat=rv,
+                )
+                kplane = kp_l if kplane is None else kplane + kp_l
+                yt = yt_l if yt is None else yt + yt_l
             f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
             b = state.vel + dt * f / obj.mass[:, None]
             apply_a, apply_at = make_blocked_system_apply(
@@ -993,9 +1109,9 @@ def implicit_velocity_solve(
         else:
             from fem_tpu.ops.blocking import blocked_assemble
 
-            k_flat, cols_flat = _k_and_force_cols(
+            k_flat, cols_flat = _k_and_force_cols_layers(
                 obj, state.pos, blk.element_indices, blk.ref_inv,
-                blk.volume, robust, "xla",
+                blk.volume, robust, "xla", layers, blk=blk,
             )
             f = blocked_assemble(
                 blk, cols_flat, obj.particle_cnt, obj.dim, axis_name
@@ -1043,12 +1159,26 @@ def implicit_velocity_solve(
     if element_backend == "pallas":
         # Fused kernel: K blocks + rhs force columns share the F chain and
         # the X-plane gather (one dispatch instead of two per substep).
-        K, force_cols = _k_and_force_cols(
+        K, force_cols = _k_and_force_cols_layers(
             obj, state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-            robust, "pallas",
+            robust, "pallas", layers, axis_name=axis_name,
         )
         f = assemble_for(obj, element_contrib_full(force_cols), axis_name)
         b = state.vel + dt * f / obj.mass[:, None]
+    elif layered:
+        from fem_tpu.ops.inelastic import layer_ref_inv_local
+
+        K = None
+        for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+            r_eff = layer_ref_inv_local(obj.ref_inv, fi_inv, axis_name)
+            k_l = hessian_blocks(
+                state.pos, obj.element_indices, r_eff, obj.volume,
+                mu, lam, robust, material,
+            )
+            K = k_l if K is None else K + k_l
+        b = implicit_rhs(
+            obj, state, dt, axis_name, robust, element_backend, layers
+        )
     else:
         K = hessian_blocks(
             state.pos, obj.element_indices, obj.ref_inv, obj.volume,

@@ -414,6 +414,62 @@ def _cast_inexact(tree, dtype):
     return jax.tree_util.tree_map(leaf, tree)
 
 
+def modal_residuals_f64(
+    obj: FemObject, pos: jnp.ndarray, result: ModalResult
+) -> ModalResult:
+    """Direct f64-accumulated residuals of an f32 modal solve (VERDICT r4
+    #6 — the round-5 'f64-accumulating HVP' seed).
+
+    The f32 route's RAW residuals measure the f32 HVP's noise floor
+    (~ε₃₂·λmax of spectral contamination per application), not the computed
+    subspace's quality.  This pass re-EVALUATES the f32 mode shapes exactly
+    as computed — weights (mesh arrays, positions, modes) are the f32
+    values cast to f64, every accumulation runs in double on the host CPU —
+    so the reported residual is a direct, noise-free measurement of the f32
+    subspace: ``λᵢ = φᵢᵀKφᵢ/φᵢᵀMφᵢ`` (f64 Rayleigh quotient of the f32
+    vector) and ``rᵢ = ‖P(Kφᵢ − λᵢMφᵢ)‖ / (‖Kφᵢ‖ + λᵢ‖Mφᵢ‖)``.  Unlike
+    :func:`modal_refine_f64` it does NOT improve the modes — it turns the
+    cross-method-agreement accuracy claim into a direct residual claim.
+    Cost: k f64 HVPs."""
+    with jax.enable_x64(True):
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            obj64 = _cast_inexact(obj, jnp.float64)
+            pos64 = jax.device_put(
+                jnp.asarray(np.asarray(pos), jnp.float64), cpu
+            )
+            phi = jax.device_put(
+                jnp.asarray(np.asarray(result.modes), jnp.float64), cpu
+            )  # (k, N, d)
+            kv = make_stiffness_hvp(obj64, pos64)
+            mass = obj64.mass[:, None]
+            free = obj64.free_mask  # (N, 1) f64 or None
+
+            def one(phi_i):
+                p_i = phi_i if free is None else free * phi_i
+                k_phi = kv(p_i)
+                if free is not None:
+                    k_phi = free * k_phi
+                m_phi = mass * p_i
+                lam = jnp.sum(p_i * k_phi) / jnp.sum(p_i * m_phi)
+                r = k_phi - lam * m_phi
+                nrm = jnp.linalg.norm(r.reshape(-1)) / (
+                    jnp.linalg.norm(k_phi.reshape(-1))
+                    + jnp.abs(lam) * jnp.linalg.norm(m_phi.reshape(-1))
+                )
+                return lam, nrm
+
+            lams, resids = jax.vmap(one)(phi)
+            omega_sq = lams
+            return ModalResult(
+                omega_sq=omega_sq,
+                frequencies=jnp.sqrt(jnp.maximum(omega_sq, 0.0))
+                / (2.0 * jnp.pi),
+                modes=phi,
+                residuals=resids,
+            )
+
+
 def modal_refine_f64(
     obj: FemObject,
     pos: jnp.ndarray,

@@ -83,34 +83,49 @@ def _resolve_backend(element_backend: str) -> str:
 
 def _decoupled_prep(
     obj: FemObject, pos: jnp.ndarray, axis_name, element_backend: str,
-    robust: bool = False,
+    robust: bool = False, layers=None,
 ):
     """(assembled elastic force f, K representation) at ``pos`` on the best
     available execution path.  The K representation is whatever
     :func:`_decoupled_apply` for the same (obj, backend) consumes — kplane
     (B, d², R) from the in-VMEM blocked prep, block-ordered k_flat, or
-    element-ordered k_flat for the graph operator."""
+    element-ordered k_flat for the graph operator.  ``layers``
+    (ops/inelastic.material_layers) sums force and K over material layers
+    at the frozen internal variables."""
+    from fem_tpu.solvers.implicit import (
+        _k_and_force_cols_layers, _normalize_layers,
+    )
+
     blk = obj.blocking
     if blk is not None and element_backend == "pallas":
         from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
+        from fem_tpu.ops.inelastic import layer_ref_inv_blocked
 
-        kplane, yt = blocked_prep(
-            blk, pos, obj.dim, obj.mu, obj.s_lambda, robust, obj.material
-        )
+        kplane = yt = None
+        for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
+            rv = None if fi_inv is None else layer_ref_inv_blocked(
+                blk, fi_inv
+            )
+            kp_l, yt_l = blocked_prep(
+                blk, pos, obj.dim, mu, lam, robust, material,
+                ref_inv_flat=rv,
+            )
+            kplane = kp_l if kplane is None else kplane + kp_l
+            yt = yt_l if yt is None else yt + yt_l
         f = blocked_scatter_sum(yt, blk, obj.particle_cnt, axis_name)
         return f, kplane
     if blk is not None:
         from fem_tpu.ops.blocking import blocked_assemble
 
-        k_flat, cols = _k_and_force_cols(
+        k_flat, cols = _k_and_force_cols_layers(
             obj, pos, blk.element_indices, blk.ref_inv, blk.volume,
-            robust, "xla",
+            robust, "xla", layers, blk=blk,
         )
         f = blocked_assemble(blk, cols, obj.particle_cnt, obj.dim, axis_name)
         return f, k_flat
-    k_flat, cols = _k_and_force_cols(
+    k_flat, cols = _k_and_force_cols_layers(
         obj, pos, obj.element_indices, obj.ref_inv, obj.volume, robust,
-        element_backend,
+        element_backend, layers, axis_name=axis_name,
     )
     f = assemble_for(obj, element_contrib_full(cols), axis_name)
     return f, k_flat
@@ -181,6 +196,8 @@ def newton_velocity_solve(
     robust: bool = False,
     beta: float = 0.0,
     theta: float = 1.0,
+    layers=None,
+    v_n_pos: jnp.ndarray | None = None,
 ) -> Tuple[SimState, ImplicitAux]:
     """Solve r(v) = 0 for the end-of-substep velocity; vel ← v.
 
@@ -253,6 +270,14 @@ def newton_velocity_solve(
     free = obj.free_mask  # (N, 1) or None
     held = None if free is None else 1.0 - free
     v_n = state.vel
+    # θ < 1 position weighting uses the PHYSICAL start-of-substep velocity:
+    # with an external force the caller folds dt·f_ext/m into state.vel (an
+    # algebraic rhs trick, not a velocity the body ever had), and the folded
+    # value must not enter the (1−θ)·v_n force-evaluation position — the
+    # realized trajectory (advect_implicit_step) uses the unfolded one
+    # (ADVICE r4 #1).  The residual's (v − v_n) difference term DOES use
+    # the folded v_n; that is where the external force enters the solve.
+    v_n_pos = v_n if v_n_pos is None else v_n_pos
     x_n = state.pos
     decoupled = hessian_mode == "decoupled"
 
@@ -260,7 +285,7 @@ def newton_velocity_solve(
         return r if free is None else free * r
 
     def force_exact(pos: jnp.ndarray) -> jnp.ndarray:
-        cols = _material_force_columns(obj, pos, robust)
+        cols = _material_force_columns(obj, pos, robust, layers, axis_name)
         return assemble_for(obj, element_contrib_full(cols), axis_name)
 
     def eval_at(v: jnp.ndarray):
@@ -269,10 +294,10 @@ def newton_velocity_solve(
         if theta == 1.0:  # keep the backward-Euler path bit-identical
             pos = x_n + dt * v
         else:
-            pos = x_n + (theta * dt) * ((1.0 - theta) * v_n + theta * v)
+            pos = x_n + (theta * dt) * ((1.0 - theta) * v_n_pos + theta * v)
         if decoupled:
             f, krep = _decoupled_prep(
-                obj, pos, axis_name, element_backend, robust
+                obj, pos, axis_name, element_backend, robust, layers
             )
             r = (v - v_n) - dt * inv_m * f
             if beta != 0.0:
@@ -330,7 +355,7 @@ def newton_velocity_solve(
             if theta == 1.0:
                 x_i = x_n + dt * v
             else:
-                x_i = x_n + (theta * dt) * ((1.0 - theta) * v_n + theta * v)
+                x_i = x_n + (theta * dt) * ((1.0 - theta) * v_n_pos + theta * v)
             coeff = dt * (theta * theta * dt + beta)
 
             def base_op(w: jnp.ndarray) -> jnp.ndarray:

@@ -258,12 +258,8 @@ def test_loud_gates():
     _, obj, state = make_2d_object(plastic_yield=0.05)
     with pytest.raises(ValueError, match="inelastic"):
         make_diff_substep_fn(obj, cfg)
-    cfg_newton = _cfg(use_explicit_method=False, integrator="newton")
-    obstacles = Obstacles.from_configs((), 2)
-    fn = make_substep_fn(obj, cfg_newton)
-    with pytest.raises(ValueError, match="inelastic"):
-        fn(state, obstacles)
     cfg_jac = _cfg(use_explicit_method=False, implicit_method=0)
     fn_j = make_substep_fn(obj, cfg_jac)
+    obstacles = Obstacles.from_configs((), 2)
     with pytest.raises(ValueError, match="CG"):
         fn_j(state, obstacles)

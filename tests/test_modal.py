@@ -250,3 +250,33 @@ def test_modes_api_refine_f64():
     res = sim.modes(k=4, rounds=6, degree=60, refine_f64=True)
     assert np.asarray(res.omega_sq).dtype == np.float64
     assert (np.asarray(res.residuals) < 1e-8).all()
+
+
+def test_f64_accumulated_residuals_direct_claim():
+    """modal_residuals_f64 (round 5, VERDICT r4 #6): re-evaluating the f32
+    mode shapes with the f64-accumulated HVP yields DIRECT residuals well
+    below the f32-reported noise floor, and Rayleigh quotients matching the
+    f32 eigenvalues — the f32 subspace is better than its own f32 residuals
+    can certify."""
+    from fem_tpu.solvers.modal import (
+        modal_analysis_chebyshev, modal_residuals_f64,
+    )
+
+    cfg = ObjectConfig(
+        center=(0.5, 0.5), side_length=0.2, subdivisions=4,
+        pin_boxes=(((0.0, 0.595), (1.0, 1.0)),),
+    )
+    v, f, e = construct_2d_mesh(cfg)
+    obj, state = build_object(cfg, v, f, e)
+    k = 6
+    res = modal_analysis_chebyshev(obj, state.pos, k=k, rounds=10, degree=80)
+    rr = modal_residuals_f64(obj, state.pos, res)
+    # Direct residuals of the f32 subspace, f64 arithmetic.
+    assert (np.asarray(rr.residuals) < 1e-4).all()
+    # Rayleigh quotients of the f32 vectors track the reported eigenvalues.
+    w32 = np.asarray(res.omega_sq)
+    w64 = np.asarray(rr.omega_sq)
+    np.testing.assert_allclose(w64, w32, rtol=1e-3)
+    # And both match the dense f64 oracle.
+    oracle = _dense_oracle(obj, state.pos, k)
+    np.testing.assert_allclose(w64, oracle, rtol=1e-3)

@@ -354,3 +354,81 @@ def test_sharded_newton_decoupled_matches_single_device():
         np.asarray(s1.vel), np.asarray(s2.vel), rtol=1e-4, atol=1e-5
     )
     assert int(aux1.solver_iterations) > 0
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(use_explicit_method=True),
+        dict(use_explicit_method=False, implicit_method=1, preconditioned=0),
+    ],
+    ids=["explicit", "implicit-cg"],
+)
+def test_sharded_contact_matches_single_device(overrides):
+    """Round-5 gate lift (VERDICT r4 #2a): body-body penalty contact under
+    shard_map — pair forces replicated, element work sharded per body —
+    must match the single-device contact frame."""
+    from fem_tpu.contact import make_contact_frame_fn
+    from fem_tpu.models.mesh import construct_2d_mesh
+    from fem_tpu.models.state import build_object
+    from fem_tpu.parallel.sharding import make_sharded_contact_frame_fn
+    from fem_tpu.utils.config import ObjectConfig, SimConfig
+
+    objs, states = [], []
+    for i, (cx, cy, rho, e_mod) in enumerate(
+        ((0.5, 0.35, 800.0, 8e4), (0.5, 0.62, 500.0, 4e4))
+    ):
+        ocfg = ObjectConfig(
+            id=i, center=(cx, cy), side_length=0.18, subdivisions=5,
+            rho=rho, E=e_mod, nu=0.25, damping=10.0,
+        )
+        v, f, e = construct_2d_mesh(ocfg)
+        obj, state = build_object(ocfg, v, f, e)
+        objs.append(obj)
+        states.append(state)
+    cfg = SimConfig(
+        dim=2, delta_time=5e-4, sim_count=5, auto_diff=False,
+        g_dir=(0.0, -1.0), contact="penalty", **overrides
+    )
+    mesh = make_element_mesh(8)
+    single = make_contact_frame_fn(objs, cfg)
+    sharded = make_sharded_contact_frame_fn(objs, cfg, mesh)
+    ss, sh = tuple(states), tuple(states)
+    obstacles = Obstacles.from_configs((), 2)
+    for _ in range(4):
+        ss, _ = single(ss, obstacles)
+        sh, _ = sharded(sh, obstacles)
+    for a, b in zip(ss, sh):
+        np.testing.assert_allclose(
+            np.asarray(a.pos), np.asarray(b.pos), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_simulation_api_sharded_contact():
+    """Simulation(sharded=True, contact='penalty') routes through the
+    sharded contact frame (the round-4 loud gate is lifted)."""
+    from fem_tpu.api import Simulation
+
+    spec = {
+        "dim": 2, "delta_time": 5e-4, "sim_count": 5,
+        "use_explicit_method": True, "g_dir": [0.0, -1.0],
+        "contact": "penalty",
+        "objects": [
+            {"id": 0, "center": [0.5, 0.3], "side_length": 0.15,
+             "subdivisions": 4},
+            {"id": 1, "center": [0.5, 0.55], "side_length": 0.15,
+             "subdivisions": 4},
+        ],
+        "blocks": [],
+    }
+    sim = Simulation.from_dict(spec, sharded=True)
+    sim_ref = Simulation.from_dict(spec)
+    for _ in range(3):
+        sim.step_frame()
+        sim_ref.step_frame()
+    np.testing.assert_allclose(
+        sim.positions(0), sim_ref.positions(0), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sim.positions(1), sim_ref.positions(1), rtol=1e-4, atol=1e-5
+    )

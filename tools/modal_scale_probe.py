@@ -56,6 +56,12 @@ def main():
                         "instead of the f32 HVP-noise floor")
     p.add_argument("--refine-rounds", type=int, default=2)
     p.add_argument("--refine-degree", type=int, default=120)
+    p.add_argument("--resid-f64", action="store_true",
+                   help="re-evaluate the f32 modes with the f64-accumulated "
+                        "HVP (weights f32, math f64, host CPU) — a DIRECT "
+                        "residual measurement of the f32 subspace below the "
+                        "f32 HVP noise floor (modal_residuals_f64); does "
+                        "not refine the modes")
     args = p.parse_args()
 
     import jax
@@ -107,6 +113,17 @@ def main():
     print("omega_sq:", omega_sq)
     print("frequencies (Hz):", np.asarray(res.frequencies))
     print("relative residuals:", np.asarray(res.residuals))
+    if args.resid_f64:
+        from fem_tpu.solvers.modal import modal_residuals_f64
+
+        t0 = time.time()
+        rr = modal_residuals_f64(obj, state.pos, res)
+        print(f"f64-accumulated residuals of the f32 modes "
+              f"({time.time() - t0:.1f}s, host CPU, k f64 HVPs):")
+        print("  rayleigh omega_sq:", np.asarray(rr.omega_sq))
+        print("  direct residuals:", np.asarray(rr.residuals))
+        print("  f32-reported residuals (HVP noise floor):",
+              np.asarray(res.residuals))
     if args.refine_f64:
         from fem_tpu.solvers.modal import modal_refine_f64
 

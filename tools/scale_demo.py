@@ -61,6 +61,14 @@ def main():
                    choices=["exact", "decoupled"],
                    help="Newton Jacobian: exact HVP (graph) or the "
                         "decoupled blocked fast path")
+    p.add_argument("--plastic-yield", type=float, default=0.0,
+                   help="von-Mises yield strain (inelastic extension; the "
+                        "layered operator rides the same blocked fast "
+                        "path — ops/inelastic.py)")
+    p.add_argument("--viscous-mu", type=float, default=0.0,
+                   help="Maxwell-branch shear modulus (viscoelasticity)")
+    p.add_argument("--viscous-tau", type=float, default=0.05,
+                   help="Maxwell-branch relaxation time constant")
     args = p.parse_args()
 
     from fem_tpu.models.mesh import load_object_mesh
@@ -74,6 +82,9 @@ def main():
         center=(2.0, 0.7, 2.0), rho=1000.0, E=4e4, nu=0.4, damping=10.0,
         obj=os.path.join(here, "assets", "spot.obj"),
         material=args.material,
+        plastic_yield=args.plastic_yield,
+        viscous_mu=args.viscous_mu,
+        viscous_tau=args.viscous_tau,
     )
     t0 = time.perf_counter()
     v, f, e, _aux = load_object_mesh(ocfg, args.spacing)
