@@ -46,3 +46,28 @@ def test_trace_transpose_matmul():
         np.asarray(sm.matmul(jnp.asarray(a), jnp.asarray(b))), a @ b,
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sym_eigh_reconstruction_and_orthogonality():
+    """Jacobi sym_eigh (the SVD-free route for the inelastic return map —
+    batched jnp.linalg.svd lowers to a QR custom call that exceeds the
+    16 MB scoped-VMEM stack past ~50k elements on this backend)."""
+    for d in (2, 3):
+        a = _rand((400, d, d), 7)
+        c = a @ np.swapaxes(a, -1, -2)  # symmetric PSD
+        # degenerate spectra: identity, near-identity, rank-deficient
+        c[:40] = np.eye(d, dtype=np.float32)
+        c[40:80] = np.eye(d, dtype=np.float32) + 1e-5 * c[40:80]
+        c[80:120, ..., -1, :] = 0.0
+        c[80:120, ..., :, -1] = 0.0
+        w, v = sm.sym_eigh(jnp.asarray(c))
+        w, v = np.asarray(w), np.asarray(v)
+        scale = max(1.0, np.abs(c).max())
+        rec = v @ (w[..., None] * np.swapaxes(v, -1, -2))
+        assert np.abs(rec - c).max() / scale < 5e-6
+        orth = np.abs(v @ np.swapaxes(v, -1, -2) - np.eye(d)).max()
+        assert orth < 5e-6
+        np.testing.assert_allclose(
+            np.sort(w, axis=-1), np.linalg.eigvalsh(c),
+            rtol=1e-4, atol=5e-6 * scale,
+        )
