@@ -78,7 +78,7 @@ def effective_ref_inv(
     element chain compute forces of φ(F·F_i⁻¹)."""
     if fi_inv is None:
         return ref_inv
-    return sm.matmul(ref_inv, fi_inv)
+    return sm.matmul_ew(ref_inv, fi_inv)
 
 
 def material_layers(obj: FemObject, state: SimState) -> tuple:
@@ -118,7 +118,7 @@ def layer_ref_inv_local(
         e_local = ref_inv.shape[0]
         start = jax.lax.axis_index(axis_name) * e_local
         fi_inv = jax.lax.dynamic_slice_in_dim(fi_inv, start, e_local, 0)
-    return sm.matmul(ref_inv, fi_inv)
+    return sm.matmul_ew(ref_inv, fi_inv)
 
 
 def layer_ref_inv_blocked(blocking, fi_inv: jnp.ndarray | None) -> jnp.ndarray:
@@ -128,7 +128,7 @@ def layer_ref_inv_blocked(blocking, fi_inv: jnp.ndarray | None) -> jnp.ndarray:
     internal variables are replicated, so the gather is shard-local)."""
     if fi_inv is None:
         return blocking.ref_inv
-    return sm.matmul(blocking.ref_inv, fi_inv[blocking.element_perm])
+    return sm.matmul_ew(blocking.ref_inv, fi_inv[blocking.element_perm])
 
 
 def _log_strain(F: jnp.ndarray):
@@ -139,7 +139,7 @@ def _log_strain(F: jnp.ndarray):
     this backend; measured at 68,508 tets, round 5).  Returns (ε, V) with
     singular values clamped away from zero so an (inverted/collapsed)
     element yields finite strains instead of NaNs."""
-    c = sm.matmul(sm.mT(F), F)
+    c = sm.gram(F)
     w, v = sm.sym_eigh(c)
     s = jnp.sqrt(jnp.maximum(w, 1e-12))
     return jnp.log(jnp.maximum(s, 1e-6)), v
@@ -149,7 +149,8 @@ def _principal_rescale(F: jnp.ndarray, delta_eps: jnp.ndarray, v: jnp.ndarray):
     """F with its principal stretches multiplied by exp(Δε): with
     F = U·Σ·Vᵀ, U·Σ·exp(Δε)·Vᵀ = F·(V·diag(exp Δε)·Vᵀ) — no U needed, and
     Δε = 0 rows return F to roundoff (no SVD roundtrip error)."""
-    return sm.matmul(F, sm.matmul(v * jnp.exp(delta_eps)[..., None, :], sm.mT(v)))
+    m = sm.matmul_ew(v * jnp.exp(delta_eps)[..., None, :], sm.mT(v))
+    return sm.matmul_ew(F, m)
 
 
 def plastic_return_map(
@@ -215,18 +216,18 @@ def advance_internal(
     new = {}
     if state.plastic_inv is not None:
         p_inv = local_rows(state.plastic_inv)
-        fe_trial = sm.matmul(F, p_inv)
+        fe_trial = sm.matmul_ew(F, p_inv)
         fe_new, yielded = plastic_return_map(fe_trial, obj.plastic_yield)
-        fp_inv_new = sm.matmul(f_inv, fe_new)
+        fp_inv_new = sm.matmul_ew(f_inv, fe_new)
         upd = ok & yielded[..., None, None]
         new["plastic_inv"] = regather(
             jnp.where(upd, fp_inv_new, p_inv), state.plastic_inv
         )
     if state.viscous_inv is not None:
         v_inv = local_rows(state.viscous_inv)
-        fbe_trial = sm.matmul(F, v_inv)
+        fbe_trial = sm.matmul_ew(F, v_inv)
         fbe_new = viscous_relax(fbe_trial, dt, obj.viscous_tau)
-        fv_inv_new = sm.matmul(f_inv, fbe_new)
+        fv_inv_new = sm.matmul_ew(f_inv, fbe_new)
         new["viscous_inv"] = regather(
             jnp.where(ok, fv_inv_new, v_inv), state.viscous_inv
         )

@@ -149,6 +149,40 @@ def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def matmul_ew(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., d, d) @ (..., d, d) as explicit componentwise
+    multiply-adds.  For full-mesh (E, d, d) batches the einsum form's tiny
+    trailing axes land on the 128-lane dimension (measured ~4 ms per call
+    at 68k elements on TPU vs ~0.1 ms in this form); each output component
+    is an exact f32 three-term sum — no precision flag needed."""
+    d = a.shape[-1]
+    rows = []
+    for i in range(d):
+        cols = []
+        for j in range(d):
+            s = a[..., i, 0] * b[..., 0, j]
+            for k in range(1, d):
+                s = s + a[..., i, k] * b[..., k, j]
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def gram(f: jnp.ndarray) -> jnp.ndarray:
+    """FᵀF of (..., d, d), componentwise (see :func:`matmul_ew`)."""
+    d = f.shape[-1]
+    rows = []
+    for i in range(d):
+        cols = []
+        for j in range(d):
+            s = f[..., 0, i] * f[..., 0, j]
+            for k in range(1, d):
+                s = s + f[..., k, i] * f[..., k, j]
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def polar_rotation(m: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
     """Rotation factor R of the polar decomposition M = R·S via Higham's
     Newton iteration ``R ← ½(R + R⁻ᵀ)`` (quadratic convergence for
@@ -175,34 +209,63 @@ def sym_eigh(m: jnp.ndarray, sweeps: int = 6):
     Pure elementwise VPU math — the batched ``jnp.linalg.svd/eigh`` lower to
     a QR-decomposition custom call whose scoped-VMEM stack allocation
     exceeds this backend's 16 MB limit past ~50k 3×3 matrices (measured: the
-    68,508-tet plasticity return map failed to compile).  d = 2 is exact in
-    one rotation; d = 3 cyclic Jacobi converges quadratically (6 sweeps
-    reach f32 roundoff with margin).
+    68,508-tet plasticity return map failed to compile).  The rotations are
+    applied COMPONENTWISE on (...,)-shaped planes — a first cut that built
+    per-rotation G matrices and used batched 3×3 ``matmul`` measured ~450 ms
+    per call at 68k elements on TPU (the tiny trailing axes land on the
+    128-lane dimension, wasting 42/43 of every vector op), vs ~1 ms in this
+    form.  d = 2 is exact in one rotation; d = 3 cyclic Jacobi converges
+    quadratically (6 sweeps reach f32 roundoff with margin).
     """
     d = m.shape[-1]
     if d not in (2, 3):
         raise ValueError(f"unsupported matrix dim {d}")
     pairs = [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
-    a = m
-    v = jnp.broadcast_to(jnp.eye(d, dtype=m.dtype), m.shape)
+    # Unpack to scalar planes: a[(i,j)] i≤j for the symmetric matrix,
+    # v[(i,j)] for the full accumulated rotation.
+    a = {(i, j): m[..., i, j] for i in range(d) for j in range(i, d)}
+    one = jnp.ones_like(a[(0, 0)])
+    zero = jnp.zeros_like(one)
+    v = {(i, j): (one if i == j else zero) for i in range(d) for j in range(d)}
+
+    def sym(i, j):
+        return (i, j) if i <= j else (j, i)
+
     for _ in range(1 if d == 2 else sweeps):
         for p, q in pairs:
-            app, aqq, apq = a[..., p, p], a[..., q, q], a[..., p, q]
+            app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
             # Stable Jacobi angle: t = sgn(τ)/(|τ|+√(1+τ²)), τ=(a_qq−a_pp)/2a_pq.
             # τ = 0 with a_pq ≠ 0 is a 45° rotation (t = 1) — use a ±1 sign,
             # not sign(τ) (which is 0 at 0); a_pq = 0 → identity rotation.
             off = jnp.abs(apq) > 0.0
-            tau = (aqq - app) / (2.0 * jnp.where(off, apq, 1.0))
+            tau = (aqq - app) / (2.0 * jnp.where(off, apq, one))
             sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
-            t = jnp.where(off, sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)), 0.0)
+            t = jnp.where(
+                off, sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)), 0.0
+            )
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s = t * c
-            eye = jnp.broadcast_to(jnp.eye(d, dtype=m.dtype), m.shape)
-            g = (
-                eye.at[..., p, p].set(c).at[..., q, q].set(c)
-                .at[..., p, q].set(s).at[..., q, p].set(-s)
-            )
-            a = matmul(mT(g), matmul(a, g))
-            v = matmul(v, g)
-    w = jnp.diagonal(a, axis1=-2, axis2=-1)
-    return w, v
+            # A ← GᵀAG (G rotates columns p,q by angle θ): closed component form.
+            a[(p, p)] = c * c * app - 2.0 * s * c * apq + s * s * aqq
+            a[(q, q)] = s * s * app + 2.0 * s * c * apq + c * c * aqq
+            a[(p, q)] = zero  # annihilated by construction
+            for r in range(d):
+                if r == p or r == q:
+                    continue
+                apr, aqr = a[sym(p, r)], a[sym(q, r)]
+                a[sym(p, r)] = c * apr - s * aqr
+                a[sym(q, r)] = s * apr + c * aqr
+            # V ← VG: rotate columns p and q.
+            for i in range(d):
+                vip, viq = v[(i, p)], v[(i, q)]
+                v[(i, p)] = c * vip - s * viq
+                v[(i, q)] = s * vip + c * viq
+    w = jnp.stack([a[(i, i)] for i in range(d)], axis=-1)
+    vm = jnp.stack(
+        [
+            jnp.stack([v[(i, j)] for j in range(d)], axis=-1)
+            for i in range(d)
+        ],
+        axis=-2,
+    )
+    return w, vm
