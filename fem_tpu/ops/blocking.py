@@ -66,6 +66,11 @@ class Blocking:
     # order on device so the blocked operator/prep can consume effective
     # rest-edge inverses that change every substep.
     element_perm: jnp.ndarray = None  # (B·Eb,) int32
+    # Inverse of ``element_perm`` restricted to real elements: mesh element
+    # id → its (unique non-padded) block slot.  Lets block-ordered
+    # per-element results (e.g. :func:`blocked_edge_matrices`) un-permute
+    # back to mesh order with one static-index gather.
+    element_slot: jnp.ndarray = None  # (E,) int32
     # Dense per-block incidence / gather tables for the whole-solve fused CG
     # kernel (ops/pallas_blocked_cg.py); None when the mesh exceeds its VMEM
     # gate.  Static topology — safe as ordinary pytree leaves.
@@ -234,6 +239,10 @@ def build_blocking(
         ref_inv=jnp.asarray(np.asarray(ref_inv)[flat]),
         volume=jnp.asarray(vol_b.reshape(-1)),
         element_perm=jnp.asarray(flat.astype(np.int32)),
+        # block slot of each mesh eid's REAL occurrence (padded slots
+        # replicate element 0 but carry volume 0, so the volume>0 slots
+        # enumerate every element exactly once)
+        element_slot=jnp.asarray(_element_slot(flat, vol_b.reshape(-1))),
         s_dense=s_dense,
         g_dense=g_dense,
         scatter_lo=scatter_lo,
@@ -248,6 +257,15 @@ def build_blocking(
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
+
+def _element_slot(flat: np.ndarray, vol_flat: np.ndarray) -> np.ndarray:
+    """Mesh eid → block slot of its real (volume > 0) occurrence."""
+    real = np.asarray(vol_flat) > 0.0
+    slots = np.full(int(np.asarray(flat).max()) + 1, -1, np.int64)
+    slots[np.asarray(flat)[real]] = np.nonzero(real)[0]
+    assert (slots >= 0).all(), "every mesh element needs a real block slot"
+    return slots.astype(np.int32)
+
 
 def _build_s(plus, minus, r: int, pb: int) -> jnp.ndarray:
     """The block incidence matrix S_b (r, pb) rebuilt in VMEM: row e·d+j has
@@ -361,6 +379,10 @@ def _prep_kernel(
             xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))  # (d, Eb)
             for i in range(d):
                 x_rows[i * d + j] = xj[i : i + 1, :] + pad * xp[i * d + j]
+        if mode == "edges":
+            (xt_out,) = out_refs
+            xt_out[g] = jnp.concatenate(x_rows, axis=0)  # (d², Eb)
+            continue
         if mode == "implicit":
             kp_out, yt_out = out_refs
             k, h = k_and_h_chain(
@@ -442,13 +464,20 @@ def _blocked_scatter_call(
 def _blocked_prep_call(
     blocking: Blocking, ref_inv_flat: jnp.ndarray, xbt: jnp.ndarray,
     dim: int, mu: float, s_lambda: float, robust: bool, mode: str,
-    material: str,
+    material: str, ref_planes: jnp.ndarray | None = None,
 ):
     b_cnt, eb, pb = blocking.num_blocks, blocking.eb, blocking.pb
     d = dim
     d2 = d * d
     r = eb * d
-    rv = ref_inv_flat.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
+    # ``ref_planes`` (B, d², Eb) skips the (B·Eb, d, d) reshape: dynamic
+    # per-substep rest-edge inverses (inelasticity) compose in plane layout
+    # end-to-end — the padded (E, d, d) intermediates of the flat form
+    # measured ~8 ms/substep in-frame at 68k (round-5 bisect, BASELINE.md).
+    if ref_planes is not None:
+        rv = ref_planes
+    else:
+        rv = ref_inv_flat.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
     vol = blocking.volume.reshape(b_cnt, 1, eb)
     # Static selection tensors (bf16 one-hots, consumed by the exact
     # split-dot) — loop-invariant, hoisted by XLA out of any substep scan.
@@ -470,11 +499,17 @@ def _blocked_prep_call(
         _prep_kernel, dim=d, mu=mu, lam=s_lambda, robust=robust, mode=mode,
         material=material, pair=pair,
     )
-    out_shape = [jax.ShapeDtypeStruct((b_cnt, d, pb), jnp.float32)]
-    out_specs = [spec(d, pb)]
-    if mode == "implicit":
-        out_shape.insert(0, jax.ShapeDtypeStruct((b_cnt, d2, r), jnp.float32))
-        out_specs.insert(0, spec(d2, r))
+    if mode == "edges":
+        out_shape = [jax.ShapeDtypeStruct((b_cnt, d2, eb), jnp.float32)]
+        out_specs = [spec(d2, eb)]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((b_cnt, d, pb), jnp.float32)]
+        out_specs = [spec(d, pb)]
+        if mode == "implicit":
+            out_shape.insert(
+                0, jax.ShapeDtypeStruct((b_cnt, d2, r), jnp.float32)
+            )
+            out_specs.insert(0, spec(d2, r))
     return pl.pallas_call(
         kernel,
         grid=(b_cnt // pair,),
@@ -492,6 +527,7 @@ def blocked_prep(
     blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
     s_lambda: float, robust: bool = False, material: str = "neo_hookean",
     ref_inv_flat: jnp.ndarray | None = None,
+    ref_planes: jnp.ndarray | None = None,
 ):
     """Implicit element prep through the block tables: returns
     ``(kplane (B, d², R), yt (B, d, Pb))`` — K planes in the exact
@@ -505,13 +541,15 @@ def blocked_prep(
     ``ref_inv_flat`` overrides the static block-ordered rest-edge inverses
     with a DYNAMIC (B·Eb, d, d) array — the inelastic extension's effective
     ``ref_inv·F_i⁻¹`` (ops/inelastic.py), gathered into block order via
-    ``Blocking.element_perm``."""
+    ``Blocking.element_perm``; ``ref_planes`` is the same override already
+    in (B, d², Eb) plane layout (preferred — see
+    ops/inelastic.layer_ref_planes_blocked)."""
     xbt = blocked_gather(pos, blocking)
     if ref_inv_flat is None:
         ref_inv_flat = blocking.ref_inv
     return _blocked_prep_call(
         blocking, ref_inv_flat, xbt, dim, float(mu), float(s_lambda),
-        bool(robust), "implicit", material,
+        bool(robust), "implicit", material, ref_planes=ref_planes,
     )
 
 
@@ -519,19 +557,56 @@ def blocked_grad_prep(
     blocking: Blocking, pos: jnp.ndarray, dim: int, mu: float,
     s_lambda: float, material: str = "neo_hookean",
     ref_inv_flat: jnp.ndarray | None = None,
+    ref_planes: jnp.ndarray | None = None,
 ):
     """Explicit/analytic energy-gradient partials ``yt (B, d, Pb)`` through
     the block tables (reference solver/explicit.py:23-49 chain with the
     UNclamped log, +V scaling); feed to :func:`blocked_scatter_sum`.
-    ``ref_inv_flat`` as in :func:`blocked_prep`."""
+    ``ref_inv_flat`` / ``ref_planes`` as in :func:`blocked_prep`."""
     xbt = blocked_gather(pos, blocking)
     if ref_inv_flat is None:
         ref_inv_flat = blocking.ref_inv
     (yt,) = _blocked_prep_call(
         blocking, ref_inv_flat, xbt, dim, float(mu), float(s_lambda), False,
-        "explicit", material,
+        "explicit", material, ref_planes=ref_planes,
     )
     return yt
+
+
+def blocked_edge_matrices(
+    blocking: Blocking, pos: jnp.ndarray, dim: int
+) -> jnp.ndarray:
+    """Per-element edge matrices X in MESH element order, (E, d, d), via the
+    in-VMEM ``S_b·x_b`` split-dots (exact — S is 0/±1 and the split-dot
+    reassembles full f32, so each entry is the same ``p_{j+1} − p_0``
+    subtraction ``gather_edge_diffs`` computes).
+
+    Exists because the XLA row gather behind ``gather_edge_diffs`` measured
+    ~10 ms/substep IN-FRAME at 68k tets when called once per substep by the
+    inelastic internal-variable update (isolated it reads ~2 ms — it does
+    not pipeline between substeps), which made a minimal-flow plastic body
+    4.4× slower than elastic.  The block route plus the static
+    ``element_slot`` un-permute brings the whole update to ~1 ms (round-5
+    A/B, BASELINE.md)."""
+    xt = blocked_edge_planes(blocking, pos, dim)
+    b_cnt, eb = xt.shape[0], blocking.eb
+    x = xt.transpose(0, 2, 1).reshape(b_cnt * eb, dim, dim)
+    return x[blocking.element_slot]
+
+
+def blocked_edge_planes(
+    blocking: Blocking, pos: jnp.ndarray, dim: int
+) -> jnp.ndarray:
+    """Per-element edge matrices as (B, d², Eb) component planes in BLOCK
+    order (plane i·d+j = X[i, j]); padded slots carry the rest edge matrix
+    (F = I downstream).  The plane form feeds the inelastic internal-
+    variable update without ever materializing padded (E, d, d) tensors."""
+    xbt = blocked_gather(pos, blocking)
+    (xt,) = _blocked_prep_call(
+        blocking, blocking.ref_inv, xbt, dim, 0.0, 0.0, False, "edges",
+        "neo_hookean",
+    )
+    return xt
 
 
 # ---------------------------------------------------------------------------
@@ -655,7 +730,8 @@ def pad_blocking(blocking: Blocking, multiple: int) -> Blocking:
     pad = target - b
     if pad == 0:
         return blocking.replace(s_dense=None, g_dense=None, scatter_lo=None,
-                                scatter_hi=None, scatter_out=None)
+                                scatter_hi=None, scatter_out=None,
+                                element_slot=None)
     eb, r = blocking.eb, blocking.plus.shape[1]
 
     def pad0(x, rows):
@@ -686,5 +762,6 @@ def pad_blocking(blocking: Blocking, multiple: int) -> Blocking:
         scatter_lo=None,
         scatter_hi=None,
         scatter_out=None,
+        element_slot=None,
         num_blocks=target,
     )

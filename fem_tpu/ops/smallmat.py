@@ -201,29 +201,17 @@ def polar_rotation(m: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
     return r
 
 
-def sym_eigh(m: jnp.ndarray, sweeps: int = 6):
-    """Batched eigendecomposition of SYMMETRIC (..., d, d), d ∈ {2, 3}, via
-    cyclic Jacobi rotations.  Returns ``(w, V)`` with ``m ≈ V·diag(w)·Vᵀ``
-    (V orthogonal to ~f32 roundoff; eigenvalues NOT sorted).
-
-    Pure elementwise VPU math — the batched ``jnp.linalg.svd/eigh`` lower to
-    a QR-decomposition custom call whose scoped-VMEM stack allocation
-    exceeds this backend's 16 MB limit past ~50k 3×3 matrices (measured: the
-    68,508-tet plasticity return map failed to compile).  The rotations are
-    applied COMPONENTWISE on (...,)-shaped planes — a first cut that built
-    per-rotation G matrices and used batched 3×3 ``matmul`` measured ~450 ms
-    per call at 68k elements on TPU (the tiny trailing axes land on the
-    128-lane dimension, wasting 42/43 of every vector op), vs ~1 ms in this
-    form.  d = 2 is exact in one rotation; d = 3 cyclic Jacobi converges
-    quadratically (6 sweeps reach f32 roundoff with margin).
-    """
-    d = m.shape[-1]
-    if d not in (2, 3):
-        raise ValueError(f"unsupported matrix dim {d}")
+def sym_eigh_core(a: dict, d: int, sweeps: int = 6):
+    """Cyclic-Jacobi eigendecomposition on COMPONENT PLANES: ``a`` maps
+    (i, j) with i ≤ j to the symmetric matrix's (...,)-shaped component
+    arrays (any shape — (E,) vectors, (B, Eb) planes, …).  Returns the
+    rotated-diagonal dict (eigenvalues at (i, i)) and the accumulated
+    rotation dict v[(i, j)] with A = V·diag(w)·Vᵀ.  This is the whole
+    algorithm of :func:`sym_eigh`; the plane form exists so callers that
+    already hold component planes (the inelastic return map in block
+    layout) never materialize padded (E, d, d) tensors."""
     pairs = [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
-    # Unpack to scalar planes: a[(i,j)] i≤j for the symmetric matrix,
-    # v[(i,j)] for the full accumulated rotation.
-    a = {(i, j): m[..., i, j] for i in range(d) for j in range(i, d)}
+    a = dict(a)
     one = jnp.ones_like(a[(0, 0)])
     zero = jnp.zeros_like(one)
     v = {(i, j): (one if i == j else zero) for i in range(d) for j in range(d)}
@@ -260,6 +248,30 @@ def sym_eigh(m: jnp.ndarray, sweeps: int = 6):
                 vip, viq = v[(i, p)], v[(i, q)]
                 v[(i, p)] = c * vip - s * viq
                 v[(i, q)] = s * vip + c * viq
+    return a, v
+
+
+def sym_eigh(m: jnp.ndarray, sweeps: int = 6):
+    """Batched eigendecomposition of SYMMETRIC (..., d, d), d ∈ {2, 3}, via
+    cyclic Jacobi rotations.  Returns ``(w, V)`` with ``m ≈ V·diag(w)·Vᵀ``
+    (V orthogonal to ~f32 roundoff; eigenvalues NOT sorted).
+
+    Pure elementwise VPU math — the batched ``jnp.linalg.svd/eigh`` lower to
+    a QR-decomposition custom call whose scoped-VMEM stack allocation
+    exceeds this backend's 16 MB limit past ~50k 3×3 matrices (measured: the
+    68,508-tet plasticity return map failed to compile).  The rotations are
+    applied COMPONENTWISE on (...,)-shaped planes — a first cut that built
+    per-rotation G matrices and used batched 3×3 ``matmul`` measured ~450 ms
+    per call at 68k elements on TPU (the tiny trailing axes land on the
+    128-lane dimension, wasting 42/43 of every vector op), vs ~1 ms in this
+    form.  d = 2 is exact in one rotation; d = 3 cyclic Jacobi converges
+    quadratically (6 sweeps reach f32 roundoff with margin).
+    """
+    d = m.shape[-1]
+    if d not in (2, 3):
+        raise ValueError(f"unsupported matrix dim {d}")
+    a = {(i, j): m[..., i, j] for i in range(d) for j in range(i, d)}
+    a, v = sym_eigh_core(a, d, sweeps)
     w = jnp.stack([a[(i, i)] for i in range(d)], axis=-1)
     vm = jnp.stack(
         [

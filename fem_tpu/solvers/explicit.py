@@ -59,13 +59,13 @@ def analytic_energy_gradient(
                 blocked_grad_prep, blocked_scatter_sum,
             )
 
+            from fem_tpu.ops.inelastic import layer_ref_planes_blocked
+
             yt = None
             for fi_inv, mu, lam, material in lys:
-                rv = None if fi_inv is None else layer_ref_inv_blocked(
-                    blk, fi_inv
-                )
+                rp = layer_ref_planes_blocked(blk, fi_inv, obj.dim)
                 yt_l = blocked_grad_prep(
-                    blk, pos, obj.dim, mu, lam, material, ref_inv_flat=rv
+                    blk, pos, obj.dim, mu, lam, material, ref_planes=rp
                 )
                 yt = yt_l if yt is None else yt + yt_l
             return blocked_scatter_sum(yt, blk, obj.particle_cnt)

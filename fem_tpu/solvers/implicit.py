@@ -1083,16 +1083,14 @@ def implicit_velocity_solve(
             # with K planes and force partials emitted directly in the
             # layouts the operator consumes.
             from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
-            from fem_tpu.ops.inelastic import layer_ref_inv_blocked
+            from fem_tpu.ops.inelastic import layer_ref_planes_blocked
 
             kplane = yt = None
             for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
-                rv = None if fi_inv is None else layer_ref_inv_blocked(
-                    blk, fi_inv
-                )
+                rp = layer_ref_planes_blocked(blk, fi_inv, obj.dim)
                 kp_l, yt_l = blocked_prep(
                     blk, state.pos, obj.dim, mu, lam, robust, material,
-                    ref_inv_flat=rv,
+                    ref_planes=rp,
                 )
                 kplane = kp_l if kplane is None else kplane + kp_l
                 yt = yt_l if yt is None else yt + yt_l

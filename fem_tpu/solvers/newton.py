@@ -99,16 +99,14 @@ def _decoupled_prep(
     blk = obj.blocking
     if blk is not None and element_backend == "pallas":
         from fem_tpu.ops.blocking import blocked_prep, blocked_scatter_sum
-        from fem_tpu.ops.inelastic import layer_ref_inv_blocked
+        from fem_tpu.ops.inelastic import layer_ref_planes_blocked
 
         kplane = yt = None
         for fi_inv, mu, lam, material in _normalize_layers(obj, layers):
-            rv = None if fi_inv is None else layer_ref_inv_blocked(
-                blk, fi_inv
-            )
+            rp = layer_ref_planes_blocked(blk, fi_inv, obj.dim)
             kp_l, yt_l = blocked_prep(
                 blk, pos, obj.dim, mu, lam, robust, material,
-                ref_inv_flat=rv,
+                ref_planes=rp,
             )
             kplane = kp_l if kplane is None else kplane + kp_l
             yt = yt_l if yt is None else yt + yt_l
