@@ -139,6 +139,12 @@ def main():
         print("f64 relative residuals:", np.asarray(r64.residuals))
         print("f32 vs f64 omega_sq rel err:",
               np.abs(omega_sq - w64) / np.abs(w64))
+        if args.resid_f64:
+            from fem_tpu.solvers.modal import modal_residuals_f64
+
+            rr64 = modal_residuals_f64(obj, state.pos, r64)
+            print("direct f64 residuals of the REFINED modes:",
+                  np.asarray(rr64.residuals))
 
 
 if __name__ == "__main__":

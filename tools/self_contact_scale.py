@@ -95,9 +95,17 @@ def main():
     _ = sim.positions()
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", flush=True)
     warm = int(args.warm_seconds / frame_s)
-    for _ in range(warm):
+    check = max(1, warm // 10)
+    p0 = None
+    for i in range(warm):
         sim.step_frame()
-    p0 = sim.positions()
+        if (i + 1) % check == 0:
+            p0 = sim.positions()
+            h = p0[:, 1].max() - p0[:, 1].min() if np.isfinite(p0).all() else float("nan")
+            print(f"  warm frame {i + 1}/{warm}: height {h:.3f} "
+                  f"finite={bool(np.isfinite(p0).all())}", flush=True)
+            assert np.isfinite(p0).all(), f"diverged during warm-up at frame {i + 1}"
+    p0 = sim.positions() if p0 is None else p0
     assert np.isfinite(p0).all(), "diverged during warm-up"
     h = p0[:, 1].max() - p0[:, 1].min()
     print(f"post-slam height {h:.3f} (rest ~0.9 of mesh bbox)", flush=True)
