@@ -280,3 +280,28 @@ def test_f64_accumulated_residuals_direct_claim():
     # And both match the dense f64 oracle.
     oracle = _dense_oracle(obj, state.pos, k)
     np.testing.assert_allclose(w64, oracle, rtol=1e-3)
+
+
+def test_sparse_f64_matches_dense_oracle_and_reports_tiny_residuals():
+    """The direct f64 sparse shift-invert oracle (modal_analysis_sparse_f64)
+    must match the dense f64 oracle to f64 accuracy and report residuals at
+    factorization accuracy — the VERDICT r4 #6 'direct residual claim'
+    machinery, pinned at CI size."""
+    from fem_tpu.solvers.modal import modal_analysis_sparse_f64
+
+    cfg = ObjectConfig(
+        center=(0.5, 0.5), side_length=0.2, subdivisions=4,
+        pin_boxes=(((0.0, 0.595), (1.0, 1.0)),),
+    )
+    v, f, e = construct_2d_mesh(cfg)
+    obj, state = build_object(cfg, v, f, e)
+    k = 4
+    res = modal_analysis_sparse_f64(obj, state.pos, k=k)
+    oracle = _dense_oracle(obj, state.pos, k)
+    np.testing.assert_allclose(np.asarray(res.omega_sq), oracle, rtol=5e-5)
+    assert np.asarray(res.residuals).max() < 1e-9
+    # modes reported M-orthonormal over the full DOF set
+    m = np.asarray(obj.mass)
+    phi = np.asarray(res.modes).reshape(k, -1, state.pos.shape[-1])
+    gram = np.einsum("kid,i,lid->kl", phi, m, phi)
+    np.testing.assert_allclose(gram, np.eye(k), atol=1e-8)

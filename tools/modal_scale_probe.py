@@ -56,6 +56,12 @@ def main():
                         "instead of the f32 HVP-noise floor")
     p.add_argument("--refine-rounds", type=int, default=2)
     p.add_argument("--refine-degree", type=int, default=120)
+    p.add_argument("--sparse-f64", action="store_true",
+                   help="also run the direct f64 sparse shift-invert oracle "
+                        "(modal_analysis_sparse_f64: exact f64 element "
+                        "Hessians + ARPACK) — machine-precision residuals "
+                        "at any conditioning, validates the f32 route "
+                        "directly")
     p.add_argument("--resid-f64", action="store_true",
                    help="re-evaluate the f32 modes with the f64-accumulated "
                         "HVP (weights f32, math f64, host CPU) — a DIRECT "
@@ -145,6 +151,18 @@ def main():
             rr64 = modal_residuals_f64(obj, state.pos, r64)
             print("direct f64 residuals of the REFINED modes:",
                   np.asarray(rr64.residuals))
+    if args.sparse_f64:
+        from fem_tpu.solvers.modal import modal_analysis_sparse_f64
+
+        t0 = time.time()
+        rs = modal_analysis_sparse_f64(obj, state.pos, k=args.k)
+        ws = np.asarray(rs.omega_sq)
+        print(f"sparse f64 shift-invert oracle: {time.time() - t0:.1f}s "
+              f"(host; exact f64 element Hessians + ARPACK)")
+        print("  omega_sq:", ws)
+        print("  direct residuals:", np.asarray(rs.residuals))
+        print("  f32-route omega_sq rel err vs oracle:",
+              np.abs(omega_sq - ws) / np.abs(ws))
 
 
 if __name__ == "__main__":
