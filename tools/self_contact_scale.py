@@ -34,8 +34,10 @@ def main():
     p.add_argument("--broadphase", default="dense",
                    choices=["dense", "grid", "auto"])
     p.add_argument("--dt", type=float, default=2.5e-4)
-    p.add_argument("--e-mod", type=float, default=4e3)
-    p.add_argument("--impact-vel", type=float, default=-3.0)
+    p.add_argument("--e-mod", type=float, default=1e4)
+    p.add_argument("--impact-vel", type=float, default=-1.5)
+    p.add_argument("--contact-stiffness", type=float, default=0.0,
+                   help="0 = auto (explicit-stability-limited)")
     p.add_argument("--warm-seconds", type=float, default=0.35,
                    help="simulate through the slam before timing")
     p.add_argument("--seconds", type=float, default=0.25)
@@ -60,6 +62,7 @@ def main():
         "contact": "none" if args.no_contact else "penalty",
         "self_contact": not args.no_contact,
         "contact_broadphase": args.broadphase,
+        "contact_stiffness": args.contact_stiffness,
         "objects": [
             {
                 "id": 0,
