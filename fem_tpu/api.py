@@ -145,8 +145,11 @@ class Simulation:
 
         ``method``: "chebyshev" (default — filtered subspace iteration, no
         inner solves, scales to 68k+ tets and matches the f64 oracle to
-        ~1e-6 relative) or "shift_invert" (inner-CG LOBPCG; fine on small
-        meshes, collapses at scale — BASELINE.md).
+        ~1e-6 relative), "shift_invert" (inner-CG LOBPCG; fine on small
+        meshes, collapses at scale — BASELINE.md), or "sparse_f64" (the
+        DIRECT offline oracle: exact f64 element Hessians + host sparse
+        ARPACK shift-invert — residuals ~1e-12 at 68k in ~30 s, validates
+        the TPU route's ω² to ≤3e-5; solvers/modal.modal_analysis_sparse_f64).
 
         ``refine_f64=True`` chases the f32 solve with a float64 Chebyshev
         pass on the host CPU (solvers/modal.modal_refine_f64) — scrubs the
@@ -157,6 +160,10 @@ class Simulation:
         if at_equilibrium:
             self.solve_static(index=index)
         s = self.scene[index]
+        if method == "sparse_f64":
+            from fem_tpu.solvers.modal import modal_analysis_sparse_f64
+
+            return modal_analysis_sparse_f64(s.obj, s.state.pos, k=k)
         if method == "chebyshev":
             from fem_tpu.solvers.modal import modal_analysis_chebyshev
 
