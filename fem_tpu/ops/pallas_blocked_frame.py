@@ -85,15 +85,8 @@ def _frame_kernel(
     minv_ref,  # (1, N_pad) 1/mass, 0 in padding lanes
     cent_ref,  # (O, d) SMEM obstacle centers
     rad_ref,  # (1, O) SMEM obstacle radii
-    pos_out,  # (d_pad, N_pad)
-    vel_out,
-    velg_out,
-    iters_out,  # (1, S_pad) f32 — per-substep CG iteration counts
-    res_out,  # (1, S_pad) f32 — per-substep final ‖r‖²
-    kp_scr,  # scratch (B, d², R) K planes
-    vb_scr,  # scratch (d, B·Pb) gathered operand
-    yt_scr,  # scratch (d, B·Pb) block partials
-    *,
+    *rest_refs,  # [pin_ref] + outs (pos, vel, velg, iters, res [, pin])
+    #             + scratches (kp, vb, yt [, p_scr]) — see unpack below
     dim: int,
     num_blocks: int,
     pb: int,
@@ -110,7 +103,16 @@ def _frame_kernel(
     robust: bool,
     fast_math: bool,
     material: str,
+    plastic_yield: float = 0.0,
+    eb: int = 0,
 ):
+    plastic = plastic_yield > 0.0
+    if plastic:
+        (pin_ref, pos_out, vel_out, velg_out, iters_out, res_out, pin_out,
+         kp_scr, vb_scr, yt_scr, p_scr) = rest_refs
+    else:
+        (pos_out, vel_out, velg_out, iters_out, res_out,
+         kp_scr, vb_scr, yt_scr) = rest_refs
     d = dim
     d2 = d * d
     n_pad = pos_ref.shape[1]
@@ -122,6 +124,25 @@ def _frame_kernel(
     import numpy as _np
 
     decay = float(_np.float32(_np.exp(_np.float32(-dt * damping))))
+
+    def eff_r_rows(b, rv):
+        """Effective rest-edge-inverse rows for block ``b``: the static
+        ``rv`` planes composed with the in-VMEM plastic internal inverse
+        (R⁻¹·F_p⁻¹, plane matmul — ops/inelastic.py semantics)."""
+        if not plastic:
+            return [rv[i : i + 1, :] for i in range(d2)]
+        pb_pl = p_scr[0:d2, pl.ds(b * eb, eb)]  # (d², Eb)
+        rows = []
+        for i in range(d):
+            for j in range(d):
+                acc = None
+                for k in range(d):
+                    term = rv[i * d + k : i * d + k + 1, :] * (
+                        pb_pl[k * d + j : k * d + j + 1, :]
+                    )
+                    acc = term if acc is None else acc + term
+                rows.append(acc)
+        return rows
 
     def prep(pos):
         """Fill kp_scr with this substep's K planes; return assembled
@@ -140,7 +161,7 @@ def _frame_kernel(
             # same way (ops/blocking.py Blocking docstring).
             pad = (v == 0.0).astype(jnp.float32)  # (1, Eb)
             rv = rv_ref[b]  # (d², Eb)
-            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+            r_rows = eff_r_rows(b, rv)
             xp = _pad_x_rows(r_rows, d)
             x_rows = [None] * d2
             for j in range(d):
@@ -248,10 +269,68 @@ def _frame_kernel(
 
         return pos + v * dt, vel, velg
 
+    def plastic_update(pos):
+        """In-kernel internal-variable update (ops/inelastic semantics on
+        component planes): F from the END-of-substep positions against the
+        ORIGINAL rest state, trial elastic strain F·F_p⁻¹, radial return
+        in principal Hencky space (Jacobi ``sym_eigh_core`` — pure plane
+        arithmetic, Mosaic-lowerable), F_p⁻¹ ← F⁻¹·F_e_new on yielded
+        elements.  Writes ``p_scr`` in place."""
+        from fem_tpu.ops.inelastic import (
+            _p_adjugate, _p_det, _p_matmul, _p_plastic_return,
+        )
+
+        vb_scr[0:d, :] = _dot(pos, gall_ref[:, :], (((1,), (1,))))
+
+        def body(b, carry):
+            s = s_ref[b]
+            xb = vb_scr[0:d, pl.ds(b * pb, pb)]
+            st = _dot(xb, s, (((1,), (1,))))  # (d, R)
+            v = vol_ref[b][0:1, :]
+            pad = (v == 0.0).astype(jnp.float32)
+            rv = rv_ref[b]
+            r_rows = [rv[i : i + 1, :] for i in range(d2)]  # ORIGINAL rest
+            xp = _pad_x_rows(r_rows, d)
+            x_rows = [None] * d2
+            for j in range(d):
+                xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))
+                for i in range(d):
+                    x_rows[i * d + j] = (
+                        xj[i : i + 1, :] + pad * xp[i * d + j]
+                    )
+            f_rows = _p_matmul(x_rows, r_rows, d)  # F = X·R⁻¹
+            det = _p_det(f_rows, d)
+            ok = det > 1e-9
+            eye = [
+                1.0 if (c // d) == (c % d) else 0.0 for c in range(d2)
+            ]
+            f_safe = [jnp.where(ok, f_rows[c], eye[c]) for c in range(d2)]
+            f_inv_det = _p_det(f_safe, d)
+            adjf = _p_adjugate(f_safe, d)
+            f_inv = [adjf[c] / f_inv_det for c in range(d2)]
+            p_b = p_scr[0:d2, pl.ds(b * eb, eb)]
+            p_rows = [p_b[c : c + 1, :] for c in range(d2)]
+            fe = _p_matmul(f_rows, p_rows, d)
+            fe_new, yielded = _p_plastic_return(fe, plastic_yield, d)
+            fp_new = _p_matmul(f_inv, fe_new, d)
+            upd = ok & yielded
+            p_scr[0:d2, pl.ds(b * eb, eb)] = jnp.concatenate(
+                [
+                    jnp.where(upd, fp_new[c], p_rows[c])
+                    for c in range(d2)
+                ],
+                axis=0,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
+
     def substep(s, carry):
         pos, vel, velg, itv, resv = carry
         x, it, delta = solve(pos, vel)
         pos, vel, velg = advect(pos, x, velg)
+        if plastic:
+            plastic_update(pos)
         mask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) == s
         ).astype(jnp.float32)
@@ -259,6 +338,8 @@ def _frame_kernel(
         resv = resv + delta * mask
         return pos, vel, velg, itv, resv
 
+    if plastic:
+        p_scr[...] = pin_ref[...]
     zeros_s = jnp.zeros((1, s_pad), jnp.float32)
     pos, vel, velg, itv, resv = jax.lax.fori_loop(
         0,
@@ -278,6 +359,8 @@ def _frame_kernel(
             ref[d:, :] = jnp.zeros_like(ref[d:, :])
     iters_out[0:1, :] = itv
     res_out[0:1, :] = resv
+    if plastic:
+        pin_out[...] = p_scr[...]
 
 
 @functools.partial(
@@ -285,7 +368,7 @@ def _frame_kernel(
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda",
         "preconditioned", "sim_count", "max_iter", "tol", "robust",
-        "fast_math", "material",
+        "fast_math", "material", "plastic_yield",
     ),
 )
 def fused_blocked_frame(
@@ -310,9 +393,14 @@ def fused_blocked_frame(
     robust: bool = False,
     fast_math: bool = False,
     material: str = "neo_hookean",
+    plastic_inv: jnp.ndarray | None = None,
+    plastic_yield: float = 0.0,
 ):
     """One rendered frame (= ``sim_count`` implicit-CG substeps) as one
-    device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))."""
+    device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))
+    — plus the updated (E, d, d) plastic internal inverse when
+    ``plastic_yield > 0`` (the von-Mises return map runs IN-KERNEL on
+    block-ordered component planes; ops/inelastic.py semantics)."""
     d = dim
     d2 = d * d
     n = pos.shape[0]
@@ -322,6 +410,7 @@ def fused_blocked_frame(
     s_pad = _round_up(max(int(sim_count), 1), 128)
     d_pad = 8
     n_obst = int(radii.shape[0])
+    plastic = plastic_yield > 0.0
 
     # Static element planes: ref_inv components + volumes in block order.
     rv = (
@@ -359,44 +448,77 @@ def fused_blocked_frame(
         robust=robust,
         fast_math=fast_math,
         material=material,
+        plastic_yield=float(plastic_yield),
+        eb=eb,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pos_p, vel_p, velg_p, itv, resv = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+    ]
+    out_specs = [vspec] * 5
+    scratch = [
+        pltpu.VMEM((b_cnt, d2, r), jnp.float32),
+        pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+        pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+    ]
+    inputs = [
+        blocking.s_dense, blocking.g_dense, rv, vol, pj, psum,
+        planar(pos), planar(vel), planar(vel_g), minv,
+        centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
+    ]
+    in_specs = [vspec] * 10 + [sspec, sspec]
+    if plastic:
+        # Plastic internal inverse as (d², B·Eb) block-ordered planes.
+        pin = (
+            plastic_inv.reshape(-1, d2)[blocking.element_perm]
+            .reshape(b_cnt, eb, d2)
+            .transpose(2, 0, 1)
+            .reshape(d2, b_cnt * eb)
+        )
+        inputs.append(pin)
+        in_specs.append(vspec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((d2, b_cnt * eb), jnp.float32)
+        )
+        out_specs.append(vspec)
+        scratch.append(pltpu.VMEM((d2, b_cnt * eb), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
-        ),
-        in_specs=[vspec] * 10 + [sspec, sspec],
-        out_specs=(vspec,) * 3 + (vspec, vspec),
-        scratch_shapes=[
-            pltpu.VMEM((b_cnt, d2, r), jnp.float32),
-            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
-            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
-        ],
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         # The resident tables + transients exceed the default 16 MB scoped
         # VMEM cap; v5e has 128 MB of VMEM per core.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
-    )(
-        blocking.s_dense, blocking.g_dense, rv, vol, pj, psum,
-        planar(pos), planar(vel), planar(vel_g), minv,
-        centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
-    )
+    )(*inputs)
+    pos_p, vel_p, velg_p, itv, resv = outs[:5]
     s = int(sim_count)
-    return (
+    ret = (
         pos_p[:d, :n].T,
         vel_p[:d, :n].T,
         velg_p[:d, :n].T,
         itv[0, :s].astype(jnp.int32),
         resv[0, :s],
     )
+    if plastic:
+        pin_new = (
+            outs[5]
+            .reshape(d2, b_cnt, eb)
+            .transpose(1, 2, 0)
+            .reshape(b_cnt * eb, d2)[blocking.element_slot]
+            .reshape(-1, d, d)
+        )
+        ret = ret + (pin_new,)
+    return ret
 
 
 # ---------------------------------------------------------------------------

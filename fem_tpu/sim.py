@@ -295,10 +295,17 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and obj.free_mask is None
         and obj.static_load is None
         and obj.damping_beta == 0.0
-        and obj.plastic_yield == 0.0
         and obj.viscous_mu == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
+        # Plasticity runs IN-KERNEL since round 5 (the von-Mises return
+        # map is plane arithmetic — ops/pallas_blocked_frame.py); the
+        # Maxwell branch would need a second state plane set + an extra
+        # material layer per apply and stays on the op-composed path.
+        and (
+            obj.plastic_yield == 0.0
+            or obj.blocking.element_slot is not None
+        )
     )
 
 
@@ -357,9 +364,11 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
     per rendered frame (ops/pallas_blocked_frame.py)."""
     from fem_tpu.ops.pallas_blocked_frame import fused_blocked_frame
 
+    plastic = float(obj.plastic_yield)
+
     @jax.jit
     def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
-        pos, vel, velg, iters, res = fused_blocked_frame(
+        out = fused_blocked_frame(
             o.blocking, state.pos, state.vel, state.vel_g, o.mass,
             obstacles.centers, obstacles.radii,
             dim=o.dim, dt=cfg.delta_time, damping=o.damping,
@@ -371,8 +380,13 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
             robust=cfg.robust_inversion,
             fast_math=cfg.cg_fast_math,
             material=o.material,
+            plastic_inv=state.plastic_inv if plastic > 0.0 else None,
+            plastic_yield=plastic,
         )
+        pos, vel, velg, iters, res = out[:5]
         new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
+        if plastic > 0.0:
+            new_state = new_state.replace(plastic_inv=out[5])
         return new_state, StepAux(iters, res)
 
     def frame(state: SimState, obstacles: Obstacles):

@@ -278,3 +278,49 @@ def test_flagship_config_is_whole_frame_eligible():
     v, f, e, _ = load_object_mesh(ocfg)
     obj, _state = build_object(ocfg, v, f, e)
     assert supports_blocked_frame(obj, cfg)
+
+
+def test_blocked_frame_plastic_matches_op_composed():
+    """In-kernel von-Mises plasticity (round 5): the whole-frame kernel's
+    plane return map + effective-rest composition must track the
+    op-composed layered path (itself pinned against the physics tests)
+    through an impact that yields."""
+    obj, state0, obstacles = _scene()
+    # Low yield + a hard downward launch so the impact plastifies.
+    nodes, f, tets = _cube_mesh(spacing=0.45)
+    nodes = nodes * 0.35
+    o_cfg = ObjectConfig(
+        obj="cube", center=(0.3, 0.2, 0.3), rho=1000.0,
+        E=4e4, nu=0.3, damping=10.0, plastic_yield=0.01,
+    )
+    obj, state0 = build_object(o_cfg, nodes.astype(np.float32), f, tets)
+    state0 = state0.replace(vel=state0.vel.at[:, 1].set(-4.0))
+    cfg_ops = _cfg(preconditioned=0)
+    cfg_fused = dataclasses.replace(cfg_ops, frame_backend="blocked")
+    assert supports_blocked_frame(obj, cfg_fused)
+
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+
+    s_ref, s_got = state0, state0
+    yielded_any = False
+    for frame_i in range(14):
+        s_ref, _ = ref_frame(s_ref, obstacles)
+        s_got, _ = got_frame(s_got, obstacles)
+        scale = float(jnp.max(jnp.abs(s_ref.pos)))
+        np.testing.assert_allclose(
+            np.asarray(s_got.pos), np.asarray(s_ref.pos),
+            rtol=0, atol=5e-5 * scale,
+            err_msg=f"pos diverged at frame {frame_i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.plastic_inv), np.asarray(s_ref.plastic_inv),
+            rtol=0, atol=2e-5,
+            err_msg=f"plastic_inv diverged at frame {frame_i}",
+        )
+        eye = np.broadcast_to(
+            np.eye(3), np.asarray(s_ref.plastic_inv).shape
+        )
+        if np.abs(np.asarray(s_ref.plastic_inv) - eye).max() > 1e-3:
+            yielded_any = True
+    assert yielded_any, "scenario never yielded — test is vacuous"
