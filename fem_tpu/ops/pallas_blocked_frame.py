@@ -104,15 +104,26 @@ def _frame_kernel(
     fast_math: bool,
     material: str,
     plastic_yield: float = 0.0,
+    viscous_mu: float = 0.0,
+    viscous_tau: float = 1.0,
     eb: int = 0,
 ):
     plastic = plastic_yield > 0.0
-    if plastic:
-        (pin_ref, pos_out, vel_out, velg_out, iters_out, res_out, pin_out,
-         kp_scr, vb_scr, yt_scr, p_scr) = rest_refs
-    else:
-        (pos_out, vel_out, velg_out, iters_out, res_out,
-         kp_scr, vb_scr, yt_scr) = rest_refs
+    viscous = viscous_mu > 0.0
+    n_state = int(plastic) + int(viscous)
+    refs = list(rest_refs)
+    state_in = [refs.pop(0) for _ in range(n_state)]  # [pin][, vin]
+    pos_out, vel_out, velg_out, iters_out, res_out = refs[:5]
+    refs = refs[5:]
+    state_out = [refs.pop(0) for _ in range(n_state)]
+    kp_scr, vb_scr, yt_scr = refs[:3]
+    state_scr = refs[3:]  # [p_scr][, v_scr]
+    pin_ref = state_in[0] if plastic else None
+    vin_ref = state_in[-1] if viscous else None
+    pin_out = state_out[0] if plastic else None
+    vin_out = state_out[-1] if viscous else None
+    p_scr = state_scr[0] if plastic else None
+    v_scr = state_scr[-1] if viscous else None
     d = dim
     d2 = d * d
     n_pad = pos_ref.shape[1]
@@ -125,13 +136,13 @@ def _frame_kernel(
 
     decay = float(_np.float32(_np.exp(_np.float32(-dt * damping))))
 
-    def eff_r_rows(b, rv):
+    def eff_r_rows(b, rv, scr):
         """Effective rest-edge-inverse rows for block ``b``: the static
-        ``rv`` planes composed with the in-VMEM plastic internal inverse
-        (R⁻¹·F_p⁻¹, plane matmul — ops/inelastic.py semantics)."""
-        if not plastic:
+        ``rv`` planes composed with an in-VMEM internal inverse
+        (R⁻¹·F_i⁻¹, plane matmul — ops/inelastic.py semantics)."""
+        if scr is None:
             return [rv[i : i + 1, :] for i in range(d2)]
-        pb_pl = p_scr[0:d2, pl.ds(b * eb, eb)]  # (d², Eb)
+        pb_pl = scr[0:d2, pl.ds(b * eb, eb)]  # (d², Eb)
         rows = []
         for i in range(d):
             for j in range(d):
@@ -161,7 +172,7 @@ def _frame_kernel(
             # same way (ops/blocking.py Blocking docstring).
             pad = (v == 0.0).astype(jnp.float32)  # (1, Eb)
             rv = rv_ref[b]  # (d², Eb)
-            r_rows = eff_r_rows(b, rv)
+            r_rows = eff_r_rows(b, rv, p_scr)
             xp = _pad_x_rows(r_rows, d)
             x_rows = [None] * d2
             for j in range(d):
@@ -171,6 +182,19 @@ def _frame_kernel(
                         xj[i : i + 1, :] + pad * xp[i * d + j]
                     )
             k, h = k_and_h_chain(x_rows, r_rows, d, mu, lam, robust, material)
+            if viscous:
+                # Generalized-Maxwell branch: a second material layer on
+                # the branch rest inverse R⁻¹·F_v⁻¹ — stable-NH (λ = 0),
+                # inversion-finite so the shared pad-substituted X (F = I
+                # w.r.t. the BASE layer only) stays NaN-free; volume 0
+                # zeroes pad contributions exactly, as for the base.
+                rb = eff_r_rows(b, rv, v_scr)
+                k2, h2 = k_and_h_chain(
+                    x_rows, rb, d, viscous_mu, 0.0, robust,
+                    "stable_neo_hookean",
+                )
+                k = [k[c] + k2[c] for c in range(d2)]
+                h = [h[c] + h2[c] for c in range(d2)]
             krows = jnp.concatenate(
                 [-v * k[i] for i in range(d2)], axis=0
             )  # (d², Eb)
@@ -269,15 +293,17 @@ def _frame_kernel(
 
         return pos + v * dt, vel, velg
 
-    def plastic_update(pos):
+    def internal_update(pos):
         """In-kernel internal-variable update (ops/inelastic semantics on
         component planes): F from the END-of-substep positions against the
-        ORIGINAL rest state, trial elastic strain F·F_p⁻¹, radial return
-        in principal Hencky space (Jacobi ``sym_eigh_core`` — pure plane
-        arithmetic, Mosaic-lowerable), F_p⁻¹ ← F⁻¹·F_e_new on yielded
-        elements.  Writes ``p_scr`` in place."""
+        ORIGINAL rest state, then per state set — trial strain F·F_i⁻¹,
+        radial return / Maxwell relaxation in principal Hencky space
+        (Jacobi ``sym_eigh_core`` — pure plane arithmetic,
+        Mosaic-lowerable), F_i⁻¹ ← F⁻¹·F_new.  Writes the state scratches
+        in place."""
         from fem_tpu.ops.inelastic import (
             _p_adjugate, _p_det, _p_matmul, _p_plastic_return,
+            _p_viscous_relax,
         )
 
         vb_scr[0:d, :] = _dot(pos, gall_ref[:, :], (((1,), (1,))))
@@ -308,19 +334,33 @@ def _frame_kernel(
             f_inv_det = _p_det(f_safe, d)
             adjf = _p_adjugate(f_safe, d)
             f_inv = [adjf[c] / f_inv_det for c in range(d2)]
-            p_b = p_scr[0:d2, pl.ds(b * eb, eb)]
-            p_rows = [p_b[c : c + 1, :] for c in range(d2)]
-            fe = _p_matmul(f_rows, p_rows, d)
-            fe_new, yielded = _p_plastic_return(fe, plastic_yield, d)
-            fp_new = _p_matmul(f_inv, fe_new, d)
-            upd = ok & yielded
-            p_scr[0:d2, pl.ds(b * eb, eb)] = jnp.concatenate(
-                [
-                    jnp.where(upd, fp_new[c], p_rows[c])
-                    for c in range(d2)
-                ],
-                axis=0,
-            )
+            if plastic:
+                p_b = p_scr[0:d2, pl.ds(b * eb, eb)]
+                p_rows = [p_b[c : c + 1, :] for c in range(d2)]
+                fe = _p_matmul(f_rows, p_rows, d)
+                fe_new, yielded = _p_plastic_return(fe, plastic_yield, d)
+                fp_new = _p_matmul(f_inv, fe_new, d)
+                upd = ok & yielded
+                p_scr[0:d2, pl.ds(b * eb, eb)] = jnp.concatenate(
+                    [
+                        jnp.where(upd, fp_new[c], p_rows[c])
+                        for c in range(d2)
+                    ],
+                    axis=0,
+                )
+            if viscous:
+                v_b = v_scr[0:d2, pl.ds(b * eb, eb)]
+                v_rows = [v_b[c : c + 1, :] for c in range(d2)]
+                fbe = _p_matmul(f_rows, v_rows, d)
+                fbe_new = _p_viscous_relax(fbe, dt, viscous_tau, d)
+                fv_new = _p_matmul(f_inv, fbe_new, d)
+                v_scr[0:d2, pl.ds(b * eb, eb)] = jnp.concatenate(
+                    [
+                        jnp.where(ok, fv_new[c], v_rows[c])
+                        for c in range(d2)
+                    ],
+                    axis=0,
+                )
             return carry
 
         jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
@@ -329,8 +369,8 @@ def _frame_kernel(
         pos, vel, velg, itv, resv = carry
         x, it, delta = solve(pos, vel)
         pos, vel, velg = advect(pos, x, velg)
-        if plastic:
-            plastic_update(pos)
+        if n_state:
+            internal_update(pos)
         mask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) == s
         ).astype(jnp.float32)
@@ -339,7 +379,9 @@ def _frame_kernel(
         return pos, vel, velg, itv, resv
 
     if plastic:
-        p_scr[...] = pin_ref[...]
+        p_scr[:, :] = pin_ref[:, :]
+    if viscous:
+        v_scr[:, :] = vin_ref[:, :]
     zeros_s = jnp.zeros((1, s_pad), jnp.float32)
     pos, vel, velg, itv, resv = jax.lax.fori_loop(
         0,
@@ -360,7 +402,9 @@ def _frame_kernel(
     iters_out[0:1, :] = itv
     res_out[0:1, :] = resv
     if plastic:
-        pin_out[...] = p_scr[...]
+        pin_out[:, :] = p_scr[:, :]
+    if viscous:
+        vin_out[:, :] = v_scr[:, :]
 
 
 @functools.partial(
@@ -368,7 +412,7 @@ def _frame_kernel(
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda",
         "preconditioned", "sim_count", "max_iter", "tol", "robust",
-        "fast_math", "material", "plastic_yield",
+        "fast_math", "material", "plastic_yield", "viscous_mu", "viscous_tau",
     ),
 )
 def fused_blocked_frame(
@@ -395,12 +439,17 @@ def fused_blocked_frame(
     material: str = "neo_hookean",
     plastic_inv: jnp.ndarray | None = None,
     plastic_yield: float = 0.0,
+    viscous_inv: jnp.ndarray | None = None,
+    viscous_mu: float = 0.0,
+    viscous_tau: float = 1.0,
 ):
     """One rendered frame (= ``sim_count`` implicit-CG substeps) as one
     device op.  Returns (pos', vel', vel_g', iters (S,), residual (S,))
-    — plus the updated (E, d, d) plastic internal inverse when
-    ``plastic_yield > 0`` (the von-Mises return map runs IN-KERNEL on
-    block-ordered component planes; ops/inelastic.py semantics)."""
+    — plus the updated (E, d, d) internal inverses (plastic first, then
+    viscous) for each enabled inelastic extension: the von-Mises return
+    map and the Maxwell relaxation run IN-KERNEL on block-ordered
+    component planes, and the Maxwell branch adds a second stable-NH
+    material layer to the in-kernel prep (ops/inelastic.py semantics)."""
     d = dim
     d2 = d * d
     n = pos.shape[0]
@@ -411,6 +460,7 @@ def fused_blocked_frame(
     d_pad = 8
     n_obst = int(radii.shape[0])
     plastic = plastic_yield > 0.0
+    viscous = viscous_mu > 0.0
 
     # Static element planes: ref_inv components + volumes in block order.
     rv = (
@@ -449,6 +499,8 @@ def fused_blocked_frame(
         fast_math=fast_math,
         material=material,
         plastic_yield=float(plastic_yield),
+        viscous_mu=float(viscous_mu),
+        viscous_tau=float(viscous_tau),
         eb=eb,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -472,15 +524,20 @@ def fused_blocked_frame(
         centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
     ]
     in_specs = [vspec] * 10 + [sspec, sspec]
-    if plastic:
-        # Plastic internal inverse as (d², B·Eb) block-ordered planes.
-        pin = (
-            plastic_inv.reshape(-1, d2)[blocking.element_perm]
+    def to_planes(fi_inv):
+        # Internal inverse as (d², B·Eb) block-ordered planes.
+        return (
+            fi_inv.reshape(-1, d2)[blocking.element_perm]
             .reshape(b_cnt, eb, d2)
             .transpose(2, 0, 1)
             .reshape(d2, b_cnt * eb)
         )
-        inputs.append(pin)
+
+    state_arrays = ([plastic_inv] if plastic else []) + (
+        [viscous_inv] if viscous else []
+    )
+    for fi_inv in state_arrays:
+        inputs.append(to_planes(fi_inv))
         in_specs.append(vspec)
         out_shape.append(
             jax.ShapeDtypeStruct((d2, b_cnt * eb), jnp.float32)
@@ -509,15 +566,15 @@ def fused_blocked_frame(
         itv[0, :s].astype(jnp.int32),
         resv[0, :s],
     )
-    if plastic:
-        pin_new = (
-            outs[5]
+    for i in range(len(state_arrays)):
+        fi_new = (
+            outs[5 + i]
             .reshape(d2, b_cnt, eb)
             .transpose(1, 2, 0)
             .reshape(b_cnt * eb, d2)[blocking.element_slot]
             .reshape(-1, d, d)
         )
-        ret = ret + (pin_new,)
+        ret = ret + (fi_new,)
     return ret
 
 

@@ -295,15 +295,14 @@ def supports_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and obj.free_mask is None
         and obj.static_load is None
         and obj.damping_beta == 0.0
-        and obj.viscous_mu == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
-        # Plasticity runs IN-KERNEL since round 5 (the von-Mises return
-        # map is plane arithmetic — ops/pallas_blocked_frame.py); the
-        # Maxwell branch would need a second state plane set + an extra
-        # material layer per apply and stays on the op-composed path.
+        # Inelasticity runs IN-KERNEL since round 5: the von-Mises return
+        # map / Maxwell relaxation are plane arithmetic, and the Maxwell
+        # branch adds a second material layer to the in-kernel prep
+        # (ops/pallas_blocked_frame.py).
         and (
-            obj.plastic_yield == 0.0
+            (obj.plastic_yield == 0.0 and obj.viscous_mu == 0.0)
             or obj.blocking.element_slot is not None
         )
     )
@@ -365,6 +364,7 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
     from fem_tpu.ops.pallas_blocked_frame import fused_blocked_frame
 
     plastic = float(obj.plastic_yield)
+    visc_mu = float(obj.viscous_mu)
 
     @jax.jit
     def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
@@ -382,11 +382,18 @@ def make_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
             material=o.material,
             plastic_inv=state.plastic_inv if plastic > 0.0 else None,
             plastic_yield=plastic,
+            viscous_inv=state.viscous_inv if visc_mu > 0.0 else None,
+            viscous_mu=visc_mu,
+            viscous_tau=float(obj.viscous_tau),
         )
         pos, vel, velg, iters, res = out[:5]
         new_state = state.replace(pos=pos, vel=vel, vel_g=velg)
+        i = 5
         if plastic > 0.0:
-            new_state = new_state.replace(plastic_inv=out[5])
+            new_state = new_state.replace(plastic_inv=out[i])
+            i += 1
+        if visc_mu > 0.0:
+            new_state = new_state.replace(viscous_inv=out[i])
         return new_state, StepAux(iters, res)
 
     def frame(state: SimState, obstacles: Obstacles):
@@ -456,14 +463,55 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
         return make_explicit_blocked_frame_fn(obj, cfg)
     kwargs = _cfg_kwargs(cfg)
     if cfg.adaptive_dt:
-        body_fn = _make_adaptive_body(cfg, kwargs)
+        # FRAME-LEVEL guard (round 5): measure κ once per frame and run all
+        # sim_count substeps at the chosen split level.  The per-substep
+        # variant measured 8.3× overhead on demo_spot_real (4,500 → 541
+        # steps/s — the κ estimate's hessian_blocks chain costs more than
+        # the whole guarded substep), while κ itself evolves on the
+        # deformation timescale: the documented blow-ups build over
+        # hundreds of substeps (BASELINE.md), so one check per frame
+        # (≤ 10 substeps ≈ 5 ms of virtual time) loses no responsiveness.
+        # make_substep_fn keeps the per-substep guard for fine-grained use.
+        from fem_tpu.solvers.adaptive import (
+            _LEVELS, kappa_estimate, split_level,
+        )
+
+        base = dict(kwargs)
+        dt = base.pop("dt")
 
         @jax.jit
         def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
-            def body(s, _):
-                return body_fn(o, s, obstacles)
+            kappa = kappa_estimate(
+                o, state.pos, dt, cfg.robust_inversion
+            )
+            idx = split_level(kappa, cfg.adaptive_dt_threshold)
 
-            return jax.lax.scan(body, state, None, length=cfg.sim_count)
+            def make_branch(n):
+                def branch(s0):
+                    def body(s, _):
+                        def inner(st, _):
+                            st, aux = substep(
+                                o, st, obstacles, dt=dt / n, **base
+                            )
+                            return st, aux
+
+                        s, auxes = jax.lax.scan(
+                            inner, s, None, length=n
+                        )
+                        return s, StepAux(
+                            jnp.sum(auxes.solver_iterations),
+                            auxes.solver_residual[-1],
+                        )
+
+                    return jax.lax.scan(
+                        body, s0, None, length=cfg.sim_count
+                    )
+
+                return branch
+
+            return jax.lax.switch(
+                idx, [make_branch(n) for n in _LEVELS], state
+            )
 
     else:
 

@@ -40,12 +40,26 @@ def kappa_estimate(
     is comfortable; κ → 1: the integrator is at the measured blow-up edge
     (BASELINE.md 68k/212k rows).  One element chain + one O(E) assembly —
     about the cost of a single operator apply."""
-    K = hessian_blocks(
-        pos, obj.element_indices, obj.ref_inv, obj.volume, obj.mu,
-        obj.s_lambda, robust, obj.material,
-    )
+    blk = getattr(obj, "blocking", None)
+    if blk is not None and axis_name is None:
+        # In-VMEM blocked prep for the K blocks (round 5): the XLA
+        # hessian_blocks chain + gather cost ~1.4 ms/frame on the 7.7k-tet
+        # demo_spot_real — more than half the guarded frame's total.
+        from fem_tpu.ops.blocking import blocked_prep, kplane_to_kflat
+
+        kplane, _ = blocked_prep(
+            blk, pos, obj.dim, obj.mu, obj.s_lambda, robust, obj.material
+        )
+        K = kplane_to_kflat(blk, kplane, obj.dim)
+        idx = blk.element_indices
+    else:
+        K = hessian_blocks(
+            pos, obj.element_indices, obj.ref_inv, obj.volume, obj.mu,
+            obj.s_lambda, robust, obj.material,
+        )
+        idx = obj.element_indices
     diag_a = diagonal_blocks_from(
-        obj.element_indices, K, obj.mass, dt, obj.particle_cnt, axis_name
+        idx, K, obj.mass, dt, obj.particle_cnt, axis_name
     )
     dev = diag_a - jnp.eye(obj.dim, dtype=diag_a.dtype)[None]
     return jnp.sqrt(jnp.max(jnp.sum(dev * dev, axis=(1, 2))))

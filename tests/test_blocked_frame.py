@@ -324,3 +324,44 @@ def test_blocked_frame_plastic_matches_op_composed():
         if np.abs(np.asarray(s_ref.plastic_inv) - eye).max() > 1e-3:
             yielded_any = True
     assert yielded_any, "scenario never yielded — test is vacuous"
+
+
+def test_blocked_frame_viscoelastic_matches_op_composed():
+    """In-kernel Maxwell branch (round 5): second material layer in the
+    fused prep + in-kernel relaxation must track the op-composed layered
+    path."""
+    nodes, f, tets = _cube_mesh(spacing=0.45)
+    nodes = nodes * 0.35
+    o_cfg = ObjectConfig(
+        obj="cube", center=(0.3, 0.2, 0.3), rho=1000.0,
+        E=4e4, nu=0.3, damping=10.0, viscous_mu=2e4, viscous_tau=0.01,
+    )
+    obj, state0 = build_object(o_cfg, nodes.astype(np.float32), f, tets)
+    state0 = state0.replace(vel=state0.vel.at[:, 1].set(-10.0))
+    cfg_ops = _cfg(preconditioned=0)
+    cfg_fused = dataclasses.replace(cfg_ops, frame_backend="blocked")
+    assert supports_blocked_frame(obj, cfg_fused)
+
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+
+    s_ref, s_got = state0, state0
+    relaxing = False
+    for frame_i in range(16):
+        s_ref, _ = ref_frame(s_ref, obstacles_ := Obstacles.from_configs((), 3))
+        s_got, _ = got_frame(s_got, obstacles_)
+        scale = float(jnp.max(jnp.abs(s_ref.pos)))
+        np.testing.assert_allclose(
+            np.asarray(s_got.pos), np.asarray(s_ref.pos),
+            rtol=0, atol=5e-5 * scale,
+            err_msg=f"pos diverged at frame {frame_i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.viscous_inv), np.asarray(s_ref.viscous_inv),
+            rtol=0, atol=2e-5,
+            err_msg=f"viscous_inv diverged at frame {frame_i}",
+        )
+        eye = np.broadcast_to(np.eye(3), np.asarray(s_ref.viscous_inv).shape)
+        if np.abs(np.asarray(s_ref.viscous_inv) - eye).max() > 1e-4:
+            relaxing = True
+    assert relaxing, "branch strain never moved — test is vacuous"
