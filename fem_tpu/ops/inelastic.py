@@ -36,13 +36,16 @@ rest-edge inverses (element- or block-ordered): the graph operator, the
 blocked MXU operator with in-VMEM prep (``blocked_prep(ref_inv_flat=…)``
 over ``Blocking.element_perm``), the fused whole-SOLVE kernel (its K/force
 tables are dynamic inputs), Newton's decoupled mode, and the sharded path
-(internal variables replicated; updates shard-local + all_gather).  Only
-the whole-FRAME kernels stay elastic-only: they advance ``sim_count``
-substeps inside one device op and would need the return map + internal
-variable update in-kernel — a documented gate, not a silent wrong answer.
-(The return map itself is SVD-free since round 5 — Jacobi ``sym_eigh`` on
-C = FᵀF; the batched ``jnp.linalg.svd`` blew the 16 MB scoped-VMEM QR
-stack at 68k tets.)
+(internal variables replicated; updates shard-local + all_gather).  The
+implicit whole-FRAME kernel runs plasticity AND the Maxwell branch
+IN-KERNEL (ops/pallas_blocked_frame.py: state carried as (d², B·Eb)
+VMEM planes, return map / relaxation after each substep's advect —
+flagship plastic 2.1× over op-composed); the explicit whole-frame kernel
+keeps its elastic-only gate.  The return map itself is SVD-free since
+round 5 — Jacobi ``sym_eigh`` on C = FᵀF in component-plane arithmetic
+(the batched ``jnp.linalg.svd`` blew the 16 MB scoped-VMEM QR stack at
+68k tets, and padded (E, d, d) layouts cost ms per materialization —
+BASELINE.md round-5 section).
 """
 
 from __future__ import annotations
