@@ -593,11 +593,8 @@ def _explicit_frame_kernel(
     minv_ref,  # (1, N_pad)
     cent_ref,  # (O, d) SMEM
     rad_ref,  # (1, O) SMEM
-    pos_out,
-    vel_out,
-    vb_scr,  # scratch (d, B·Pb)
-    yt_scr,  # scratch (d, B·Pb)
-    *,
+    *rest_refs,  # [pin][, vin] + (pos_out, vel_out) + [pin_out][, vin_out]
+    #             + (vb_scr, yt_scr) + [p_scr][, v_scr]
     dim: int,
     num_blocks: int,
     pb: int,
@@ -609,13 +606,35 @@ def _explicit_frame_kernel(
     sim_count: int,
     n_obstacles: int,
     material: str,
+    plastic_yield: float = 0.0,
+    viscous_mu: float = 0.0,
+    viscous_tau: float = 1.0,
+    eb: int = 0,
 ):
     """The explicit/autodiff substep loop (reference solver/explicit.py +
     kinematic.py:14-45) as one device op: per substep, assemble the energy
     gradient via the blocked tables, then the kinematic update with sticky
-    walls and sequential circle projections."""
+    walls and sequential circle projections.  Inelastic internal state (if
+    any) lives in (d², B·Eb) VMEM plane scratches — same in-kernel scheme
+    as the implicit whole-frame kernel."""
     from fem_tpu.ops.pallas_kernels import grad_cols_chain
 
+    plastic = plastic_yield > 0.0
+    viscous = viscous_mu > 0.0
+    n_state = int(plastic) + int(viscous)
+    refs = list(rest_refs)
+    state_in = [refs.pop(0) for _ in range(n_state)]
+    pos_out, vel_out = refs[:2]
+    refs = refs[2:]
+    state_out = [refs.pop(0) for _ in range(n_state)]
+    vb_scr, yt_scr = refs[:2]
+    state_scr = refs[2:]
+    pin_ref = state_in[0] if plastic else None
+    vin_ref = state_in[-1] if viscous else None
+    pin_out = state_out[0] if plastic else None
+    vin_out = state_out[-1] if viscous else None
+    p_scr = state_scr[0] if plastic else None
+    v_scr = state_scr[-1] if viscous else None
     d = dim
     d2 = d * d
     n_pad = pos_ref.shape[1]
@@ -623,6 +642,22 @@ def _explicit_frame_kernel(
     import numpy as _np
 
     decay = float(_np.float32(_np.exp(_np.float32(-dt * damping))))
+
+    def eff_r_rows(rv, scr, b):
+        if scr is None:
+            return [rv[i : i + 1, :] for i in range(d2)]
+        pb_pl = scr[0:d2, pl.ds(b * eb, eb)]
+        rows = []
+        for i in range(d):
+            for j in range(d):
+                acc = None
+                for k in range(d):
+                    term = rv[i * d + k : i * d + k + 1, :] * (
+                        pb_pl[k * d + j : k * d + j + 1, :]
+                    )
+                    acc = term if acc is None else acc + term
+                rows.append(acc)
+        return rows
 
     def gradient(pos):
         """Assembled +∂U/∂x (d, N) — the reference's particles.force."""
@@ -635,7 +670,7 @@ def _explicit_frame_kernel(
             v = vol_ref[b][0:1, :]
             pad = (v == 0.0).astype(jnp.float32)
             rv = rv_ref[b]
-            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+            r_rows = eff_r_rows(rv, p_scr, b)
             xp = _pad_x_rows(r_rows, d)
             x_rows = [None] * d2
             for j in range(d):
@@ -645,6 +680,12 @@ def _explicit_frame_kernel(
                         xj[i : i + 1, :] + pad * xp[i * d + j]
                     )
             h = grad_cols_chain(x_rows, r_rows, d, mu, lam, material)
+            if viscous:
+                rb = eff_r_rows(rv, v_scr, b)
+                h2 = grad_cols_chain(
+                    x_rows, rb, d, viscous_mu, 0.0, "stable_neo_hookean"
+                )
+                h = [h[c] + h2[c] for c in range(d2)]
             tc = None
             for j in range(d):
                 hj = jnp.concatenate(
@@ -657,6 +698,71 @@ def _explicit_frame_kernel(
 
         jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
         return _dot(yt_scr[0:d, :], gall_ref[:, :], (((1,), (0,))))
+
+    def internal_update(pos):
+        """Same in-kernel internal-variable update as the implicit kernel
+        (plane return map / Maxwell relaxation; ops/inelastic semantics)."""
+        from fem_tpu.ops.inelastic import (
+            _p_adjugate, _p_det, _p_matmul, _p_plastic_return,
+            _p_viscous_relax,
+        )
+
+        vb_scr[0:d, :] = _dot(pos, gall_ref[:, :], (((1,), (1,))))
+
+        def body(b, carry):
+            s = s_ref[b]
+            xb = vb_scr[0:d, pl.ds(b * pb, pb)]
+            st = _dot(xb, s, (((1,), (1,))))
+            v = vol_ref[b][0:1, :]
+            pad = (v == 0.0).astype(jnp.float32)
+            rv = rv_ref[b]
+            r_rows = [rv[i : i + 1, :] for i in range(d2)]
+            xp = _pad_x_rows(r_rows, d)
+            x_rows = [None] * d2
+            for j in range(d):
+                xj = _dot(st, pj_ref[j, :, :], (((1,), (0,))))
+                for i in range(d):
+                    x_rows[i * d + j] = (
+                        xj[i : i + 1, :] + pad * xp[i * d + j]
+                    )
+            f_rows = _p_matmul(x_rows, r_rows, d)
+            det = _p_det(f_rows, d)
+            ok = det > 1e-9
+            eye = [1.0 if (c // d) == (c % d) else 0.0 for c in range(d2)]
+            f_safe = [jnp.where(ok, f_rows[c], eye[c]) for c in range(d2)]
+            f_inv_det = _p_det(f_safe, d)
+            adjf = _p_adjugate(f_safe, d)
+            f_inv = [adjf[c] / f_inv_det for c in range(d2)]
+            if plastic:
+                p_b = p_scr[0:d2, pl.ds(b * eb, eb)]
+                p_rows = [p_b[c : c + 1, :] for c in range(d2)]
+                fe = _p_matmul(f_rows, p_rows, d)
+                fe_new, yielded = _p_plastic_return(fe, plastic_yield, d)
+                fp_new = _p_matmul(f_inv, fe_new, d)
+                upd = ok & yielded
+                p_scr[0:d2, pl.ds(b * eb, eb)] = jnp.concatenate(
+                    [
+                        jnp.where(upd, fp_new[c], p_rows[c])
+                        for c in range(d2)
+                    ],
+                    axis=0,
+                )
+            if viscous:
+                v_b = v_scr[0:d2, pl.ds(b * eb, eb)]
+                v_rows = [v_b[c : c + 1, :] for c in range(d2)]
+                fbe = _p_matmul(f_rows, v_rows, d)
+                fbe_new = _p_viscous_relax(fbe, dt, viscous_tau, d)
+                fv_new = _p_matmul(f_inv, fbe_new, d)
+                v_scr[0:d2, pl.ds(b * eb, eb)] = jnp.concatenate(
+                    [
+                        jnp.where(ok, fv_new[c], v_rows[c])
+                        for c in range(d2)
+                    ],
+                    axis=0,
+                )
+            return carry
+
+        jax.lax.fori_loop(0, num_blocks, body, jnp.int32(0))
 
     def kinematic(pos, vel, grad):
         """Reference kinematic.py:14-45 on (d, N) planes."""
@@ -694,8 +800,15 @@ def _explicit_frame_kernel(
     def substep(s, carry):
         pos, vel = carry
         grad = gradient(pos)
-        return kinematic(pos, vel, grad)
+        pos, vel = kinematic(pos, vel, grad)
+        if n_state:
+            internal_update(pos)
+        return pos, vel
 
+    if plastic:
+        p_scr[:, :] = pin_ref[:, :]
+    if viscous:
+        v_scr[:, :] = vin_ref[:, :]
     pos, vel = jax.lax.fori_loop(
         0, sim_count, substep, (pos_ref[0:d, :], vel_ref[0:d, :])
     )
@@ -703,13 +816,17 @@ def _explicit_frame_kernel(
         ref[0:d, :] = val
         if d < ref.shape[0]:
             ref[d:, :] = jnp.zeros_like(ref[d:, :])
+    if plastic:
+        pin_out[:, :] = p_scr[:, :]
+    if viscous:
+        vin_out[:, :] = v_scr[:, :]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "dim", "dt", "damping", "g_dir", "mu", "s_lambda", "sim_count",
-        "material",
+        "material", "plastic_yield", "viscous_mu", "viscous_tau",
     ),
 )
 def fused_explicit_frame(
@@ -728,9 +845,17 @@ def fused_explicit_frame(
     s_lambda: float,
     sim_count: int,
     material: str = "neo_hookean",
+    plastic_inv: jnp.ndarray | None = None,
+    plastic_yield: float = 0.0,
+    viscous_inv: jnp.ndarray | None = None,
+    viscous_mu: float = 0.0,
+    viscous_tau: float = 1.0,
 ):
     """One explicit/autodiff rendered frame as one device op.
-    Returns (pos', vel')."""
+    Returns (pos', vel') — plus the updated (E, d, d) internal inverses
+    (plastic first, then viscous) for each enabled inelastic extension
+    (in-kernel plane return map / relaxation, as in the implicit
+    whole-frame kernel)."""
     d = dim
     d2 = d * d
     n = pos.shape[0]
@@ -739,6 +864,8 @@ def fused_explicit_frame(
     n_pad = _round_up(n, 128)
     d_pad = 8
     n_obst = int(radii.shape[0])
+    plastic = plastic_yield > 0.0
+    viscous = viscous_mu > 0.0
 
     rv = blocking.ref_inv.reshape(b_cnt, eb, d2).transpose(0, 2, 1)
     vol = blocking.volume.reshape(b_cnt, 1, eb)
@@ -766,28 +893,66 @@ def fused_explicit_frame(
         sim_count=int(sim_count),
         n_obstacles=n_obst,
         material=material,
+        plastic_yield=float(plastic_yield),
+        viscous_mu=float(viscous_mu),
+        viscous_tau=float(viscous_tau),
+        eb=eb,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pos_p, vel_p = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+    ]
+    out_specs = [vspec, vspec]
+    scratch = [
+        pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+        pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
+    ]
+    inputs = [
+        blocking.s_dense, blocking.g_dense, rv, vol, pj,
+        planar(pos), planar(vel), minv,
+        centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
+    ]
+    in_specs = [vspec] * 8 + [sspec, sspec]
+
+    def to_planes(fi_inv):
+        return (
+            fi_inv.reshape(-1, d2)[blocking.element_perm]
+            .reshape(b_cnt, eb, d2)
+            .transpose(2, 0, 1)
+            .reshape(d2, b_cnt * eb)
+        )
+
+    state_arrays = ([plastic_inv] if plastic else []) + (
+        [viscous_inv] if viscous else []
+    )
+    for fi_inv in state_arrays:
+        inputs.append(to_planes(fi_inv))
+        in_specs.append(vspec)
+        out_shape.append(jax.ShapeDtypeStruct((d2, b_cnt * eb), jnp.float32))
+        out_specs.append(vspec)
+        scratch.append(pltpu.VMEM((d2, b_cnt * eb), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
-        ),
-        in_specs=[vspec] * 8 + [sspec, sspec],
-        out_specs=(vspec, vspec),
-        scratch_shapes=[
-            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
-            pltpu.VMEM((d, b_cnt * blocking.pb), jnp.float32),
-        ],
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
-    )(
-        blocking.s_dense, blocking.g_dense, rv, vol, pj,
-        planar(pos), planar(vel), minv,
-        centers.astype(jnp.float32), radii.reshape(1, -1).astype(jnp.float32),
-    )
-    return pos_p[:d, :n].T, vel_p[:d, :n].T
+    )(*inputs)
+    pos_p, vel_p = outs[:2]
+    ret = (pos_p[:d, :n].T, vel_p[:d, :n].T)
+    for i in range(len(state_arrays)):
+        fi_new = (
+            outs[2 + i]
+            .reshape(d2, b_cnt, eb)
+            .transpose(1, 2, 0)
+            .reshape(b_cnt * eb, d2)[blocking.element_slot]
+            .reshape(-1, d, d)
+        )
+        ret = ret + (fi_new,)
+    return ret

@@ -321,10 +321,14 @@ def supports_explicit_blocked_frame(obj: FemObject, cfg: SimConfig) -> bool:
         and obj.free_mask is None
         and obj.static_load is None
         and obj.damping_beta == 0.0
-        and obj.plastic_yield == 0.0
-        and obj.viscous_mu == 0.0
         and obj.blocking is not None
         and obj.blocking.s_dense is not None
+        # Inelasticity runs IN-KERNEL (round 5, same scheme as the
+        # implicit whole-frame kernel).
+        and (
+            (obj.plastic_yield == 0.0 and obj.viscous_mu == 0.0)
+            or obj.blocking.element_slot is not None
+        )
     )
 
 
@@ -334,18 +338,33 @@ def make_explicit_blocked_frame_fn(obj: FemObject, cfg: SimConfig):
     differences only)."""
     from fem_tpu.ops.pallas_blocked_frame import fused_explicit_frame
 
+    plastic = float(obj.plastic_yield)
+    visc_mu = float(obj.viscous_mu)
+
     @jax.jit
     def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
-        pos, vel = fused_explicit_frame(
+        out = fused_explicit_frame(
             o.blocking, state.pos, state.vel, o.mass,
             obstacles.centers, obstacles.radii,
             dim=o.dim, dt=cfg.delta_time, damping=o.damping,
             g_dir=tuple(cfg.g_dir), mu=o.mu, s_lambda=o.s_lambda,
             sim_count=cfg.sim_count, material=o.material,
+            plastic_inv=state.plastic_inv if plastic > 0.0 else None,
+            plastic_yield=plastic,
+            viscous_inv=state.viscous_inv if visc_mu > 0.0 else None,
+            viscous_mu=visc_mu,
+            viscous_tau=float(obj.viscous_tau),
         )
+        pos, vel = out[:2]
         new_state = state.replace(
             pos=pos, vel=vel, force=jnp.zeros_like(pos)
         )
+        i = 2
+        if plastic > 0.0:
+            new_state = new_state.replace(plastic_inv=out[i])
+            i += 1
+        if visc_mu > 0.0:
+            new_state = new_state.replace(viscous_inv=out[i])
         aux = StepAux(
             jnp.zeros((cfg.sim_count,), jnp.int32),
             jnp.zeros((cfg.sim_count,), jnp.float32),

@@ -405,3 +405,50 @@ def test_blocked_frame_plastic_and_viscous_combined():
             np.asarray(s_got.viscous_inv), np.asarray(s_ref.viscous_inv),
             rtol=0, atol=3e-5,
         )
+
+
+def test_explicit_blocked_frame_inelastic_matches_op_composed():
+    """In-kernel inelasticity on the EXPLICIT whole-frame kernel (round 5):
+    plastic + Maxwell branch vs the op-composed layered explicit path."""
+    nodes, f, tets = _cube_mesh(spacing=0.45)
+    nodes = nodes * 0.35
+    o_cfg = ObjectConfig(
+        obj="cube", center=(0.3, 0.2, 0.3), rho=1000.0,
+        E=4e4, nu=0.3, damping=10.0, plastic_yield=0.01,
+        viscous_mu=2e4, viscous_tau=0.01,
+    )
+    obj, state0 = build_object(o_cfg, nodes.astype(np.float32), f, tets)
+    state0 = state0.replace(vel=state0.vel.at[:, 1].set(-10.0))
+    cfg_ops = _cfg(preconditioned=0, use_explicit_method=True)
+    cfg_fused = dataclasses.replace(
+        cfg_ops, frame_backend="blocked_explicit"
+    )
+    assert supports_explicit_blocked_frame(obj, cfg_fused)
+
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+    obstacles = Obstacles.from_configs((), 3)
+
+    s_ref, s_got = state0, state0
+    moved = False
+    for frame_i in range(12):
+        s_ref, _ = ref_frame(s_ref, obstacles)
+        s_got, _ = got_frame(s_got, obstacles)
+        scale = float(jnp.max(jnp.abs(s_ref.pos)))
+        np.testing.assert_allclose(
+            np.asarray(s_got.pos), np.asarray(s_ref.pos),
+            rtol=0, atol=8e-5 * scale,
+            err_msg=f"pos diverged at frame {frame_i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.plastic_inv), np.asarray(s_ref.plastic_inv),
+            rtol=0, atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.viscous_inv), np.asarray(s_ref.viscous_inv),
+            rtol=0, atol=3e-5,
+        )
+        eye = np.broadcast_to(np.eye(3), np.asarray(s_ref.plastic_inv).shape)
+        if np.abs(np.asarray(s_ref.viscous_inv) - eye).max() > 1e-4:
+            moved = True
+    assert moved, "internal state never moved — test is vacuous"
