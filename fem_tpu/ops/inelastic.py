@@ -36,12 +36,11 @@ rest-edge inverses (element- or block-ordered): the graph operator, the
 blocked MXU operator with in-VMEM prep (``blocked_prep(ref_inv_flat=…)``
 over ``Blocking.element_perm``), the fused whole-SOLVE kernel (its K/force
 tables are dynamic inputs), Newton's decoupled mode, and the sharded path
-(internal variables replicated; updates shard-local + all_gather).  The
-implicit whole-FRAME kernel runs plasticity AND the Maxwell branch
-IN-KERNEL (ops/pallas_blocked_frame.py: state carried as (d², B·Eb)
-VMEM planes, return map / relaxation after each substep's advect —
-flagship plastic 2.1× over op-composed); the explicit whole-frame kernel
-keeps its elastic-only gate.  The return map itself is SVD-free since
+(internal variables replicated; updates shard-local + all_gather).  BOTH
+whole-FRAME kernels run plasticity AND the Maxwell branch IN-KERNEL
+(ops/pallas_blocked_frame.py: state carried as (d², B·Eb) VMEM planes,
+return map / relaxation after each substep's advect/kinematic — flagship
+plastic 2.1× implicit / 1.41× explicit over op-composed).  The return map itself is SVD-free since
 round 5 — Jacobi ``sym_eigh`` on C = FᵀF in component-plane arithmetic
 (the batched ``jnp.linalg.svd`` blew the 16 MB scoped-VMEM QR stack at
 68k tets, and padded (E, d, d) layouts cost ms per materialization —
