@@ -452,3 +452,46 @@ def test_explicit_blocked_frame_inelastic_matches_op_composed():
         if np.abs(np.asarray(s_ref.viscous_inv) - eye).max() > 1e-4:
             moved = True
     assert moved, "internal state never moved — test is vacuous"
+
+
+def test_blocked_frame_2d_plastic_matches_op_composed():
+    """2D in-kernel plasticity (dimension-generic plane return map,
+    d = 2: one exact Jacobi rotation) vs the op-composed layered frame."""
+    from fem_tpu.models.mesh import construct_2d_mesh
+
+    cfg_o = ObjectConfig(
+        subdivisions=6, side_length=0.3, center=(0.35, 0.25),
+        rho=1000.0, E=4e4, nu=0.3, damping=10.0, plastic_yield=0.003,
+    )
+    verts, faces, elems = construct_2d_mesh(cfg_o)
+    obj, state0 = build_object(cfg_o, verts, faces, elems)
+    state0 = state0.replace(vel=state0.vel.at[:, 1].set(-8.0))
+    cfg_ops = SimConfig(
+        dim=2, delta_time=5e-4, sim_count=4, use_explicit_method=False,
+        auto_diff=False, implicit_method=1, preconditioned=0,
+        g_dir=(0.0, -1.0),
+    )
+    cfg_fused = dataclasses.replace(cfg_ops, frame_backend="blocked")
+    assert supports_blocked_frame(obj, cfg_fused)
+    ref_frame = make_frame_fn(obj, cfg_ops)
+    got_frame = make_frame_fn(obj, cfg_fused)
+    obstacles = Obstacles.from_configs((), 2)
+    s_ref, s_got = state0, state0
+    yielded = False
+    for frame_i in range(20):
+        s_ref, _ = ref_frame(s_ref, obstacles)
+        s_got, _ = got_frame(s_got, obstacles)
+        scale = float(jnp.max(jnp.abs(s_ref.pos)))
+        np.testing.assert_allclose(
+            np.asarray(s_got.pos), np.asarray(s_ref.pos),
+            rtol=0, atol=5e-5 * scale,
+            err_msg=f"pos diverged at frame {frame_i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_got.plastic_inv), np.asarray(s_ref.plastic_inv),
+            rtol=0, atol=2e-5,
+        )
+        eye = np.broadcast_to(np.eye(2), np.asarray(s_ref.plastic_inv).shape)
+        if np.abs(np.asarray(s_ref.plastic_inv) - eye).max() > 1e-4:
+            yielded = True
+    assert yielded, "2D scenario never yielded — test is vacuous"
