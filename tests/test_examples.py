@@ -48,6 +48,8 @@ def _run(script, *args):
         ("examples/newton_large_dt.py", "newton_large_dt OK"),
         ("examples/stability_analysis.py", "peak at"),
         ("examples/anisotropic_fibers.py", "anisotropic_fibers OK"),
+        ("examples/plasticity_demo.py", "permanent"),
+        ("examples/viscoelastic_relaxation.py", "relaxation timescale matches"),
     ],
 )
 def test_example_runs(script, expect):
