@@ -448,15 +448,20 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
                 "is not eligible (see experiments/pallas_frame.py)"
             )
         return make_fused_frame_fn(obj, cfg)
-    if cfg.frame_backend == "blocked" or (
-        cfg.frame_backend == "auto"
-        and jax.default_backend() == "tpu"
-        and supports_blocked_frame(obj, cfg)
+    if not cfg.adaptive_dt and (
+        cfg.frame_backend == "blocked"
+        or (
+            cfg.frame_backend == "auto"
+            and jax.default_backend() == "tpu"
+            and supports_blocked_frame(obj, cfg)
+        )
     ):
         # Whole-frame kernel — fastest measured flagship path (3,763 vs
         # 3,599 steps/s for op-composed + whole-solve kernel, 2,069 for
         # op-composed + grid kernels) once the one-hot dots run as exact
-        # bf16 split-dots (ops/pallas_blocked_cg._dot).
+        # bf16 split-dots (ops/pallas_blocked_cg._dot).  adaptive_dt
+        # configs fall through to the guarded branch below, which itself
+        # composes with this kernel when eligible.
         if cfg.frame_backend == "blocked" and not supports_blocked_frame(
             obj, cfg
         ):
@@ -497,6 +502,30 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
 
         base = dict(kwargs)
         dt = base.pop("dt")
+        # The guard composes with the whole-frame FUSED kernel (round 5):
+        # each switch branch is the fused kernel compiled at the static
+        # inner dt/n for sim_count·n substeps — the shipped demo_spot_real
+        # config (fused tables fit; only `adaptive_dt` kept it off this
+        # kernel) runs at fused speed under the guard.
+        import dataclasses as _dc
+
+        cfg_nodynamic = _dc.replace(cfg, adaptive_dt=False)
+        use_fused = supports_blocked_frame(obj, cfg_nodynamic) and (
+            cfg.frame_backend == "blocked"
+            or (
+                cfg.frame_backend == "auto"
+                and jax.default_backend() == "tpu"
+            )
+        )
+        if use_fused:
+            fused_frames = {}
+            for n in (1, 2, 4, 8):
+                cfg_n = _dc.replace(
+                    cfg_nodynamic,
+                    delta_time=cfg.delta_time / n,
+                    sim_count=cfg.sim_count * n,
+                )
+                fused_frames[n] = make_blocked_frame_fn(obj, cfg_n)
 
         @jax.jit
         def frame_impl(o: FemObject, state: SimState, obstacles: Obstacles):
@@ -506,6 +535,21 @@ def make_frame_fn(obj: FemObject, cfg: SimConfig):
             idx = split_level(kappa, cfg.adaptive_dt_threshold)
 
             def make_branch(n):
+                if use_fused:
+                    def branch(s0):
+                        s, aux = fused_frames[n](s0, obstacles)
+                        # (S·n,) per-substep aux → (S,) frame rows: total
+                        # iterations per outer substep, last inner residual.
+                        it = aux.solver_iterations.reshape(
+                            cfg.sim_count, n
+                        ).sum(axis=1)
+                        res = aux.solver_residual.reshape(
+                            cfg.sim_count, n
+                        )[:, -1]
+                        return s, StepAux(it, res)
+
+                    return branch
+
                 def branch(s0):
                     def body(s, _):
                         def inner(st, _):

@@ -495,3 +495,24 @@ def test_blocked_frame_2d_plastic_matches_op_composed():
         if np.abs(np.asarray(s_ref.plastic_inv) - eye).max() > 1e-4:
             yielded = True
     assert yielded, "2D scenario never yielded — test is vacuous"
+
+
+def test_adaptive_guard_composes_with_fused_frame():
+    """adaptive_dt + whole-frame kernel (round 5): with κ far below
+    threshold the guarded fused frame must EQUAL the plain fused frame
+    (branch 0 is the same kernel), and aux keeps (S,) substep rows."""
+    obj, state0, obstacles = _scene()
+    cfg_plain = _cfg(preconditioned=0, frame_backend="blocked")
+    cfg_adapt = dataclasses.replace(cfg_plain, adaptive_dt=True)
+    f_plain = make_frame_fn(obj, cfg_plain)
+    f_adapt = make_frame_fn(obj, cfg_adapt)
+    s_p, s_a = state0, state0
+    for _ in range(4):
+        s_p, aux_p = f_plain(s_p, obstacles)
+        s_a, aux_a = f_adapt(s_a, obstacles)
+    np.testing.assert_array_equal(np.asarray(s_a.pos), np.asarray(s_p.pos))
+    np.testing.assert_array_equal(
+        np.asarray(aux_a.solver_iterations),
+        np.asarray(aux_p.solver_iterations),
+    )
+    assert aux_a.solver_iterations.shape == (cfg_plain.sim_count,)
