@@ -156,9 +156,10 @@ def bench_explicit(cfg, obj, state, obstacles):
 
 def bench_spot_real():
     """Second-mesh row (VERDICT r3 weak #6): the reference's own spot.obj
-    (configs/demo_spot_real.json, 7,721 tets — past the fused-table VMEM
-    gate, so this measures the op-composed blocked path the procedural
-    flagship doesn't)."""
+    (configs/demo_spot_real.json, 7,721 tets) on the SHIPPED config path —
+    since round 5 that is the whole-frame fused kernel under the per-frame
+    adaptive κ-guard (the mesh's fused tables fit VMEM; earlier rounds'
+    "op-composed" label was stale)."""
     from fem_tpu.models.mesh import load_object_mesh
     from fem_tpu.models.state import Obstacles, build_object
     from fem_tpu.sim import make_frame_fn
@@ -356,7 +357,7 @@ def main():
         rr, ri, n_el = bench_spot_real()
         print(
             f"demo_spot_real (reference's own spot.obj, {n_el} tets, "
-            f"op-composed blocked path): {rr:.0f} steps/s at "
+            f"shipped fused+κ-guard path): {rr:.0f} steps/s at "
             f"cg_iters/substep={ri:.1f} (2x200-frame windows)",
             file=sys.stderr,
         )
