@@ -65,6 +65,11 @@ class DiffParams(NamedTuple):
     mu: jnp.ndarray
     s_lambda: jnp.ndarray
     damping: jnp.ndarray
+    # Traced von-Mises yield strain (inelastic extension) — None for
+    # elastic objects.  Lets inverse problems identify the yield surface
+    # from observed permanent deformation (the radial return map is
+    # piecewise smooth in it: scale = ε_y/‖dev ε‖ on yielded elements).
+    plastic_yield: jnp.ndarray | None = None
 
 
 def params_from_object(obj: FemObject) -> DiffParams:
@@ -73,6 +78,11 @@ def params_from_object(obj: FemObject) -> DiffParams:
         mu=jnp.float32(obj.mu),
         s_lambda=jnp.float32(obj.s_lambda),
         damping=jnp.float32(obj.damping),
+        plastic_yield=(
+            jnp.float32(obj.plastic_yield)
+            if obj.plastic_yield > 0.0
+            else None
+        ),
     )
 
 
@@ -125,13 +135,68 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
     robust = cfg.robust_inversion
     material = obj.material
     beta = obj.damping_beta  # Rayleigh damping extension (static scalar)
-    if obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0:
-        raise ValueError(
-            "differentiable stepping does not support the inelastic "
-            "material extensions (plastic_yield/viscous_mu): the SVD "
-            "return maps have non-smooth yield branches; use the forward "
-            "paths for those"
+    # Inelastic extensions (round 5): differentiable since the return map
+    # became componentwise Jacobi plane math (no SVD) — piecewise smooth,
+    # with subgradients only on the measure-zero yield surface itself.
+    # The internal-variable update runs on the mesh-order row form (diff
+    # rollouts are small-mesh territory); ``params.plastic_yield`` traces
+    # the yield strain for inverse identification.
+    inelastic = obj.plastic_yield > 0.0 or obj.viscous_mu > 0.0
+    visc_mu_s = obj.viscous_mu
+    visc_tau = obj.viscous_tau
+
+    def _layer_cols(params: DiffParams, state: SimState) -> jnp.ndarray:
+        """Explicit-convention gradient columns summed over material
+        layers on the traced parameters (ops/inelastic semantics)."""
+        from fem_tpu.ops.inelastic import _BRANCH_MATERIAL, effective_ref_inv
+
+        r_base = effective_ref_inv(obj.ref_inv, state.plastic_inv)
+        cols = explicit_grad_columns(
+            state.pos, obj.element_indices, r_base, obj.volume,
+            params.mu, params.s_lambda, material,
         )
+        if state.viscous_inv is not None:
+            r_br = effective_ref_inv(obj.ref_inv, state.viscous_inv)
+            cols = cols + explicit_grad_columns(
+                state.pos, obj.element_indices, r_br, obj.volume,
+                visc_mu_s, 0.0, _BRANCH_MATERIAL,
+            )
+        return cols
+
+    def _advance(params: DiffParams, state: SimState) -> SimState:
+        """Post-advect internal-variable update with the TRACED yield
+        strain (mirror of ops/inelastic.advance_internal's row form)."""
+        from fem_tpu.ops.assembly import gather_edge_diffs
+        from fem_tpu.ops.inelastic import plastic_return_map, viscous_relax
+
+        if not inelastic:
+            return state
+        F = sm.matmul_ew(
+            gather_edge_diffs(state.pos, obj.element_indices), obj.ref_inv
+        )
+        ok = (sm.det(F) > 1e-9)[..., None, None]
+        f_safe = jnp.where(
+            ok, F, jnp.broadcast_to(jnp.eye(obj.dim), F.shape)
+        )
+        f_inv = sm.inv(f_safe)
+        new = {}
+        if state.plastic_inv is not None:
+            y = (
+                params.plastic_yield
+                if params.plastic_yield is not None
+                else jnp.float32(obj.plastic_yield)
+            )
+            fe = sm.matmul_ew(F, state.plastic_inv)
+            fe_new, yld = plastic_return_map(fe, y)
+            fp = sm.matmul_ew(f_inv, fe_new)
+            new["plastic_inv"] = jnp.where(
+                ok & yld[..., None, None], fp, state.plastic_inv
+            )
+        if state.viscous_inv is not None:
+            fbe = sm.matmul_ew(F, state.viscous_inv)
+            fv = sm.matmul_ew(f_inv, viscous_relax(fbe, dt, visc_tau))
+            new["viscous_inv"] = jnp.where(ok, fv, state.viscous_inv)
+        return state.replace(**new)
 
     def _rayleigh_grad(params: DiffParams, state: SimState) -> jnp.ndarray:
         """−β·G(K)·v with K on the traced material parameters — the same
@@ -146,39 +211,52 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
     if cfg.auto_diff:
 
         def substep(params: DiffParams, state: SimState, obstacles: Obstacles):
-            grad = jax.grad(total_energy)(
-                state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-                params.mu, params.s_lambda, material,
-            )
+            if inelastic:
+                # Analytic layered chain — identical to autodiff at frozen
+                # internal variables (ops/inelastic docstring).
+                grad = assemble_for(obj, element_contrib_full(
+                    _layer_cols(params, state)
+                ))
+            else:
+                grad = jax.grad(total_energy)(
+                    state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+                    params.mu, params.s_lambda, material,
+                )
             if beta != 0.0:
                 grad = grad + _rayleigh_grad(params, state)
             if obj.static_load is not None:
                 grad = grad - obj.static_load
-            return kinematic_step(
+            state = kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
                 free_mask=obj.free_mask, pin_vel=obj.pin_vel,
                 wall_friction=cfg.wall_friction,
             )
+            return _advance(params, state)
 
         return substep
 
     if cfg.use_explicit_method:
 
         def substep(params: DiffParams, state: SimState, obstacles: Obstacles):
-            cols = explicit_grad_columns(
-                state.pos, obj.element_indices, obj.ref_inv, obj.volume,
-                params.mu, params.s_lambda, material,
+            cols = (
+                _layer_cols(params, state)
+                if inelastic
+                else explicit_grad_columns(
+                    state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+                    params.mu, params.s_lambda, material,
+                )
             )
             grad = assemble_for(obj, element_contrib_full(cols))
             if beta != 0.0:
                 grad = grad + _rayleigh_grad(params, state)
             if obj.static_load is not None:
                 grad = grad - obj.static_load
-            return kinematic_step(
+            state = kinematic_step(
                 state, grad, obj.mass, obstacles, dt, params.damping, g_dir,
                 free_mask=obj.free_mask, pin_vel=obj.pin_vel,
                 wall_friction=cfg.wall_friction,
             )
+            return _advance(params, state)
 
         return substep
 
@@ -199,13 +277,20 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
     mass_col = obj.mass[:, None]
 
     def substep(params: DiffParams, state: SimState, obstacles: Obstacles):
+        from fem_tpu.ops.inelastic import _BRANCH_MATERIAL, effective_ref_inv
+
+        r_base = (
+            effective_ref_inv(obj.ref_inv, state.plastic_inv)
+            if inelastic
+            else obj.ref_inv
+        )
         K = hessian_blocks(
-            state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+            state.pos, obj.element_indices, r_base, obj.volume,
             params.mu, params.s_lambda, robust, material,
         )
         if material == "neo_hookean":
             cols = implicit_force_columns(
-                state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+                state.pos, obj.element_indices, r_base, obj.volume,
                 params.mu, params.s_lambda, robust,
             )
         else:
@@ -213,8 +298,18 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             # material's analytic Piola columns (same routing as the
             # non-diff path, solvers/implicit._material_force_columns).
             cols = -explicit_grad_columns(
-                state.pos, obj.element_indices, obj.ref_inv, obj.volume,
+                state.pos, obj.element_indices, r_base, obj.volume,
                 params.mu, params.s_lambda, material,
+            )
+        if inelastic and state.viscous_inv is not None:
+            r_br = effective_ref_inv(obj.ref_inv, state.viscous_inv)
+            K = K + hessian_blocks(
+                state.pos, obj.element_indices, r_br, obj.volume,
+                visc_mu_s, 0.0, robust, _BRANCH_MATERIAL,
+            )
+            cols = cols - explicit_grad_columns(
+                state.pos, obj.element_indices, r_br, obj.volume,
+                visc_mu_s, 0.0, _BRANCH_MATERIAL,
             )
         f = assemble_for(obj, element_contrib_full(cols))
         if obj.static_load is not None:
@@ -256,11 +351,12 @@ def make_diff_substep_fn(obj: FemObject, cfg: SimConfig, n_cg_iters: int = 32):
             symmetric=True,
         )
         state = state.replace(vel=x)
-        return advect_implicit_step(
+        state = advect_implicit_step(
             state, obstacles, dt, params.damping, g_dir,
             free_mask=obj.free_mask, pin_vel=obj.pin_vel,
             wall_friction=cfg.wall_friction,
         )
+        return _advance(params, state)
 
     return substep
 

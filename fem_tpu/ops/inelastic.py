@@ -36,7 +36,8 @@ rest-edge inverses (element- or block-ordered): the graph operator, the
 blocked MXU operator with in-VMEM prep (``blocked_prep(ref_inv_flat=…)``
 over ``Blocking.element_perm``), the fused whole-SOLVE kernel (its K/force
 tables are dynamic inputs), Newton's decoupled mode, and the sharded path
-(internal variables replicated; updates shard-local + all_gather).  BOTH
+(internal variables replicated; updates shard-local + all_gather).  Differentiable
+stepping traces the yield strain (fem_tpu/diff.py DiffParams).  BOTH
 whole-FRAME kernels run plasticity AND the Maxwell branch IN-KERNEL
 (ops/pallas_blocked_frame.py: state carried as (d², B·Eb) VMEM planes,
 return map / relaxation after each substep's advect/kinematic — flagship

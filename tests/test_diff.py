@@ -363,3 +363,74 @@ def test_corotated_rollout_grad_matches_fd():
         2 * eps
     )
     assert float(g) == pytest.approx(fd, rel=5e-2, abs=1e-12)
+
+
+@pytest.mark.parametrize(
+    "cfg_kwargs",
+    [
+        dict(auto_diff=False, use_explicit_method=True),
+        dict(auto_diff=False, use_explicit_method=False,
+             implicit_method=1, preconditioned=0),
+    ],
+    ids=["explicit_plastic", "implicit_plastic"],
+)
+def test_plastic_grad_matches_fd(cfg_kwargs):
+    """Differentiable INELASTIC stepping (round 5): with a squashed start
+    far past yield, gradients of a trajectory loss w.r.t. mu AND the
+    traced plastic_yield must match central differences — the radial
+    return map (componentwise Jacobi, no SVD) is piecewise smooth in
+    both."""
+    _, obj, state = make_2d_object(subdivisions=3, plastic_yield=0.05)
+    assert state.plastic_inv is not None
+    state = _squashed(state, scale=(1.35, 0.75))  # well past yield
+    cfg = default_sim_config(**cfg_kwargs)
+    obstacles = default_obstacles()
+    n_steps = 10
+    mu0, lam0, damp0 = float(obj.mu), float(obj.s_lambda), float(obj.damping)
+    y0 = 0.05
+
+    def loss(mu, y):
+        rollout = make_diff_rollout_fn(obj, cfg, n_steps, 32)
+        params = DiffParams(
+            jnp.float32(mu), jnp.float32(lam0), jnp.float32(damp0),
+            plastic_yield=jnp.float32(y),
+        )
+        final, traj = rollout(params, state, obstacles)
+        return jnp.mean(traj ** 2) + jnp.mean(final.vel ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(jnp.float32(mu0), jnp.float32(y0))
+    for name, base, grad_val, eps in [
+        ("mu", mu0, float(g[0]), 1e-3 * mu0),
+        ("plastic_yield", y0, float(g[1]), 1e-3),
+    ]:
+        if name == "mu":
+            fd = (float(loss(base + eps, y0)) - float(loss(base - eps, y0))) / (2 * eps)
+        else:
+            fd = (float(loss(mu0, base + eps)) - float(loss(mu0, base - eps))) / (2 * eps)
+        assert abs(grad_val) > 0.0, name
+        assert grad_val == pytest.approx(fd, rel=8e-2, abs=1e-10), name
+
+
+def test_viscoelastic_diff_forward_tracks_parity_path():
+    """Diff stepping with the Maxwell branch: the forward trajectory must
+    track the non-diff substep (same layered chain + relaxation)."""
+    cfg_o, obj, state = make_2d_object(
+        subdivisions=3, viscous_mu=2e4, viscous_tau=0.01
+    )
+    state = _squashed(state, scale=(1.2, 0.85))
+    cfg = default_sim_config(auto_diff=False, use_explicit_method=True)
+    obstacles = default_obstacles()
+    sub_ref = make_substep_fn(obj, cfg)
+    sub_diff = make_diff_substep_fn(obj, cfg)
+    params = params_from_object(obj)
+    s_ref, s_diff = state, state
+    for _ in range(8):
+        s_ref, _ = sub_ref(s_ref, obstacles)
+        s_diff = sub_diff(params, s_diff, obstacles)
+    np.testing.assert_allclose(
+        np.asarray(s_diff.pos), np.asarray(s_ref.pos), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_diff.viscous_inv), np.asarray(s_ref.viscous_inv),
+        atol=2e-5,
+    )
