@@ -50,6 +50,7 @@ def _run(script, *args):
         ("examples/anisotropic_fibers.py", "anisotropic_fibers OK"),
         ("examples/plasticity_demo.py", "permanent"),
         ("examples/viscoelastic_relaxation.py", "relaxation timescale matches"),
+        ("examples/inverse_yield.py", "inverse_yield OK"),
     ],
 )
 def test_example_runs(script, expect):
